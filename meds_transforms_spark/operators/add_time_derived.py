@@ -1,0 +1,167 @@
+"""add_time_derived_measurements — synthesize new rows from timestamps.
+
+Three sub-operators, mirroring
+src/MEDS_transforms/stages/add_time_derived_measurements/:
+
+- ``age``            (age.py:149-176): at each event, age since the
+  subject's DOB row (code == DOB_code), in configured units.
+- ``time_of_day``    (time_of_day.py:111-127): bucket each event's hour
+  into configured endpoint ranges → categorical code rows.
+- ``timeline_tokens``(timeline_tokens.py:250-286): per-subject timeline
+  start/end marker rows and inter-event time-delta rows.
+
+Spark plan: all three are per-subject window computations — the
+reference's event×DOB join (age.py:169) is re-expressed as
+``min(when(code==DOB, time)) over (partition by subject)``, which is
+strictly better at scale: zero join, single window pass over the
+subject-partitioned table. New rows are produced on DISTINCT events
+(subject, time) — dropDuplicates — and merged back with a
+union-by-name with missing columns nulled (diagonal concat,
+add_time_derived_measurements.py:165-167).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.functions.time_units import normalize_time_unit
+from meds_transforms_spark.schema import CODE, NUMERIC_VALUE, SUBJECT_ID, TIME
+
+
+def _seconds(col):
+    """Timestamp → epoch seconds as double (µs precision retained)."""
+    return col.cast("double")
+
+
+def _distinct_events(df: DataFrame) -> DataFrame:
+    """Unique (subject, time) pairs with non-null time — the event grid
+    new measurements attach to (utils.py:129-133)."""
+    return (
+        df.filter(F.col(TIME).isNotNull())
+        .select(SUBJECT_ID, TIME)
+        .dropDuplicates([SUBJECT_ID, TIME])
+    )
+
+
+def age_rows(
+    df: DataFrame,
+    DOB_code: str = "MEDS_BIRTH",
+    age_code: str = "AGE",
+    age_unit: str = "years",
+) -> DataFrame:
+    """One AGE row per event after birth (age.py:149-176)."""
+    per_subject = W.partitionBy(SUBJECT_ID)
+    dob = F.min(F.when(F.col(CODE) == DOB_code, F.col(TIME))).over(per_subject)
+    unit_seconds = normalize_time_unit(age_unit)
+    events = (
+        df.withColumn("__dob", dob)
+        .filter(F.col(TIME).isNotNull() & F.col("__dob").isNotNull())
+        .select(SUBJECT_ID, TIME, "__dob")
+        .dropDuplicates([SUBJECT_ID, TIME])
+    )
+    age = (_seconds(F.col(TIME)) - _seconds(F.col("__dob"))) / F.lit(unit_seconds)
+    return (
+        events.filter(F.col(TIME) > F.col("__dob"))
+        .select(
+            SUBJECT_ID,
+            TIME,
+            F.lit(age_code).alias(CODE),
+            age.cast("float").alias(NUMERIC_VALUE),
+        )
+    )
+
+
+def time_of_day_rows(
+    df: DataFrame,
+    time_of_day_code: str = "TIME_OF_DAY",
+    endpoints: Sequence[int] = (6, 12, 18, 24),
+) -> DataFrame:
+    """One TIME_OF_DAY//[lo,hi) row per event (time_of_day.py:111-127)."""
+    events = _distinct_events(df)
+    hour = F.hour(F.col(TIME))
+    eps = list(endpoints)
+    expr = F.when(hour < eps[0], F.lit(f"{time_of_day_code}//[00,{eps[0]:02})"))
+    for lo, hi in zip(eps, eps[1:]):
+        expr = expr.when(hour < hi, F.lit(f"{time_of_day_code}//[{lo:02},{hi:02})"))
+    return events.select(
+        SUBJECT_ID,
+        TIME,
+        expr.alias(CODE),
+        F.lit(None).cast("float").alias(NUMERIC_VALUE),
+    )
+
+
+def timeline_tokens_rows(
+    df: DataFrame,
+    time_unit: str = "d",
+    start_code: str = "TIMELINE//START",
+    end_code: str = "TIMELINE//END",
+    delta_code: str = "TIMELINE//DELTA",
+) -> DataFrame:
+    """Timeline START/END markers + inter-event deltas
+    (timeline_tokens.py:250-286). Delta = time since previous event in
+    ``time_unit`` (lag-1 window, W4 in SURVEY §2.5)."""
+    events = _distinct_events(df)
+    per_subject = W.partitionBy(SUBJECT_ID)
+    ordered = per_subject.orderBy(TIME)
+    unit_seconds = normalize_time_unit(time_unit)
+
+    base = events.withColumn("__start", F.min(TIME).over(per_subject)).withColumn(
+        "__end", F.max(TIME).over(per_subject)
+    )
+    delta = (_seconds(F.col(TIME)) - _seconds(F.lag(TIME).over(ordered))) / F.lit(
+        unit_seconds
+    )
+    deltas = base.withColumn("__delta", delta).filter(F.col("__delta").isNotNull())
+
+    starts = (
+        base.filter(F.col(TIME) == F.col("__start"))
+        .select(
+            SUBJECT_ID, TIME, F.lit(start_code).alias(CODE),
+            F.lit(None).cast("float").alias(NUMERIC_VALUE),
+        )
+    )
+    ends = (
+        base.filter(F.col(TIME) == F.col("__end"))
+        .select(
+            SUBJECT_ID, TIME, F.lit(end_code).alias(CODE),
+            F.lit(None).cast("float").alias(NUMERIC_VALUE),
+        )
+    )
+    delta_rows = deltas.select(
+        SUBJECT_ID, TIME, F.lit(delta_code).alias(CODE),
+        F.col("__delta").cast("float").alias(NUMERIC_VALUE),
+    )
+    return starts.unionByName(delta_rows).unionByName(ends)
+
+
+_SUBSTAGES = {
+    "age": age_rows,
+    "time_of_day": time_of_day_rows,
+    "timeline_tokens": timeline_tokens_rows,
+}
+
+
+@register_stage("add_time_derived_measurements")
+def add_time_derived_measurements(df: DataFrame, **sub_configs) -> DataFrame:
+    """Union the input with each configured sub-operator's new rows.
+
+    ``sub_configs`` maps sub-operator name → its config dict, e.g.
+    ``{"age": {"DOB_code": "MEDS_BIRTH", "age_unit": "years"}}``.
+    Output order contract: callers sort (subject_id, time, __order) at
+    the boundary; new rows carry no __order and sort after existing rows
+    at the same timestamp via nulls_last — matching the reference's
+    stable diagonal concat then sort (:165-169).
+    """
+    out = df
+    for name, cfg in sub_configs.items():
+        fn = _SUBSTAGES.get(name)
+        if fn is None:
+            raise ValueError(f"Unknown time-derived sub-stage {name!r}")
+        new_rows = fn(df, **(cfg or {}))
+        out = out.unionByName(new_rows, allowMissingColumns=True)
+    return out

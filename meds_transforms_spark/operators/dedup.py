@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all expressed shuffle-minimally:
+
+- ``exact_dedup``          hash-groupBy on a (normalized) content key
+- ``minhash_lsh_dedup``    shingle → minhash → band → bucket-join
+- ``simhash_dedup``        64-bit simhash signatures + band buckets
+- ``ngram_jaccard_pairs``  n-gram Jaccard similarity over candidate pairs
+- ``embedding_cosine_dedup`` near-dup by embedding cosine within LSH buckets
+
+Scale notes (the whole point):
+- Signatures (minhash/simhash) are computed with built-in array HOFs +
+  ``xxhash64`` — JVM-side, no Python, one linear pass.
+- Candidate generation never does an all-pairs cross join: LSH bands
+  hash into buckets and only same-bucket pairs are compared — the
+  classic MinHash-LSH bound on comparisons. The bucket join shuffles
+  (band, bucket-hash) keys, each tiny.
+- Cluster representative = min(doc_id) per group — a single groupBy,
+  no iterative connected components in the default path (transitive
+  closure via graph iteration is offered separately; at 100 TB the
+  1-hop "collapse to bucket minimum" is the standard approximation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+def _normalized(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of normalized text, via sequence +
+    substring — built-in, no UDF."""
+    norm = _normalized(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of normalized text."""
+    toks = F.filter(F.split(_normalized(col), r"\s+"), lambda t: t != "")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+@register_stage("exact_dedup")
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one row (min id) per distinct content hash.
+
+    One shuffle on the 64-bit content hash; min-id tiebreak is
+    deterministic. At 100 TB the hash groupBy is the cheapest possible
+    exact dedup — no raw-text shuffle, only (hash, id) pairs move.
+    """
+    c = F.col(text_col)
+    key = F.xxhash64(_normalized(c) if normalize else c)
+    with_key = df.withColumn("__key", key)
+    keep = with_key.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    return (
+        with_key.join(keep, ["__key", id_col], "left_semi").drop("__key")
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 5) -> Column:
+    """MinHash signature: array of per-seed minima over shingle hashes.
+
+    hash_i(s) = xxhash64(seed_i, s); signature[i] = min over shingles.
+    All built-in: transform over a seed sequence × array_min over
+    transformed shingles. Empty docs get a sentinel signature.
+    """
+    sh = char_shingles(col, k=shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.coalesce(
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s))),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+@register_stage("minhash_lsh_dedup")
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dedup: docs sharing any LSH band bucket collapse to the
+    bucket's min id.
+
+    rows_per_band = num_hashes / bands; two docs land in the same bucket
+    for a band iff that band's signature slice matches exactly — the
+    standard (b, r) S-curve. Explode to (doc, band, bucket_hash), shuffle
+    those small keys only, take min(id) per bucket, then per doc keep the
+    global min over its buckets; survivors = docs equal to their min.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    with_sig = df.withColumn("__sig", sig)
+    buckets = with_sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("__bucket"),
+    )
+    rep = buckets.groupBy("__bucket").agg(F.min(id_col).alias("__rep"))
+    doc_rep = (
+        buckets.join(rep, "__bucket")
+        .groupBy(id_col)
+        .agg(F.min("__rep").alias("__rep"))
+    )
+    survivors = doc_rep.filter(F.col(id_col) == F.col("__rep")).select(id_col)
+    return df.join(survivors, id_col, "left_semi")
+
+
+def simhash_signature(col: Column, num_bits: int = 64) -> Column:
+    """SimHash: bit b of the signature = sign of Σ_tokens (±1 by token
+    hash bit b). Expressed as nested array HOFs — one pass, no UDF."""
+    toks = F.filter(F.split(_normalized(col), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+@register_stage("simhash_dedup")
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dedup on 64-bit simhash: docs sharing any 16-bit band collapse
+    (catches Hamming distance ≤ 3 pairs with the 4-band pigeonhole)."""
+    with_sig = df.withColumn("__sim", simhash_signature(F.col(text_col)))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    buckets = with_sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.shiftright(F.col("__sim"), b * band_bits).bitwiseAND(F.lit(mask))
+                ),
+            )
+        ).alias("__bucket"),
+    )
+    rep = buckets.groupBy("__bucket").agg(F.min(id_col).alias("__rep"))
+    doc_rep = buckets.join(rep, "__bucket").groupBy(id_col).agg(F.min("__rep").alias("__rep"))
+    survivors = doc_rep.filter(F.col(id_col) == F.col("__rep")).select(id_col)
+    return df.join(survivors, id_col, "left_semi")
+
+
+@register_stage("ngram_jaccard_pairs")
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    use_lsh_candidates: bool = True,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) pairs above threshold.
+
+    Candidates come from MinHash-LSH buckets (default) so the exact
+    n-gram Jaccard is only evaluated on plausible pairs — never all
+    pairs. Output: id_a < id_b, exact word-n-gram Jaccard.
+    """
+    grams = df.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("__grams")
+    )
+    if use_lsh_candidates:
+        rows_per_band = num_hashes // bands
+        sig = minhash_signature(F.col(text_col), num_hashes, shingle_k=5)
+        buckets = df.withColumn("__sig", sig).select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        b,
+                        F.concat_ws(
+                            ",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                        ),
+                    ),
+                )
+            ).alias("__bucket"),
+        )
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        cand = (
+            a.join(b, F.col("a.__bucket") == F.col("b.__bucket"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        ids = df.select(F.col(id_col))
+        cand = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
+    pairs = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size(F.array_union("__ga", "__gb"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac.cast("double"))
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register_stage("embedding_cosine_dedup")
+def embedding_cosine_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+) -> DataFrame:
+    """Near-dup removal by embedding cosine within random-hyperplane LSH
+    buckets: same-bucket pairs with cosine ≥ threshold collapse to the
+    min id. Hyperplanes are deterministic pseudo-random (hash-derived),
+    so the operator needs no fitted model state."""
+    from meds_transforms_spark.operators.similarity import (
+        cosine_similarity,
+        hyperplane_bucket,
+        l2_normalize,
+    )
+
+    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    normed = df.withColumn("__nvec", l2_normalize(F.col(vec_col))).withColumn(
+        "__bucket", hyperplane_bucket(F.col("__nvec"), dim, num_planes)
+    )
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("__nvec").alias("__va"), "__bucket")
+    b = normed.select(F.col(id_col).alias("id_b"), F.col("__nvec").alias("__vb"), "__bucket")
+    pairs = (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("__va"), F.col("__vb"), assume_normalized=True))
+        .filter(F.col("cos") >= float(threshold))
+    )
+    # Collapse: every id_b similar to a smaller id_a is dropped.
+    dropped = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(dropped, id_col, "left_anti")

@@ -1,0 +1,55 @@
+"""fit_vocabulary_indices — dense 1-based lexicographic code IDs.
+
+Reference semantics (src/MEDS_transforms/stages/fit_vocabulary_indices/
+fit_vocabulary_indices.py:108-195): assign each unique (code, *modifiers)
+a dense 1-based index in lexicographic order WITHOUT reordering the
+table (argsort-of-argsort trick, :164-195); index 0 is reserved for
+"UNK". Uniqueness of the key set is validated first (:98-105).
+
+Spark plan: the code table is vocabulary-sized, so a plain
+``row_number`` window over a global ordering is fine — the single-
+partition window cost is bounded by vocabulary cardinality, not data
+size. No argsort trick needed: ``row_number`` over orderBy gives the
+rank directly and joins back positionally-free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.schema import CODE
+
+
+class CodeMetadataNotUniqueError(ValueError):
+    pass
+
+
+def validate_code_metadata(code_metadata: DataFrame, keys: Sequence[str]) -> None:
+    """Uniqueness check (fit_vocabulary_indices.py:98-105)."""
+    dupes = (
+        code_metadata.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(100)
+        .collect()
+    )
+    if dupes:
+        raise CodeMetadataNotUniqueError(
+            f"Code metadata keys {list(keys)} are not unique; examples: {dupes[:5]}"
+        )
+
+
+@register_stage("fit_vocabulary_indices", is_metadata=True)
+def fit_vocabulary_indices(
+    code_metadata: DataFrame,
+    code_modifiers: Sequence[str] = (),
+) -> DataFrame:
+    keys = [CODE, *code_modifiers]
+    validate_code_metadata(code_metadata, keys)
+    # nulls first matches the reference's nulls_last=False argsort.
+    w = W.orderBy(*[F.col(k).asc_nulls_first() for k in keys])
+    return code_metadata.withColumn("code/vocab_index", F.row_number().over(w))

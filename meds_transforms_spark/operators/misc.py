@@ -1,0 +1,35 @@
+"""Small utility stages.
+
+- ``drop_regex``: drop rows whose code matches a regex (reference
+  extension example: example/simple_example_pkg/src/simple_example_pkg/
+  drop_regex/drop_regex.py:50-53).
+- ``filter_rows``: matcher-DSL row filter (generalizes the reference's
+  read-time filters, dataframe/read_fn.py:22-86).
+- ``dedup_events``: distinct (subject, time) rows
+  (add_time_derived_measurements/utils.py:129-133).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.functions.matcher import matcher_to_expr
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.schema import CODE, SUBJECT_ID, TIME
+
+
+@register_stage("drop_regex")
+def drop_regex(df: DataFrame, regex: str) -> DataFrame:
+    return df.filter(~F.col(CODE).rlike(regex))
+
+
+@register_stage("filter_rows")
+def filter_rows(df: DataFrame, matcher: dict, negate: bool = False) -> DataFrame:
+    pred, _ = matcher_to_expr(matcher)
+    return df.filter(~pred if negate else pred)
+
+
+@register_stage("dedup_events")
+def dedup_events(df: DataFrame) -> DataFrame:
+    return df.dropDuplicates([SUBJECT_ID, TIME])

@@ -1,0 +1,79 @@
+"""reshard_to_split — split assignment + subject-aligned repartitioning.
+
+Reference semantics (src/MEDS_transforms/stages/reshard_to_split/
+reshard_to_split.py:25-195): assign subjects to train/tuning/held_out
+splits by a seeded permutation, then rewrite shards so each shard holds
+whole subjects of one split (merge-sorted by subject).
+
+Spark restatement: shard files are not a first-class concept — the
+equivalents are (a) the split-assignment table and (b) a write layout
+``partitionBy("split")`` + ``repartition(subject_id)`` +
+``sortWithinPartitions`` so all downstream per-subject operators are
+co-partitioned and partition-pruned. The seeded permutation runs
+driver-side with numpy over the (small) distinct-subject list, exactly
+as the reference does (§7: "never reimplement in Spark") — bit-identical
+split assignment for the same seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.schema import ORDER_KEY, SUBJECT_ID, TIME
+
+
+def assign_splits(
+    df: DataFrame,
+    split_fracs: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """(subject_id, split) assignment via seeded numpy permutation.
+
+    Mirrors shard_subjects (reshard_to_split.py:133-160): shuffle the
+    sorted subject list with default_rng(seed), cut at cumulative
+    fraction boundaries. Driver-side numpy on the distinct-subject list
+    (#subjects ≪ #rows; at 100 TB with ~10⁸ subjects this is still a
+    few GB of int64 — if that ever binds, swap to a hash-based
+    assignment, at the cost of seed parity).
+    """
+    import numpy as np
+
+    split_fracs = split_fracs or {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+    subjects = [r[0] for r in df.select(SUBJECT_ID).distinct().orderBy(SUBJECT_ID).collect()]
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(subjects))
+    names = list(split_fracs)
+    bounds = np.cumsum([split_fracs[n] for n in names])
+    bounds = (bounds / bounds[-1] * len(subjects)).round().astype(int)
+    rows = []
+    start = 0
+    for name, end in zip(names, bounds):
+        for i in perm[start:end]:
+            rows.append((int(subjects[i]), name))
+        start = end
+    return df.sparkSession.createDataFrame(rows, "subject_id long, split string")
+
+
+@register_stage("reshard_to_split")
+def reshard_to_split(
+    df: DataFrame,
+    subject_splits: DataFrame | None = None,
+    split_fracs: dict[str, float] | None = None,
+    seed: int = 0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``split`` and repartition/sort by subject.
+
+    The returned frame is ready for ``write.partitionBy("split")`` —
+    the Spark equivalent of the reference's whole-subject shard files
+    (merge_sorted at :315 becomes repartition + sortWithinPartitions).
+    """
+    splits = subject_splits or assign_splits(df, split_fracs, seed)
+    joined = df.join(F.broadcast(splits), on=SUBJECT_ID, how="left")
+    parts = [n_partitions] if n_partitions else []
+    sort_cols = [SUBJECT_ID, F.col(TIME).asc_nulls_first()]
+    if ORDER_KEY in df.columns:
+        sort_cols.append(F.col(ORDER_KEY))
+    return joined.repartition(*parts, SUBJECT_ID).sortWithinPartitions(*sort_cols)

