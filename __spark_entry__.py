@@ -1,38 +1,810 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query exercises operators from meds_transforms_spark (SURVEY.md §2
+inventory + the large-scale training-data extensions); each oracle is the
+ANSI-SQL equivalent DuckDB runs on the same parquet.
+
+Determinism policy (so value-hashes match across engines):
+- Sums of floats go through exact per-row DECIMAL casts (association-
+  order independent), surfaced as double.
+- Derived stats (mean/std/z-scores) are computed from those exact sums
+  with identical operand chains → bit-identical doubles.
+- Timestamps are µs-truncated on both sides (Spark: integer div of
+  nanos; DuckDB: its parquet ns→µs read truncation).
+- Cross-engine library math (cosine) is rounded to 4 decimals.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+#: MEDS view of the events table, shared by oracle SQL (double value —
+#: both engines do identical float64 arithmetic).
+MEDS_SQL = (
+    "SELECT user_id AS subject_id, ts AS \"time\", event_type AS code, "
+    "value AS numeric_value FROM events"
+)
+MEDS_K_SQL = (
+    "SELECT user_id AS subject_id, ts AS \"time\", event_type AS code, "
+    "value AS numeric_value, "
+    "CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) // 10 AS kk FROM events"
+)
+
+AGE_UNIT_US = repr(365.2422 * 86400.0 * 1e6)  # identical constant in both engines
+
+
+def _meds(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    from meds_transforms_spark.sources.testdata import events_as_meds
+
+    return events_as_meds(spark, sf_dir, value_type="double", **kw)
+
+
+def _stats_meta(spark, sf_dir):
+    """Exact-sum per-code stats used by occlude/normalization queries."""
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+
+    return aggregate_code_metadata(
+        _meds(spark, sf_dir),
+        aggregations=[
+            "values/n_occurrences",
+            "values/sum",
+            "values/sum_sqd",
+        ],
+        sum_decimal_scale=6,
+    )
+
+
+STATS_SQL = """
+  SELECT code,
+         count(numeric_value) AS "values/n_occurrences",
+         CAST(sum(CAST(numeric_value AS DECIMAL(30,6))) AS DOUBLE) AS "values/sum",
+         CAST(sum(CAST(numeric_value * numeric_value AS DECIMAL(38,8))) AS DOUBLE) AS "values/sum_sqd"
+  FROM meds GROUP BY code
+"""
+
+
+# ----------------------------------------------------------------------
+# Query implementations (Spark side)
+# ----------------------------------------------------------------------
+
+def q_meds_agg_code_metadata(spark, sf_dir):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+
+    out = aggregate_code_metadata(
+        _meds(spark, sf_dir),
+        aggregations=[
+            "code/n_subjects",
+            "code/n_occurrences",
+            "values/n_occurrences",
+            "values/n_ints",
+            "values/sum",
+            "values/sum_sqd",
+            "values/min",
+            "values/max",
+        ],
+        sum_decimal_scale=6,
+    )
+    return out
+
+
+def q_meds_agg_quantiles(spark, sf_dir):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+
+    out = aggregate_code_metadata(
+        _meds(spark, sf_dir),
+        aggregations=[{"name": "values/quantiles", "quantiles": [0.25, 0.5, 0.75]}],
+    )
+    q = F.col("values/quantiles")
+    return out.select(
+        "code",
+        q["values/quantile/0.25"].alias("q25"),
+        q["values/quantile/0.5"].alias("q50"),
+        q["values/quantile/0.75"].alias("q75"),
+    )
+
+
+def q_meds_filter_subjects(spark, sf_dir):
+    from meds_transforms_spark.operators.filter_subjects import filter_subjects
+
+    return filter_subjects(_meds(spark, sf_dir), min_events_per_subject=67)
+
+
+def q_meds_filter_measurements(spark, sf_dir):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_transforms_spark.operators.filter_measurements import filter_measurements
+
+    meds = _meds(spark, sf_dir, with_modifier=True)
+    meta = aggregate_code_metadata(
+        meds, aggregations=["code/n_occurrences"], code_modifiers=["kk"]
+    )
+    return filter_measurements(
+        meds, meta, min_occurrences_per_code=200, code_modifiers=["kk"]
+    )
+
+
+def q_meds_occlude_outliers(spark, sf_dir):
+    from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
+
+    out = occlude_outliers(_meds(spark, sf_dir), _stats_meta(spark, sf_dir), stddev_cutoff=1.0)
+    return out.select(
+        "subject_id", "time", "code", "numeric_value",
+        F.col("numeric_value/is_inlier").alias("is_inlier"),
+    )
+
+
+def q_meds_normalization(spark, sf_dir):
+    from meds_transforms_spark.operators.fit_vocabulary_indices import (
+        fit_vocabulary_indices,
+    )
+    from meds_transforms_spark.operators.normalization import normalization
+
+    meta = fit_vocabulary_indices(_stats_meta(spark, sf_dir))
+    return normalization(_meds(spark, sf_dir), meta)
+
+
+def q_meds_fit_vocab(spark, sf_dir):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_transforms_spark.operators.fit_vocabulary_indices import (
+        fit_vocabulary_indices,
+    )
+
+    meta = aggregate_code_metadata(_meds(spark, sf_dir), aggregations=["code/n_occurrences"])
+    return fit_vocabulary_indices(meta).select(
+        "code", "code/n_occurrences", "code/vocab_index"
+    )
+
+
+def q_meds_timeline_deltas(spark, sf_dir):
+    from meds_transforms_spark.operators.add_time_derived import timeline_tokens_rows
+
+    return timeline_tokens_rows(_meds(spark, sf_dir), time_unit="d")
+
+
+def q_meds_time_of_day(spark, sf_dir):
+    from meds_transforms_spark.operators.add_time_derived import time_of_day_rows
+
+    rows = time_of_day_rows(_meds(spark, sf_dir), endpoints=[6, 12, 18, 24])
+    return rows.groupBy("code").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def q_meds_age(spark, sf_dir):
+    from meds_transforms_spark.operators.add_time_derived import age_rows
+
+    return age_rows(
+        _meds(spark, sf_dir), DOB_code="signup", age_code="AGE", age_unit="years"
+    ).withColumn("numeric_value", F.round(F.col("numeric_value"), 6))
+
+
+def q_meds_bin_numeric(spark, sf_dir):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_transforms_spark.operators.bin_numeric_values import (
+        endpoints_from_quantiles,
+    )
+
+    meds = _meds(spark, sf_dir)
+    meta = aggregate_code_metadata(
+        meds, aggregations=[{"name": "values/quantiles", "quantiles": [0.25, 0.5, 0.75]}]
+    )
+    bins = endpoints_from_quantiles(meta)
+    joined = meds.join(F.broadcast(bins), "code", "left")
+    idx = F.size(F.filter(F.col("__endpoints"), lambda e: e <= F.col("numeric_value")))
+    return (
+        joined.withColumn("bin_idx", idx)
+        .groupBy("code", "bin_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_meds_match_revise(spark, sf_dir):
+    from meds_transforms_spark.operators.match_revise import match_revise
+    from meds_transforms_spark.operators.misc import scale_numeric
+
+    out = match_revise(
+        _meds(spark, sf_dir),
+        scale_numeric,
+        [
+            {"_matcher": {"code": {"any": ["click", "view"]}}, "factor": 2.0},
+            {"_matcher": {"code": {"regex": "^(purchase|signup)$"}}, "factor": 0.5},
+        ],
+    )
+    return out.groupBy("code").agg(
+        F.sum(F.col("numeric_value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_meds_extract_values(spark, sf_dir):
+    from meds_transforms_spark.operators.extract_values import extract_values
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = extract_values(
+        ev,
+        numeric_value={"extract": {"from": "props", "regex": "([0-9]+)", "group": 1}},
+        text_value={"str": "{event_type}//{user_id}"},
+    )
+    return out.select("event_id", "text_value", "numeric_value")
+
+
+def q_meds_code_priority(spark, sf_dir):
+    from meds_transforms_spark.operators.reorder_measurements import code_priority
+
+    meds = _meds(spark, sf_dir)
+    prio = code_priority(["^error$", "^(purchase|signup)$", ".*"])
+    return meds.select("code").distinct().withColumn("priority", prio)
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    out = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+def q_tpch_q5(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return out
+
+
+def q_events_hourly(spark, sf_dir):
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    with_breaks = ev.withColumn(
+        "is_break", F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
+    )
+    return with_breaks.groupBy("user_id").agg(
+        (F.sum("is_break") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_docs_token_stats(spark, sf_dir):
+    from meds_transforms_spark.operators.text import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id", "n_chars_computed", "n_tokens", "n_bpe_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def q_docs_quality(spark, sf_dir):
+    from meds_transforms_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs).select("doc_id", F.round("quality", 6).alias("quality"))
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    from meds_transforms_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id")
+
+
+def q_docs_lang_id(spark, sf_dir):
+    from meds_transforms_spark.operators.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_emb_topk_cosine(spark, sf_dir):
+    from meds_transforms_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("embedding")
+    )
+    out = brute_force_topk(
+        emb, queries, k=10, corpus_vec="emb_d", query_vec="embedding"
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+    )
+
+
+def q_emb_label_stats(spark, sf_dir):
+    from meds_transforms_spark.operators.similarity import l2_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    norm8 = F.round(l2_norm(F.col("emb_d")), 8).cast("decimal(18,8)")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(norm8).cast("double").alias("sum_norm"),
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from meds_transforms_spark.operators.multimodal import decode_image
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = decode_image(docs, binary_col="payload", id_col="doc_id")
+    return out.select(
+        "doc_id", "height", "width", "mode",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+    )
+
+
+# --- no-oracle (rows-only) entries ------------------------------------
+
+def q_docs_minhash_dedup(spark, sf_dir):
+    from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_dedup(docs, num_hashes=32, bands=8).select("doc_id")
+
+
+def q_docs_simhash(spark, sf_dir):
+    from meds_transforms_spark.operators.dedup import simhash_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_table(docs)
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    from meds_transforms_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("embedding")
+    )
+    return lsh_topk(emb, queries, k=10, num_planes=8, corpus_vec="emb_d", query_vec="embedding")
+
+
+# ----------------------------------------------------------------------
+# Driver contract
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-code metadata aggregation on sf0.001."""
+    return q_meds_agg_code_metadata(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "meds_agg_code_metadata": q_meds_agg_code_metadata,
+        "meds_agg_quantiles": q_meds_agg_quantiles,
+        "meds_filter_subjects": q_meds_filter_subjects,
+        "meds_filter_measurements": q_meds_filter_measurements,
+        "meds_occlude_outliers": q_meds_occlude_outliers,
+        "meds_normalization": q_meds_normalization,
+        "meds_fit_vocab": q_meds_fit_vocab,
+        "meds_timeline_deltas": q_meds_timeline_deltas,
+        "meds_time_of_day": q_meds_time_of_day,
+        "meds_age": q_meds_age,
+        "meds_bin_numeric": q_meds_bin_numeric,
+        "meds_match_revise": q_meds_match_revise,
+        "meds_extract_values": q_meds_extract_values,
+        "meds_code_priority": q_meds_code_priority,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_lang_id": q_docs_lang_id,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_label_stats": q_emb_label_stats,
+        "multimodal_decode": q_multimodal_decode,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_simhash": q_docs_simhash,
+        "emb_lsh_topk": q_emb_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    meds = f"({MEDS_SQL})"
+    stats = f"({STATS_SQL.replace('FROM meds', f'FROM {meds} meds')})"
+    hexv = "0123456789abcdef"
+
+    def byte_at(i: int) -> str:
+        """SQL: byte i (0-based) of sha256(text) as INT."""
+        return (
+            f"((strpos('{hexv}', substr(sha256(text), {2*i+1}, 1)) - 1) * 16"
+            f" + (strpos('{hexv}', substr(sha256(text), {2*i+2}, 1)) - 1))"
+        )
+
+    return {
+        "meds_agg_code_metadata": f"""
+            SELECT code,
+                   count(DISTINCT subject_id) AS "code/n_subjects",
+                   count(*) AS "code/n_occurrences",
+                   count(numeric_value) AS "values/n_occurrences",
+                   count(*) FILTER (numeric_value = round(numeric_value)) AS "values/n_ints",
+                   CAST(sum(CAST(numeric_value AS DECIMAL(30,6))) AS DOUBLE) AS "values/sum",
+                   CAST(sum(CAST(numeric_value * numeric_value AS DECIMAL(38,8))) AS DOUBLE) AS "values/sum_sqd",
+                   min(numeric_value) AS "values/min",
+                   max(numeric_value) AS "values/max"
+            FROM {meds} meds GROUP BY code
+        """,
+        "meds_agg_quantiles": f"""
+            WITH ranked AS (
+              SELECT code, numeric_value,
+                     row_number() OVER (PARTITION BY code ORDER BY numeric_value) AS rn,
+                     count(numeric_value) OVER (PARTITION BY code) AS n
+              FROM {meds} meds WHERE numeric_value IS NOT NULL
+            )
+            SELECT code,
+                   max(CASE WHEN rn = CAST(round(0.25 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q25,
+                   max(CASE WHEN rn = CAST(round(0.5 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q50,
+                   max(CASE WHEN rn = CAST(round(0.75 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q75
+            FROM ranked GROUP BY code
+        """,
+        "meds_filter_subjects": f"""
+            SELECT subject_id, "time", code, numeric_value FROM (
+              SELECT *, count(DISTINCT "time") OVER (PARTITION BY subject_id) AS n_ev
+              FROM {meds} meds
+            ) WHERE n_ev >= 67
+        """,
+        "meds_filter_measurements": f"""
+            WITH meds AS ({MEDS_K_SQL}),
+                 allowed AS (
+                   SELECT code, kk FROM meds GROUP BY code, kk HAVING count(*) >= 200
+                 )
+            SELECT m.* FROM meds m SEMI JOIN allowed a
+              ON m.code = a.code AND m.kk = a.kk
+        """,
+        "meds_occlude_outliers": f"""
+            WITH stats AS (
+              SELECT code, "values/sum" / "values/n_occurrences" AS mean,
+                     sqrt(greatest("values/sum_sqd" / "values/n_occurrences"
+                          - ("values/sum" / "values/n_occurrences") * ("values/sum" / "values/n_occurrences"), 0.0)) AS std
+              FROM {stats} s
+            )
+            SELECT subject_id, "time", m.code,
+                   CASE WHEN abs(numeric_value - mean) <= 1.0 * std THEN numeric_value END AS numeric_value,
+                   CASE WHEN numeric_value IS NOT NULL AND mean IS NOT NULL
+                        THEN abs(numeric_value - mean) <= 1.0 * std END AS is_inlier
+            FROM {meds} m LEFT JOIN stats ON m.code = stats.code
+        """,
+        "meds_normalization": f"""
+            WITH stats AS (
+              SELECT code,
+                     row_number() OVER (ORDER BY code) AS vocab,
+                     "values/sum" / "values/n_occurrences" AS mean,
+                     sqrt(greatest("values/sum_sqd" / "values/n_occurrences"
+                          - ("values/sum" / "values/n_occurrences") * ("values/sum" / "values/n_occurrences"), 0.0)) AS std
+              FROM {stats} s
+            )
+            SELECT subject_id, "time",
+                   CAST(vocab AS BIGINT) AS code,
+                   CASE WHEN numeric_value IS NOT NULL AND std IS NOT NULL AND std <> 0
+                        THEN CAST((numeric_value - mean) / std AS REAL) END AS numeric_value
+            FROM {meds} m JOIN stats ON m.code = stats.code
+        """,
+        "meds_fit_vocab": f"""
+            SELECT code, count(*) AS "code/n_occurrences",
+                   CAST(row_number() OVER (ORDER BY code) AS INT) AS "code/vocab_index"
+            FROM {meds} meds GROUP BY code
+        """,
+        "meds_timeline_deltas": f"""
+            WITH ev AS (SELECT DISTINCT subject_id, "time" FROM {meds} meds WHERE "time" IS NOT NULL),
+                 w AS (SELECT subject_id, "time",
+                              min("time") OVER (PARTITION BY subject_id) AS mn,
+                              max("time") OVER (PARTITION BY subject_id) AS mx,
+                              lag("time") OVER (PARTITION BY subject_id ORDER BY "time") AS prev
+                       FROM ev)
+            SELECT subject_id, "time", 'TIMELINE//START' AS code, CAST(NULL AS REAL) AS numeric_value
+              FROM w WHERE "time" = mn
+            UNION ALL
+            SELECT subject_id, "time", 'TIMELINE//DELTA' AS code,
+                   CAST((epoch_us("time") - epoch_us(prev)) / 86400000000.0 AS REAL)
+              FROM w WHERE prev IS NOT NULL
+            UNION ALL
+            SELECT subject_id, "time", 'TIMELINE//END' AS code, CAST(NULL AS REAL)
+              FROM w WHERE "time" = mx
+        """,
+        "meds_time_of_day": f"""
+            WITH ev AS (SELECT DISTINCT subject_id, "time" FROM {meds} meds WHERE "time" IS NOT NULL)
+            SELECT CASE WHEN hour("time") < 6 THEN 'TIME_OF_DAY//[00,06)'
+                        WHEN hour("time") < 12 THEN 'TIME_OF_DAY//[06,12)'
+                        WHEN hour("time") < 18 THEN 'TIME_OF_DAY//[12,18)'
+                        WHEN hour("time") < 24 THEN 'TIME_OF_DAY//[18,24)'
+                   END AS code,
+                   count(*) AS n_events
+            FROM ev GROUP BY 1
+        """,
+        "meds_age": f"""
+            WITH m AS (SELECT *, min(CASE WHEN code = 'signup' THEN "time" END)
+                                  OVER (PARTITION BY subject_id) AS dob
+                       FROM {meds} meds),
+                 ev AS (SELECT DISTINCT subject_id, "time", dob FROM m
+                        WHERE "time" IS NOT NULL AND dob IS NOT NULL)
+            SELECT subject_id, "time", 'AGE' AS code,
+                   round(CAST((epoch_us("time") - epoch_us(dob)) / {AGE_UNIT_US} AS REAL), 6) AS numeric_value
+            FROM ev WHERE "time" > dob
+        """,
+        "meds_bin_numeric": f"""
+            WITH ranked AS (
+              SELECT code, numeric_value,
+                     row_number() OVER (PARTITION BY code ORDER BY numeric_value) AS rn,
+                     count(numeric_value) OVER (PARTITION BY code) AS n
+              FROM {meds} meds WHERE numeric_value IS NOT NULL
+            ),
+            qs AS (
+              SELECT code,
+                     max(CASE WHEN rn = CAST(round(0.25 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q25,
+                     max(CASE WHEN rn = CAST(round(0.5 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q50,
+                     max(CASE WHEN rn = CAST(round(0.75 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q75
+              FROM ranked GROUP BY code
+            )
+            SELECT m.code,
+                   CAST((numeric_value >= q25) AS INT) + CAST((numeric_value >= q50) AS INT)
+                     + CAST((numeric_value >= q75) AS INT) AS bin_idx,
+                   count(*) AS n
+            FROM {meds} m JOIN qs ON m.code = qs.code
+            GROUP BY 1, 2
+        """,
+        "meds_match_revise": f"""
+            SELECT code,
+                   CAST(sum(CAST(CASE WHEN code IN ('click','view') THEN numeric_value * 2.0
+                                      WHEN code IN ('purchase','signup') THEN numeric_value * 0.5
+                                      ELSE numeric_value END AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+                   count(*) AS n
+            FROM {meds} meds GROUP BY code
+        """,
+        "meds_extract_values": """
+            SELECT event_id,
+                   event_type || '//' || CAST(user_id AS VARCHAR) AS text_value,
+                   CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS REAL) AS numeric_value
+            FROM events
+        """,
+        "meds_code_priority": f"""
+            SELECT code,
+                   CASE WHEN regexp_matches(code, '^error$') THEN 0
+                        WHEN regexp_matches(code, '^(purchase|signup)$') THEN 1
+                        ELSE 2 END AS priority
+            FROM (SELECT DISTINCT code FROM {meds} meds)
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                               > 1800000000 THEN 1 ELSE 0 END AS is_break
+              FROM events
+            )
+            SELECT user_id, sum(is_break) + 1 AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "docs_token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+                   round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        """,
+        "docs_quality": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     least(length(text) / 200.0, 1.0) AS length_score,
+                     len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) AS punct_ratio,
+                     len(list_distinct(list_intersect(
+                         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                         ['the','and','of','to','in','is','that','for','with','was']))) AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(length_score * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+                         * (0.5 + 0.5 * least(stop_hits / 3.0, 1.0)), 6) AS quality
+            FROM t
+        """,
+        "docs_exact_dedup": r"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
+              FROM documents
+            ) WHERE doc_id = keeper
+        """,
+        "docs_lang_id": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','was'])) AS en_h,
+                     len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit','für','von'])) AS de_h,
+                     len(list_intersect(toks, ['le','la','et','les','des','est','pas','pour','que','une'])) AS fr_h,
+                     len(list_intersect(toks, ['el','la','de','que','los','las','una','por','con','para'])) AS es_h
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN fr_h > 0 AND fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
+                        WHEN es_h > 0 AND es_h >= en_h AND es_h >= de_h THEN 'es'
+                        WHEN en_h > 0 AND en_h >= de_h THEN 'en'
+                        WHEN de_h > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM h
+        """,
+        "emb_topk_cosine": """
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[])) DESC,
+                              c.vec_id) AS INT) AS rank
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            QUALIFY rank <= 10
+        """,
+        "emb_label_stats": """
+            SELECT label, count(*) AS n_vecs,
+                   CAST(sum(CAST(round(sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x))), 8) AS DECIMAL(18,8))) AS DOUBLE) AS sum_norm
+            FROM embeddings GROUP BY label
+        """,
+        "multimodal_decode": f"""
+            SELECT doc_id,
+                   CAST(floor({byte_at(0)} / 255.0 * 1000) AS INT) + 1 AS height,
+                   CAST(floor({byte_at(1)} / 255.0 * 1000) AS INT) + 1 AS width,
+                   'RGB' AS mode,
+                   {byte_at(0)} / 255.0 AS f0,
+                   {byte_at(1)} / 255.0 AS f1
+            FROM documents
+        """,
+    }

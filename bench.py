@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
+
+Each query is forced to full materialization with the noop sink (count()
+alone lets Catalyst prune unused columns, under-measuring projection
+work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: spans scan→agg, window filters, broadcast joins,
+#: multi-join relational, dedup (exact + LSH), text, similarity.
+BENCH_QUERIES = [
+    "meds_agg_code_metadata",
+    "meds_filter_subjects",
+    "meds_normalization",
+    "meds_timeline_deltas",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly",
+    "events_sessions",
+    "docs_token_stats",
+    "docs_exact_dedup",
+    "docs_minhash_dedup",
+    "emb_topk_cosine",
+]
+
+
+def main():
+    import __spark_entry__ as E
+    from meds_transforms_spark import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    qs = E.queries()
+    # Warm the JVM/codegen path once with the cheapest query.
+    qs["meds_fit_vocab"](spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,9 +32,11 @@ from meds_transforms_spark.functions.time_units import normalize_time_unit
 from meds_transforms_spark.schema import CODE, NUMERIC_VALUE, SUBJECT_ID, TIME
 
 
-def _seconds(col):
-    """Timestamp → epoch seconds as double (µs precision retained)."""
-    return col.cast("double")
+def _micros(col):
+    """Timestamp → exact epoch microseconds (long). Exact integer µs —
+    NOT a double cast, which at epoch magnitude has ~0.5 µs quantization
+    that breaks oracle-exact comparisons."""
+    return F.unix_micros(col)
 
 
 def _distinct_events(df: DataFrame) -> DataFrame:
@@ -63,7 +65,7 @@ def age_rows(
         .select(SUBJECT_ID, TIME, "__dob")
         .dropDuplicates([SUBJECT_ID, TIME])
     )
-    age = (_seconds(F.col(TIME)) - _seconds(F.col("__dob"))) / F.lit(unit_seconds)
+    age = (_micros(F.col(TIME)) - _micros(F.col("__dob"))) / F.lit(unit_seconds * 1e6)
     return (
         events.filter(F.col(TIME) > F.col("__dob"))
         .select(
@@ -113,8 +115,8 @@ def timeline_tokens_rows(
     base = events.withColumn("__start", F.min(TIME).over(per_subject)).withColumn(
         "__end", F.max(TIME).over(per_subject)
     )
-    delta = (_seconds(F.col(TIME)) - _seconds(F.lag(TIME).over(ordered))) / F.lit(
-        unit_seconds
+    delta = (_micros(F.col(TIME)) - _micros(F.lag(TIME).over(ordered))) / F.lit(
+        unit_seconds * 1e6
     )
     deltas = base.withColumn("__delta", delta).filter(F.col("__delta").isNotNull())
 

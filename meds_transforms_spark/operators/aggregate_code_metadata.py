@@ -64,10 +64,17 @@ AGGREGATIONS = [
 DEFAULT_QUANTILES = [0.25, 0.5, 0.75]
 
 
-def _agg_exprs(aggregations: Sequence, quantiles: Sequence[float]):
+def _agg_exprs(aggregations: Sequence, quantiles: Sequence[float], sum_decimal_scale=None):
     """Build the Spark agg expression list for the requested statistics.
 
     ``__val`` is numeric_value with NaN pre-nulled (VAL_PRESENT guard).
+
+    ``sum_decimal_scale``: when set, values/sum and values/sum_sqd cast
+    each row to an exact DECIMAL at that scale before summing and cast
+    the total back to double. Floating sums over a shuffle are
+    association-order-dependent (non-deterministic across partitionings
+    and engines); fixed-point sums are exact and reproducible — use this
+    whenever results must be bit-stable across runs/engines.
     """
     val = F.col("__val")
     exprs = []
@@ -86,9 +93,23 @@ def _agg_exprs(aggregations: Sequence, quantiles: Sequence[float]):
         elif name == "values/n_ints":
             exprs.append(F.count(F.when(val == F.round(val), F.lit(1))).alias(name))
         elif name == "values/sum":
-            exprs.append(F.sum(val).alias(name))
+            if sum_decimal_scale is not None:
+                exprs.append(
+                    F.sum(val.cast(f"decimal(30,{sum_decimal_scale})"))
+                    .cast("double")
+                    .alias(name)
+                )
+            else:
+                exprs.append(F.sum(val).alias(name))
         elif name == "values/sum_sqd":
-            exprs.append(F.sum(val * val).alias(name))
+            if sum_decimal_scale is not None:
+                exprs.append(
+                    F.sum((val * val).cast(f"decimal(38,{sum_decimal_scale + 2})"))
+                    .cast("double")
+                    .alias(name)
+                )
+            else:
+                exprs.append(F.sum(val * val).alias(name))
         elif name == "values/min":
             exprs.append(F.min(val).alias(name))
         elif name == "values/max":
@@ -121,6 +142,7 @@ def aggregate_code_metadata(
     code_modifiers: Sequence[str] = (),
     do_summarize_over_all_codes: bool = False,
     quantiles: Sequence[float] = DEFAULT_QUANTILES,
+    sum_decimal_scale: int | None = None,
 ) -> DataFrame:
     """One-shot grouped aggregation; returns the code-metadata delta.
 
@@ -137,7 +159,7 @@ def aggregate_code_metadata(
             F.col(NUMERIC_VALUE),
         ),
     )
-    exprs = _agg_exprs(aggregations, quantiles)
+    exprs = _agg_exprs(aggregations, quantiles, sum_decimal_scale)
     if do_summarize_over_all_codes:
         # rollup(code, mods) emits per-key rows + the null-key grand total
         # — the reference's diagonal concat of an ungrouped select

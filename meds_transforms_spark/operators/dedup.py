@@ -77,18 +77,97 @@ def exact_dedup(
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 5) -> Column:
-    """MinHash signature: array of per-seed minima over shingle hashes.
+def lsh_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band-bucket hash) pairs via one-permutation MinHash — the
+    relational formulation built for scale.
 
-    hash_i(s) = xxhash64(seed_i, s); signature[i] = min over shingles.
-    All built-in: transform over a seed sequence × array_min over
-    transformed shingles. Empty docs get a sentinel signature.
+    Naive MinHash evaluates ``num_hashes`` hash functions per shingle —
+    as nested array lambdas that work runs in Spark's *interpreted*
+    higher-order-function path, num_hashes× per shingle (measured ~100×
+    slower than codegen). Instead:
+
+    1. EXPLODE shingles → one row per (doc, shingle); hash once with
+       ``xxhash64`` in a codegen'd projection.
+    2. One-permutation hashing (Li et al., NIPS 2012): partition hash
+       space by ``h mod num_hashes``; the signature slot i is the min
+       hash among shingles with residue i. ONE pass, one hash per
+       shingle — a plain groupBy(doc, slot).min with map-side partial
+       aggregation.
+    3. Band bucket = hash of the band's (slot, min) pairs, sorted —
+       an exact band-slice match, same S-curve as classic (b, r) LSH.
+       Empty slots (rare for docs with ≫ num_hashes shingles) simply
+       shorten the band key deterministically.
+
+    Everything stays in whole-stage codegen; the only shuffles move
+    (doc_id, slot/band, long) tuples, never text.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    # Shingle in codegen, not via array HOFs: explode the position range,
+    # then substring+hash as plain projections. Duplicate shingles are
+    # harmless (they can't change a per-slot minimum), so no distinct.
+    norm = _normalized(F.col(text_col))
+    exploded = (
+        df.select(F.col(id_col), norm.alias("__txt"))
+        .select(
+            F.col(id_col),
+            F.col("__txt"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__txt") - F.lit(shingle_k - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col("__txt").substr(F.col("__i"), F.lit(shingle_k))).alias("__h"),
+        )
+    )
+    slots = (
+        exploded.groupBy(id_col, F.pmod("__h", F.lit(num_hashes)).alias("__slot"))
+        .agg(F.min("__h").alias("__mh"))
+    )
+    return (
+        slots.withColumn("__band", F.expr(f"__slot div {rows_per_band}"))
+        .groupBy(id_col, "__band")
+        .agg(
+            F.xxhash64(
+                "__band",
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("__slot", "__mh"))),
+                        lambda s: s["__mh"].cast("string"),
+                    ),
+                ),
+            ).alias("__bucket")
+        )
+        .select(id_col, "__bucket")
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 5) -> Column:
+    """Classic per-seed MinHash signature as a column expression.
+
+    NOTE: interpreted-HOF cost is O(num_hashes × shingles) per row —
+    fine for small frames and tests; the scale path is
+    ``lsh_band_buckets`` (relational one-permutation hashing).
     """
     sh = char_shingles(col, k=shingle_k)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.coalesce(
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s))),
+            F.array_min(F.transform(hashed, lambda h: F.xxhash64(seed, h))),
             F.lit(0).cast("long"),
         ),
     )
@@ -104,30 +183,9 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Near-dedup: docs sharing any LSH band bucket collapse to the
-    bucket's min id.
-
-    rows_per_band = num_hashes / bands; two docs land in the same bucket
-    for a band iff that band's signature slice matches exactly — the
-    standard (b, r) S-curve. Explode to (doc, band, bucket_hash), shuffle
-    those small keys only, take min(id) per bucket, then per doc keep the
-    global min over its buckets; survivors = docs equal to their min.
-    """
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    with_sig = df.withColumn("__sig", sig)
-    buckets = with_sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
-                ),
-            )
-        ).alias("__bucket"),
-    )
+    bucket's min id (1-hop representative — the standard at-scale
+    approximation of full connected components)."""
+    buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
     rep = buckets.groupBy("__bucket").agg(F.min(id_col).alias("__rep"))
     doc_rep = (
         buckets.join(rep, "__bucket")
@@ -138,25 +196,38 @@ def minhash_lsh_dedup(
     return df.join(survivors, id_col, "left_semi")
 
 
-def simhash_signature(col: Column, num_bits: int = 64) -> Column:
-    """SimHash: bit b of the signature = sign of Σ_tokens (±1 by token
-    hash bit b). Expressed as nested array HOFs — one pass, no UDF."""
-    toks = F.filter(F.split(_normalized(col), r"\s+"), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(num_bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda s, h: s + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long")),
+SIMHASH_BITS = 63  # ≤63: Spark 4 ANSI mode errors on LongType overflow
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) via the relational formulation.
+
+    bit b of the signature = sign of Σ_tokens (2·bit_b(hash(token)) − 1).
+    Explode tokens, hash once (codegen), then ONE hash-aggregation with
+    63 ``sum(getbit(h, b)·2−1)`` columns — no interpreted lambdas, and
+    map-side partial aggregation means the shuffle carries one 63-column
+    row per doc per map partition. Packing is a plain projection of
+    shifted sign bits.
+    """
+    toks = F.filter(F.split(_normalized(F.col(text_col)), r"\s+"), lambda t: t != "")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col), F.xxhash64("__t").alias("__h")
     )
+    bit_sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(F.getbit("__h", F.lit(b)) * 2 - 1).alias(f"__b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return bit_sums.select(F.col(id_col), packed.alias("simhash"))
 
 
 @register_stage("simhash_dedup")
@@ -166,19 +237,24 @@ def simhash_dedup(
     id_col: str = "doc_id",
     band_bits: int = 16,
 ) -> DataFrame:
-    """Near-dedup on 64-bit simhash: docs sharing any 16-bit band collapse
-    (catches Hamming distance ≤ 3 pairs with the 4-band pigeonhole)."""
-    with_sig = df.withColumn("__sim", simhash_signature(F.col(text_col)))
-    n_bands = 64 // band_bits
+    """Near-dedup on simhash: docs sharing any ~16-bit band collapse
+    (pigeonhole: catches all pairs within Hamming distance n_bands−1)."""
+    sig = simhash_table(df, text_col, id_col)
+    n_bands = (SIMHASH_BITS + band_bits - 1) // band_bits
     mask = (1 << band_bits) - 1
-    buckets = with_sig.select(
+    buckets = sig.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.shiftright(F.col("__sim"), b * band_bits).bitwiseAND(F.lit(mask))
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.shiftrightunsigned("simhash", b * band_bits).bitwiseAND(
+                            F.lit(mask)
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ).alias("__bucket"),
     )
@@ -209,22 +285,7 @@ def ngram_jaccard_pairs(
         F.col(id_col), word_ngrams(F.col(text_col), n).alias("__grams")
     )
     if use_lsh_candidates:
-        rows_per_band = num_hashes // bands
-        sig = minhash_signature(F.col(text_col), num_hashes, shingle_k=5)
-        buckets = df.withColumn("__sig", sig).select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(
-                        b,
-                        F.concat_ws(
-                            ",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-                        ),
-                    ),
-                )
-            ).alias("__bucket"),
-        )
+        buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, bands)
         a = buckets.alias("a")
         b = buckets.alias("b")
         cand = (

@@ -33,3 +33,10 @@ def filter_rows(df: DataFrame, matcher: dict, negate: bool = False) -> DataFrame
 @register_stage("dedup_events")
 def dedup_events(df: DataFrame) -> DataFrame:
     return df.dropDuplicates([SUBJECT_ID, TIME])
+
+
+@register_stage("scale_numeric")
+def scale_numeric(df: DataFrame, factor: float = 1.0, column: str = "numeric_value") -> DataFrame:
+    """Scale a numeric column — the minimal value-revision stage used to
+    exercise match_revise composition (per-slice config overrides)."""
+    return df.withColumn(column, F.col(column) * F.lit(float(factor)))

@@ -47,15 +47,15 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_chars_computed", F.length(c).cast("long"))
         .withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn(
-            "n_bpe_tokens", F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX))).cast("long")
+            "n_bpe_tokens", F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
         )
         .withColumn(
             "punct_ratio",
-            F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"))) / F.greatest(F.length(c), F.lit(1)),
+            F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0))) / F.greatest(F.length(c), F.lit(1)),
         )
         .withColumn(
             "digit_ratio",
-            F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"))) / F.greatest(F.length(c), F.lit(1)),
+            F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), F.lit(0))) / F.greatest(F.length(c), F.lit(1)),
         )
         .withColumn(
             "mean_token_len",
@@ -74,7 +74,7 @@ def token_count(df: DataFrame, text_col: str = "text", method: str = "whitespace
     if method == "whitespace":
         cnt = F.size(_tokens(c))
     elif method == "bpe":
-        cnt = F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX)))
+        cnt = F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
     else:
         raise ValueError(f"Unknown token_count method {method!r}")
     return df.withColumn("n_tokens", cnt.cast("long"))
@@ -92,7 +92,7 @@ def quality_score(
     one codegen'd projection."""
     c = F.col(text_col)
     length_score = F.least(F.length(c) / F.lit(float(min_chars)), F.lit(1.0))
-    punct_ratio = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"))) / F.greatest(
+    punct_ratio = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0))) / F.greatest(
         F.length(c), F.lit(1)
     )
     punct_score = F.when(punct_ratio > max_punct_ratio, F.lit(0.5)).otherwise(F.lit(1.0))

@@ -88,11 +88,16 @@ class Pipeline:
         config: PipelineConfig,
         checkpoint_dir: str | None = None,
         code_modifiers: list[str] | None = None,
+        resume: bool = False,
     ):
         self.spark = spark
         self.config = config
         self.checkpoint_dir = checkpoint_dir
         self.code_modifiers = list(code_modifiers or [])
+        #: Resume semantics (runner.py:330-369 ``.done`` markers → Spark's
+        #: ``_SUCCESS`` marker): when on, a stage whose checkpoint already
+        #: committed is read back instead of recomputed.
+        self.resume = resume
 
     def run(
         self,
@@ -119,6 +124,15 @@ class Pipeline:
                         f"Stage {spec.name!r} needs code metadata but none exists yet"
                     )
                 cfg["code_metadata"] = code_metadata
+
+            done = self._resume_path(i, spec.name)
+            if done is not None:
+                if stage.is_metadata:
+                    code_metadata = self.spark.read.parquet(done)
+                else:
+                    data = self.spark.read.parquet(done)
+                    train = data
+                continue
 
             if stage.is_metadata:
                 # Metadata stages consume train-only data
@@ -156,6 +170,13 @@ class Pipeline:
         path = os.path.join(self.checkpoint_dir, f"{idx:02d}_{name}")
         write_parquet(df, path)
         return self.spark.read.parquet(path)
+
+    def _resume_path(self, idx: int, name: str) -> str | None:
+        """Committed checkpoint path for this stage, if resumable."""
+        if not (self.resume and self.checkpoint_dir):
+            return None
+        path = os.path.join(self.checkpoint_dir, f"{idx:02d}_{name}")
+        return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
 
 
 def canonical_sort(df: DataFrame) -> DataFrame:

@@ -37,9 +37,10 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # Integer division, NOT `/1000` (double division loses precision
+        # at epoch-nanos magnitude). Truncation matches DuckDB's parquet
+        # ns→µs read behavior, keeping oracle comparisons exact.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -47,11 +48,24 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def events_as_meds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_meds(
+    spark: SparkSession, sf_dir: str, value_type: str = "float", with_modifier: bool = False
+) -> DataFrame:
+    """Events mapped to MEDS shape. ``value_type="double"`` keeps the
+    source double — used by oracle-compared queries so both engines do
+    identical float64 arithmetic. ``with_modifier`` adds ``kk`` (the
+    props JSON int, bucketed by 10) as a code-modifier column."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    out = ev.select(
         F.col("user_id").alias("subject_id"),
         F.col("ts").alias("time"),
         F.col("event_type").alias("code"),
-        F.col("value").cast("float").alias("numeric_value"),
+        F.col("value").cast(value_type).alias("numeric_value"),
+        F.col("props"),
     )
+    if with_modifier:
+        out = out.withColumn(
+            "kk",
+            F.expr("cast(regexp_extract(props, '([0-9]+)', 1) as int) div 10"),
+        )
+    return out.drop("props")

@@ -1,0 +1,114 @@
+"""Self-check: run every __spark_entry__ query against its DuckDB oracle
+at sf0.01 and report row-count / schema / value agreement, mimicking the
+driver's CORRECTNESS gate. Usage: python scripts/check_oracles.py [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == np.float32:
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int widths/nullability
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"row count {len(sdf)} vs {len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns {scols} vs {ocols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
+            eq = (sv.values == ov.values) | (pd.isna(sv.values) & pd.isna(ov.values))
+            if not eq.all():
+                bad = (~eq).sum()
+                with np.errstate(invalid="ignore"):
+                    maxdiff = np.nanmax(np.abs(sv.values - ov.values))
+                problems.append(f"col {c}: {bad} mismatches (max abs diff {maxdiff:.3e})")
+        else:
+            eq = (sv.astype(str).values == ov.astype(str).values)
+            if not eq.all():
+                idx = int(np.argmax(~eq))
+                problems.append(
+                    f"col {c}: {(~eq).sum()} mismatches e.g. {sv.iloc[idx]!r} vs {ov.iloc[idx]!r}"
+                )
+    return problems
+
+
+def main():
+    import __spark_entry__ as E
+    from meds_transforms_spark import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("check_oracles")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""Tests for the large-scale training-data extension operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog and runs away slow", "en"),  # near dup
+        (4, "completely different content about spark query engines and data", "en"),
+        (5, "der hund und die katze sind nicht mit der maus", "de"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    from meds_transforms_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert 2 not in ids  # dup of 1, min id wins
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_minhash_collapses_near_dups(docs):
+    from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(docs, num_hashes=16, bands=8)
+    ids = {r.doc_id for r in out.collect()}
+    assert 2 not in ids  # exact dup always collapses
+    assert 4 in ids and 5 in ids  # unrelated docs survive
+
+
+def test_simhash_table_deterministic(docs):
+    from meds_transforms_spark.operators.dedup import simhash_table
+
+    a = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical text → identical signature
+    assert a[1] >= 0  # 63-bit pack stays positive
+    # near-dup docs: small Hamming distance
+    ham = bin(a[1] ^ a[3]).count("1")
+    assert ham <= 16
+
+
+def test_ngram_jaccard_pairs(docs):
+    from meds_transforms_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, use_lsh_candidates=False)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_brute_force_topk_self_match(spark):
+    from meds_transforms_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries, k=1)
+    got = {r.query_id: (r.vec_id, r.cos) for r in out.collect()}
+    assert got[0][0] == 0 and math.isclose(got[0][1], 1.0)
+    assert got[1][0] == 1
+
+
+def test_language_id_und_on_empty(docs):
+    from meds_transforms_spark.operators.text import language_id
+
+    out = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert out[6] == "und"
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_fingerprint_normalization(spark):
+    from meds_transforms_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_decode_image_stub_plumbing(docs):
+    from meds_transforms_spark.operators.multimodal import decode_image
+
+    with_payload = docs.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    out = decode_image(with_payload).collect()
+    assert len(out) == docs.count()
+    by_id = {r.doc_id: r for r in out}
+    # identical payloads → identical fake features
+    assert by_id[1].features == by_id[2].features
+    assert len(by_id[1].features) == 8
+    assert by_id[1].height >= 1
+
+
+def test_matcher_any_and_col_expr(spark):
+    from meds_transforms_spark.functions.col_expr import parse_col_expr
+
+    df = spark.createDataFrame([("A", "x1"), (None, "y22")], "a string, b string")
+    expr, cols = parse_col_expr([{"col": "a"}, {"extract": {"from": "b", "regex": "([0-9]+)"}}])
+    assert cols == {"a", "b"}
+    got = [r[0] for r in df.select(expr).collect()]
+    assert got == ["A", "22"]

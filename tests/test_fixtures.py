@@ -1,0 +1,46 @@
+"""Golden-fixture scenarios in the reference's example format
+(in.yaml / cfg.yaml / out_data.yaml with CSV-string tables)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from meds_transforms_spark.testing import StageExample
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _scenarios():
+    out = []
+    for stage in sorted(os.listdir(FIXTURES)):
+        stage_dir = os.path.join(FIXTURES, stage)
+        for scenario in sorted(os.listdir(stage_dir)):
+            out.append((stage, os.path.join(stage_dir, scenario)))
+    return out
+
+
+@pytest.mark.parametrize("stage,path", _scenarios())
+def test_golden_scenario(spark, stage, path):
+    StageExample.from_dir(stage, path).run(spark)
+
+
+def test_csv_to_meds(spark, tmp_path):
+    from meds_transforms_spark.sources.csv_to_meds import csv_to_meds
+
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "pid,visit_time,hr,temp,eye\n"
+        "1,2020-01-01 10:00:00,80.0,98.6,BROWN\n"
+        "2,2020-02-02 11:00:00,95.5,,BLUE\n"
+    )
+    out = csv_to_meds(
+        spark, str(p), subject_col="pid", time_col="visit_time",
+        value_cols=["hr", "temp"], static_cols=["eye"],
+    )
+    rows = {(r.subject_id, r.code): r for r in out.collect()}
+    assert rows[(1, "hr")].numeric_value == pytest.approx(80.0)
+    assert rows[(1, "eye//BROWN")].time is None
+    assert (2, "temp") not in rows  # null measurement dropped
+    assert rows[(2, "hr")].time is not None
