@@ -1,0 +1,129 @@
+"""Dataset IO, resharding, match-revise, and streaming tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_meds_dataset_roundtrip_and_split_pruning(spark, meds_df, tmp_path):
+    from meds_transforms_spark.operators.reshard_to_split import reshard_to_split
+    from meds_transforms_spark.sources.meds_dataset import MEDSDataset
+
+    ds = MEDSDataset(spark, str(tmp_path / "meds"))
+    shard = reshard_to_split(
+        meds_df, split_fracs={"train": 0.5, "tuning": 0.25, "held_out": 0.25}, seed=7
+    )
+    ds.write_data(shard)
+    ds.write_dataset_metadata({"dataset_name": "t", "dataset_version": "1"})
+
+    back = ds.data()
+    assert back.count() == meds_df.count()
+    assert "split" in back.columns
+    # Partition pruning: the train read must filter on the partition column.
+    train = ds.train_data()
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert train.count() > 0
+    assert "PartitionFilters" in plan
+    assert ds.dataset_metadata()["dataset_name"] == "t"
+
+
+def test_assign_splits_deterministic(spark, meds_df):
+    from meds_transforms_spark.operators.reshard_to_split import assign_splits
+
+    a = {r.subject_id: r.split for r in assign_splits(meds_df, seed=13).collect()}
+    b = {r.subject_id: r.split for r in assign_splits(meds_df, seed=13).collect()}
+    c = {r.subject_id: r.split for r in assign_splits(meds_df, seed=14).collect()}
+    assert a == b
+    assert set(a) == set(c)  # same subjects, possibly different splits
+
+
+def test_match_revise_first_match_consumes(spark, meds_df):
+    from meds_transforms_spark.operators.match_revise import match_revise
+    from meds_transforms_spark.operators.misc import scale_numeric
+
+    out = match_revise(
+        meds_df,
+        scale_numeric,
+        [
+            {"_matcher": {"code": "HR"}, "factor": 10.0},
+            # Overlapping matcher: in first-match mode, HR rows are
+            # already consumed and must NOT be doubled again.
+            {"_matcher": {"code": {"regex": "^(HR|TEMP)$"}}, "factor": 2.0},
+        ],
+    )
+    import math
+
+    got = out.filter(F.col("code").isin("HR", "TEMP")).collect()
+    hr = [
+        r.numeric_value for r in got
+        if r.code == "HR" and r.numeric_value is not None and not math.isnan(r.numeric_value)
+    ]
+    temp = [
+        r.numeric_value for r in got
+        if r.code == "TEMP" and r.numeric_value is not None and not math.isnan(r.numeric_value)
+    ]
+    assert all(v > 500 for v in hr)  # 10x, not 20x
+    assert all(100 < v < 300 for v in temp)  # 2x
+    # Residual untouched, row count preserved.
+    assert out.count() == meds_df.count()
+
+
+def test_match_revise_multi_mode_duplicates(spark, meds_df):
+    from meds_transforms_spark.operators.match_revise import match_revise
+    from meds_transforms_spark.operators.misc import scale_numeric
+
+    out = match_revise(
+        meds_df,
+        scale_numeric,
+        [
+            {"_matcher": {"code": "HR"}, "factor": 1.0},
+            {"_matcher": {"code": {"regex": "^HR$"}}, "factor": 2.0},
+        ],
+        mode="multi_match_and_revise",
+    )
+    n_hr_in = meds_df.filter(F.col("code") == "HR").count()
+    n_hr_out = out.filter(F.col("code") == "HR").count()
+    assert n_hr_out == 2 * n_hr_in  # both matchers see the full input
+
+
+def test_embedding_cosine_dedup(spark):
+    from meds_transforms_spark.operators.dedup import embedding_cosine_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id for r in embedding_cosine_dedup(df, threshold=0.99).collect()}
+    assert 2 not in out
+    assert {1, 3, 4} <= out
+
+
+def test_streaming_windowed_counts(spark, meds_df, tmp_path):
+    from meds_transforms_spark.streaming.events import (
+        read_event_stream,
+        windowed_code_counts,
+    )
+
+    src = str(tmp_path / "stream_src")
+    meds_df.select("subject_id", "time", "code", "numeric_value", "text_value").write.parquet(src)
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    agg = windowed_code_counts(stream, window="1 hour", watermark="2 hours")
+    out = str(tmp_path / "stream_out")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("codes_stream")
+        .outputMode("append")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Append mode emits only watermark-closed windows; the important
+    # assertions are that the stream planned, ran, and committed.
+    assert q.lastProgress is not None
+    spark.sql("SELECT * FROM codes_stream").collect()
