@@ -96,6 +96,21 @@ def q_meds_agg_code_metadata(spark, sf_dir):
     return out
 
 
+def q_meds_agg_rollup(spark, sf_dir):
+    """Grand-total row via rollup — the reference's
+    do_summarize_over_all_codes (diagonal concat) as native grouping sets."""
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+
+    return aggregate_code_metadata(
+        _meds(spark, sf_dir),
+        aggregations=["code/n_subjects", "code/n_occurrences", "values/sum"],
+        do_summarize_over_all_codes=True,
+        sum_decimal_scale=6,
+    )
+
+
 def q_meds_agg_quantiles(spark, sf_dir):
     from meds_transforms_spark.operators.aggregate_code_metadata import (
         aggregate_code_metadata,
@@ -474,6 +489,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
+        "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
         "meds_filter_subjects": q_meds_filter_subjects,
         "meds_filter_measurements": q_meds_filter_measurements,
@@ -529,6 +545,13 @@ def oracle_sql() -> dict[str, str]:
                    min(numeric_value) AS "values/min",
                    max(numeric_value) AS "values/max"
             FROM {meds} meds GROUP BY code
+        """,
+        "meds_agg_rollup": f"""
+            SELECT code,
+                   count(DISTINCT subject_id) AS "code/n_subjects",
+                   count(*) AS "code/n_occurrences",
+                   CAST(sum(CAST(numeric_value AS DECIMAL(30,6))) AS DOUBLE) AS "values/sum"
+            FROM {meds} meds GROUP BY ROLLUP(code)
         """,
         "meds_agg_quantiles": f"""
             WITH ranked AS (

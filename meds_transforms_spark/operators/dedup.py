@@ -64,16 +64,22 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row (min id) per distinct content hash.
 
-    One shuffle on the 64-bit content hash; min-id tiebreak is
-    deterministic. At 100 TB the hash groupBy is the cheapest possible
-    exact dedup — no raw-text shuffle, only (hash, id) pairs move.
+    Single window pass: ONE scan, ONE shuffle on the 64-bit content
+    hash, deterministic min-id tiebreak. (A groupBy + join-back reads
+    the corpus twice and needs either a broadcast of every distinct key
+    — unbounded at 100 TB — or a second full shuffle; the window form
+    does neither.)
     """
+    from pyspark.sql import Window as W
+
     c = F.col(text_col)
     key = F.xxhash64(_normalized(c) if normalize else c)
-    with_key = df.withColumn("__key", key)
-    keep = with_key.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    keeper = F.min(id_col).over(W.partitionBy("__key"))
     return (
-        with_key.join(keep, ["__key", id_col], "left_semi").drop("__key")
+        df.withColumn("__key", key)
+        .withColumn("__keep", keeper == F.col(id_col))
+        .filter(F.col("__keep"))
+        .drop("__key", "__keep")
     )
 
 
@@ -184,14 +190,18 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-dedup: docs sharing any LSH band bucket collapse to the
     bucket's min id (1-hop representative — the standard at-scale
-    approximation of full connected components)."""
+    approximation of full connected components).
+
+    Representative selection is a window min over the bucket (one
+    shuffle of (id, bucket) longs) followed by a per-doc min — no
+    join-back against the bucket table."""
+    from pyspark.sql import Window as W
+
     buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
-    rep = buckets.groupBy("__bucket").agg(F.min(id_col).alias("__rep"))
-    doc_rep = (
-        buckets.join(rep, "__bucket")
-        .groupBy(id_col)
-        .agg(F.min("__rep").alias("__rep"))
+    with_rep = buckets.withColumn(
+        "__rep", F.min(id_col).over(W.partitionBy("__bucket"))
     )
+    doc_rep = with_rep.groupBy(id_col).agg(F.min("__rep").alias("__rep"))
     survivors = doc_rep.filter(F.col(id_col) == F.col("__rep")).select(id_col)
     return df.join(survivors, id_col, "left_semi")
 
@@ -258,8 +268,12 @@ def simhash_dedup(
             )
         ).alias("__bucket"),
     )
-    rep = buckets.groupBy("__bucket").agg(F.min(id_col).alias("__rep"))
-    doc_rep = buckets.join(rep, "__bucket").groupBy(id_col).agg(F.min("__rep").alias("__rep"))
+    from pyspark.sql import Window as W
+
+    with_rep = buckets.withColumn(
+        "__rep", F.min(id_col).over(W.partitionBy("__bucket"))
+    )
+    doc_rep = with_rep.groupBy(id_col).agg(F.min("__rep").alias("__rep"))
     survivors = doc_rep.filter(F.col(id_col) == F.col("__rep")).select(id_col)
     return df.join(survivors, id_col, "left_semi")
 
