@@ -129,6 +129,37 @@ def q_meds_agg_quantiles(spark, sf_dir):
     )
 
 
+def q_meds_quantiles_distributed(spark, sf_dir):
+    """Same nearest-rank quantiles as meds_agg_quantiles, via the
+    array-free distributed formulation (operators/quantiles.py) — the
+    100 TB path; must agree exactly with the same oracle."""
+    from meds_transforms_spark.operators.quantiles import grouped_exact_quantiles
+
+    out = grouped_exact_quantiles(_meds(spark, sf_dir), quantiles=[0.25, 0.5, 0.75])
+    return out.select(
+        "code",
+        F.col("`q0.25`").alias("q25"),
+        F.col("`q0.5`").alias("q50"),
+        F.col("`q0.75`").alias("q75"),
+    )
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    from meds_transforms_spark.operators.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("embedding")
+    )
+    out = ivf_topk(
+        emb, queries, k=10, n_cells=16, n_probe=4,
+        corpus_vec="emb_d", query_vec="embedding",
+    )
+    return out.select("query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank")
+
+
 def q_meds_filter_subjects(spark, sf_dir):
     from meds_transforms_spark.operators.filter_subjects import filter_subjects
 
@@ -491,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
+        "meds_quantiles_distributed": q_meds_quantiles_distributed,
         "meds_filter_subjects": q_meds_filter_subjects,
         "meds_filter_measurements": q_meds_filter_measurements,
         "meds_occlude_outliers": q_meds_occlude_outliers,
@@ -513,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_lang_id": q_docs_lang_id,
         "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_label_stats": q_emb_label_stats,
         "multimodal_decode": q_multimodal_decode,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -565,6 +598,55 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = CAST(round(0.5 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q50,
                    max(CASE WHEN rn = CAST(round(0.75 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q75
             FROM ranked GROUP BY code
+        """,
+        "meds_quantiles_distributed": f"""
+            WITH ranked AS (
+              SELECT code, numeric_value,
+                     row_number() OVER (PARTITION BY code ORDER BY numeric_value) AS rn,
+                     count(numeric_value) OVER (PARTITION BY code) AS n
+              FROM {meds} meds WHERE numeric_value IS NOT NULL
+            )
+            SELECT code,
+                   max(CASE WHEN rn = CAST(round(0.25 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q25,
+                   max(CASE WHEN rn = CAST(round(0.5 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q50,
+                   max(CASE WHEN rn = CAST(round(0.75 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q75
+            FROM ranked GROUP BY code
+        """,
+        "emb_ivf_topk": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            c_assign AS (
+              SELECT vec_id, emb, cell FROM (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cell
+                       ) AS rn
+                FROM embeddings e, cent c
+              ) WHERE rn = 1
+            ),
+            q_probe AS (
+              SELECT query_id, qemb, cell FROM (
+                SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qemb, c.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cell
+                       ) AS rn
+                FROM embeddings e, cent c WHERE e.vec_id < 5
+              ) WHERE rn <= 4
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cos_r, rank FROM (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.emb, q.qemb) AS cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(c.emb, q.qemb) DESC, c.vec_id
+                     ) AS INT) AS rank
+              FROM c_assign c JOIN q_probe q USING (cell)
+            ) WHERE rank <= 10
         """,
         "meds_filter_subjects": f"""
             SELECT subject_id, "time", code, numeric_value FROM (

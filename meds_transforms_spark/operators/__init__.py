@@ -21,11 +21,13 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     filter_measurements,
     filter_subjects,
     fit_vocabulary_indices,
+    ivf,
     match_revise,
     misc,
     multimodal,
     normalization,
     occlude_outliers,
+    quantiles,
     reorder_measurements,
     reshard_to_split,
     similarity,

@@ -1,0 +1,95 @@
+"""IVF-style approximate nearest-neighbor search.
+
+The scale path for similarity when both sides are large: partition the
+corpus by coarse cells (inverted file), probe only the query's nearest
+cells.
+
+Centroid selection here is deterministic-by-construction: the first
+``n_cells`` corpus vectors by id serve as seeds. On shuffled/synthetic
+corpora this is equivalent to uniform sampling, needs no fitted model
+state, and keeps every run (and the DuckDB oracle) bit-reproducible. A
+k-means refinement can be layered on later without changing the query
+path.
+
+Plan shape: centroids are broadcast (tiny); corpus cell assignment is a
+map-side projection; the probe is an equi-join on cell id — a plain
+shuffle join AQE can skew-split — followed by per-query top-k ranking.
+The corpus is never cross-joined against the full query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.operators.similarity import cosine_similarity
+
+
+def _nearest_cells(
+    vec_df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n_probe: int
+):
+    """(row, cell) pairs for the n_probe highest-cosine centroids."""
+    scored = vec_df.join(F.broadcast(centroids)).withColumn(
+        "__cell_cos", cosine_similarity(F.col(vec_col), F.col("__cvec"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("__cell_cos").desc(), F.col("__cell"))
+    return (
+        scored.withColumn("__cell_rank", F.row_number().over(w))
+        .filter(F.col("__cell_rank") <= n_probe)
+        .drop("__cvec", "__cell_cos", "__cell_rank")
+    )
+
+
+@register_stage("ivf_topk")
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: (query_id, vec_id, cos, rank) over probed cells."""
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec"))
+
+    centroids = (
+        c.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("__cell"),
+            F.col("__cvec0").alias("__cvec"),
+        )
+    )
+
+    # Corpus side: single nearest cell (standard IVF assignment).
+    c_cells = _nearest_cells(
+        c.withColumnRenamed("__cvec0", "__vec"),
+        centroids,
+        "vec_id",
+        "__vec",
+        n_probe=1,
+    ).select("vec_id", "__vec", "__cell")
+
+    # Query side: probe the n_probe nearest cells.
+    q_cells = _nearest_cells(
+        q.withColumnRenamed("__qvec", "__vec"),
+        centroids,
+        "query_id",
+        "__vec",
+        n_probe=n_probe,
+    ).select("query_id", F.col("__vec").alias("__qv"), "__cell")
+
+    scored = c_cells.join(q_cells, "__cell").withColumn(
+        "cos", cosine_similarity(F.col("__vec"), F.col("__qv")).cast("double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -1,0 +1,61 @@
+"""Distributed quantiles ≡ array quantiles; IVF recall sanity."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_distributed_quantiles_match_array_impl(spark):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_transforms_spark.operators.quantiles import grouped_exact_quantiles
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rng = random.Random(7)
+    rows = [
+        (i % 5, None, f"C{i % 3}", rng.uniform(0, 100), None) for i in range(500)
+    ] + [(0, None, "C0", float("nan"), None), (0, None, "C1", None, None)]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    arr = aggregate_code_metadata(
+        df, aggregations=[{"name": "values/quantiles", "quantiles": qs}]
+    )
+    arr_vals = {
+        r["code"]: [r["values/quantiles"][f"values/quantile/{q}"] for q in qs]
+        for r in arr.collect()
+    }
+    dist = grouped_exact_quantiles(df, quantiles=qs)
+    dist_vals = {r["code"]: [r[f"q{q}"] for q in qs] for r in dist.collect()}
+    assert arr_vals == dist_vals
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from meds_transforms_spark.operators.ivf import ivf_topk
+    from meds_transforms_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # Self-match must always be found (the query vector is in the corpus
+    # and shares its own cell); overall recall should be non-trivial.
+    recalls = []
+    for qid, want in exact_sets.items():
+        got = approx_sets.get(qid, set())
+        assert qid in got
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.4
