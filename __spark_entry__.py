@@ -297,6 +297,40 @@ def q_meds_code_priority(spark, sf_dir):
     return meds.select("code").distinct().withColumn("priority", prio)
 
 
+def q_meds_pipeline_e2e(spark, sf_dir):
+    """The reference's canonical pipeline shape (tests/test_pipeline.py:
+    filter → fit stats → occlude → re-fit → vocab → normalize) composed
+    end-to-end from this engine's operators, oracle-verified as one
+    query. Data is the interface between stages in the reference; here
+    the whole chain stays one lazy Catalyst plan."""
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_transforms_spark.operators.filter_subjects import filter_subjects
+    from meds_transforms_spark.operators.fit_vocabulary_indices import (
+        fit_vocabulary_indices,
+    )
+    from meds_transforms_spark.operators.normalization import normalization
+    from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
+
+    stats_aggs = ["values/n_occurrences", "values/sum", "values/sum_sqd"]
+    # Cache the stage boundaries that feed two consumers (stats fit +
+    # downstream transform) — the in-memory analog of the reference's
+    # per-stage parquet materialization, minus the disk round-trip.
+    d1 = filter_subjects(_meds(spark, sf_dir), min_events_per_subject=60).cache()
+    meta1 = aggregate_code_metadata(d1, aggregations=stats_aggs, sum_decimal_scale=6)
+    d2 = (
+        occlude_outliers(d1, meta1, stddev_cutoff=2.0)
+        .drop("numeric_value/is_inlier")
+        .cache()
+    )
+    meta2 = fit_vocabulary_indices(
+        aggregate_code_metadata(d2, aggregations=stats_aggs, sum_decimal_scale=6),
+        validate=False,
+    )
+    return normalization(d2, meta2).select("subject_id", "time", "code", "numeric_value")
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     qty = F.col("l_quantity").cast("decimal(12,2)")
@@ -436,6 +470,22 @@ def q_docs_lang_id(spark, sf_dir):
     return language_id(docs).select("doc_id", "lang_pred")
 
 
+def q_docs_top_tokens(spark, sf_dir):
+    from meds_transforms_spark.operators.text import top_k_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_k_tokens(docs, k=50)
+
+
+def q_docs_jaccard_pairs(spark, sf_dir):
+    from meds_transforms_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, use_lsh_candidates=False
+    )
+
+
 def q_emb_topk_cosine(spark, sf_dir):
     from meds_transforms_spark.operators.similarity import brute_force_topk
 
@@ -535,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meds_match_revise": q_meds_match_revise,
         "meds_extract_values": q_meds_extract_values,
         "meds_code_priority": q_meds_code_priority,
+        "meds_pipeline_e2e": q_meds_pipeline_e2e,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -544,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_lang_id": q_docs_lang_id,
+        "docs_top_tokens": q_docs_top_tokens,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_label_stats": q_emb_label_stats,
@@ -774,6 +827,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 2 END AS priority
             FROM (SELECT DISTINCT code FROM {meds} meds)
         """,
+        "meds_pipeline_e2e": f"""
+            WITH d1 AS (
+              SELECT subject_id, "time", code, numeric_value FROM (
+                SELECT *, count(DISTINCT "time") OVER (PARTITION BY subject_id) AS n_ev
+                FROM {meds} meds
+              ) WHERE n_ev >= 60
+            ),
+            s1 AS (
+              SELECT code, count(numeric_value) AS n,
+                     CAST(sum(CAST(numeric_value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+                     CAST(sum(CAST(numeric_value * numeric_value AS DECIMAL(38,8))) AS DOUBLE) AS s2
+              FROM d1 GROUP BY code
+            ),
+            st1 AS (
+              SELECT code, s / n AS mean,
+                     sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS std
+              FROM s1
+            ),
+            d2 AS (
+              SELECT subject_id, "time", d1.code,
+                     CASE WHEN mean IS NULL THEN numeric_value
+                          WHEN abs(numeric_value - mean) <= 2.0 * std THEN numeric_value END AS numeric_value
+              FROM d1 LEFT JOIN st1 ON d1.code = st1.code
+            ),
+            s2t AS (
+              SELECT code, count(numeric_value) AS n,
+                     CAST(sum(CAST(numeric_value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+                     CAST(sum(CAST(numeric_value * numeric_value AS DECIMAL(38,8))) AS DOUBLE) AS s2
+              FROM d2 GROUP BY code
+            ),
+            st2 AS (
+              SELECT code, row_number() OVER (ORDER BY code) AS vocab,
+                     s / n AS mean,
+                     sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS std
+              FROM s2t
+            )
+            SELECT subject_id, "time", CAST(vocab AS BIGINT) AS code,
+                   CASE WHEN numeric_value IS NOT NULL AND std IS NOT NULL AND std <> 0
+                        THEN CAST((numeric_value - mean) / std AS REAL) END AS numeric_value
+            FROM d2 JOIN st2 ON d2.code = st2.code
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -884,6 +978,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de_h > 0 THEN 'de'
                         ELSE 'und' END AS lang_pred
             FROM h
+        """,
+        "docs_top_tokens": r"""
+            SELECT tok, count(*) AS n FROM documents,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS u(tok)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+        """,
+        "docs_jaccard_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                     )) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'
+                       ), x -> x <> '') AS toks
+                FROM documents
+              )
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_distinct(list_intersect(a.grams, b.grams)))
+                     / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_intersect(a.grams, b.grams)))
+                    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
         """,
         "emb_topk_cosine": """
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "meds_filter_subjects",
     "meds_normalization",
     "meds_timeline_deltas",
+    "meds_pipeline_e2e",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",

@@ -47,9 +47,15 @@ def validate_code_metadata(code_metadata: DataFrame, keys: Sequence[str]) -> Non
 def fit_vocabulary_indices(
     code_metadata: DataFrame,
     code_modifiers: Sequence[str] = (),
+    validate: bool = True,
 ) -> DataFrame:
+    """``validate=False`` skips the uniqueness check — it is an eager
+    action that forces an extra computation of the metadata lineage;
+    callers that just aggregated by exactly these keys already have
+    uniqueness by construction."""
     keys = [CODE, *code_modifiers]
-    validate_code_metadata(code_metadata, keys)
+    if validate:
+        validate_code_metadata(code_metadata, keys)
     # nulls first matches the reference's nulls_last=False argsort.
     w = W.orderBy(*[F.col(k).asc_nulls_first() for k in keys])
     return code_metadata.withColumn("code/vocab_index", F.row_number().over(w))

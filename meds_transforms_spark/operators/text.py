@@ -129,6 +129,24 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", F.coalesce(best["lang"], F.lit("und")))
 
 
+@register_stage("top_k_tokens")
+def top_k_tokens(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-level token vocabulary: top-k tokens by frequency.
+
+    Explode + two-phase hash count — the vocabulary-building primitive.
+    At 100 TB the shuffle carries (token, partial_count) pairs only;
+    ties broken lexicographically for determinism.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(int(k))
+    )
+
+
 @register_stage("fingerprint")
 def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """64-bit content fingerprint: xxhash64 over whitespace/case-normalized
