@@ -1,0 +1,82 @@
+"""CLI: run a YAML pipeline over a MEDS dataset directory.
+
+The Spark equivalent of the reference's ``MEDS_transform-pipeline``
+entry point (runner.py:291-370) — minus subprocesses, worker counts,
+lockfiles, and polling: one driver program, Spark owns parallelism.
+
+    python -m meds_transforms_spark run pipeline.yaml \
+        --input /data/meds_in --output /data/meds_out \
+        [--checkpoint-dir /data/ckpt] [--resume] [--code-modifiers m1,m2]
+
+    python -m meds_transforms_spark list-stages
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_run(args) -> int:
+    from meds_transforms_spark import get_spark
+    from meds_transforms_spark.plans.pipeline import Pipeline, PipelineConfig, canonical_sort
+    from meds_transforms_spark.sources.meds_dataset import MEDSDataset
+
+    spark = get_spark("meds_transforms_spark.run")
+    cfg = PipelineConfig.from_yaml(args.pipeline)
+    src = MEDSDataset(spark, args.input)
+    dst = MEDSDataset(spark, args.output)
+
+    data = src.data()
+    train = None
+    try:
+        train = src.train_data()
+    except FileNotFoundError:
+        pass
+    pipe = Pipeline(
+        spark,
+        cfg,
+        checkpoint_dir=args.checkpoint_dir,
+        code_modifiers=args.code_modifiers.split(",") if args.code_modifiers else None,
+        resume=args.resume,
+    )
+    out_data, out_meta = pipe.run(data, code_metadata=src.code_metadata(), train_data=train)
+    dst.write_data(canonical_sort(out_data))
+    if out_meta is not None:
+        dst.write_code_metadata(out_meta)
+    dst.write_dataset_metadata(src.dataset_metadata())
+    print(f"wrote {args.output}")
+    return 0
+
+
+def _cmd_list_stages(_args) -> int:
+    from meds_transforms_spark.operators.base import registered_stages
+
+    for name, stage in sorted(registered_stages().items()):
+        kind = "metadata" if stage.is_metadata else stage.kind
+        print(f"{name:28s} {kind:9s} {stage.fn.__module__}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="meds_transforms_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run a YAML pipeline over a MEDS dataset")
+    run.add_argument("pipeline", help="pipeline YAML path")
+    run.add_argument("--input", required=True, help="MEDS dataset root (read)")
+    run.add_argument("--output", required=True, help="MEDS dataset root (write)")
+    run.add_argument("--checkpoint-dir", default=None)
+    run.add_argument("--resume", action="store_true")
+    run.add_argument("--code-modifiers", default=None, help="comma-separated")
+    run.set_defaults(fn=_cmd_run)
+
+    ls = sub.add_parser("list-stages", help="list registered stages")
+    ls.set_defaults(fn=_cmd_list_stages)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,11 +68,38 @@ def register_stage(
     return deco
 
 
+_ENTRY_POINTS_LOADED = False
+
+
+def _load_entry_point_stages() -> None:
+    """Third-party stage discovery via package entry points — the analog
+    of the reference's ``MEDS_transforms.stages`` group
+    (stages/discovery.py:14-72, pyproject.toml:53-64). External packages
+    expose stages with::
+
+        [project.entry-points."meds_transforms_spark.stages"]
+        my_stage = "my_pkg.module:my_stage_fn"
+
+    Duplicate names raise at registration (register_stage)."""
+    global _ENTRY_POINTS_LOADED
+    if _ENTRY_POINTS_LOADED:
+        return
+    _ENTRY_POINTS_LOADED = True
+    from importlib.metadata import entry_points
+
+    for ep in entry_points(group="meds_transforms_spark.stages"):
+        fn = ep.load()
+        if getattr(fn, "stage_name", None) not in _REGISTRY:
+            register_stage(ep.name)(fn)
+
+
 def get_stage(name: str) -> Stage:
     # Import the built-in operator modules lazily so registration happens
     # on first lookup even if the caller imported only `base`.
     if name not in _REGISTRY:
         import meds_transforms_spark.operators  # noqa: F401
+
+        _load_entry_point_stages()
     try:
         return _REGISTRY[name]
     except KeyError:
@@ -84,6 +111,7 @@ def get_stage(name: str) -> Stage:
 def registered_stages() -> dict[str, Stage]:
     import meds_transforms_spark.operators  # noqa: F401
 
+    _load_entry_point_stages()
     return dict(_REGISTRY)
 
 
