@@ -1,0 +1,106 @@
+"""Unit tests for stages not yet covered individually."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_bin_numeric_values_custom_bins(spark):
+    from meds_transforms_spark.operators.bin_numeric_values import bin_numeric_values
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rows = [
+        (1, None, "HR", 50.0, None),
+        (1, None, "HR", 100.0, None),   # boundary: right-closed → >= 100 bin
+        (1, None, "HR", 150.0, None),
+        (1, None, "TEMP", 98.0, None),  # no bins configured → untouched
+        (1, None, "HR", None, None),    # null value → untouched
+    ]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    out = bin_numeric_values(
+        df,
+        custom_bins={"HR": [100.0]},
+        code_with_bin_name="{code}//bin_[{left},{right})",
+        drop_numeric_value=True,
+    )
+    codes = sorted(r.code for r in out.collect())
+    assert codes.count("HR//bin_[-inf,100.0)") == 1   # 50
+    assert codes.count("HR//bin_[100.0,inf)") == 2    # 100 (boundary), 150
+    assert "TEMP" in codes
+    assert "HR" in codes  # the null-value row keeps its raw code
+    binned_vals = {r.code: r.numeric_value for r in out.collect() if "bin_" in r.code}
+    assert all(v is None for v in binned_vals.values())
+
+
+def test_reorder_measurements_priority_order(spark):
+    from meds_transforms_spark.operators.reorder_measurements import (
+        reorder_measurements,
+    )
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, "LAB//X", 1.0, None),
+        (1, t, "ADMISSION//ER", None, None),
+        (1, t, "VITALS//HR", 88.0, None),
+    ]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    out = reorder_measurements(
+        df, ordered_code_patterns=["^ADMISSION//.*", "^VITALS//.*"]
+    )
+    codes = [r.code for r in out.collect()]
+    assert codes == ["ADMISSION//ER", "VITALS//HR", "LAB//X"]
+
+
+def test_add_time_derived_composite(spark, meds_df):
+    from meds_transforms_spark.operators.add_time_derived import (
+        add_time_derived_measurements,
+    )
+
+    out = add_time_derived_measurements(
+        meds_df,
+        age={"DOB_code": "MEDS_BIRTH", "age_code": "AGE", "age_unit": "years"},
+        time_of_day={"endpoints": [6, 12, 18, 24]},
+        timeline_tokens={"time_unit": "d"},
+    )
+    codes = {r.code for r in out.collect()}
+    assert "AGE" in codes
+    assert any(c.startswith("TIME_OF_DAY//") for c in codes)
+    assert {"TIMELINE//START", "TIMELINE//END", "TIMELINE//DELTA"} <= codes
+    assert "HR" in codes  # originals retained
+    # AGE sanity: subject 1 admitted 2010, born 1980 → ~29.4 years
+    ages = [
+        r.numeric_value
+        for r in out.collect()
+        if r.code == "AGE" and r.subject_id == 1
+    ]
+    assert ages and all(29 < a < 30 for a in ages)
+
+
+def test_drop_regex_and_filter_rows(spark, meds_df):
+    from meds_transforms_spark.operators.misc import drop_regex, filter_rows
+
+    out = drop_regex(meds_df, regex="^EYE_COLOR//.*")
+    assert not any(
+        r.code.startswith("EYE_COLOR//") for r in out.select("code").collect()
+    )
+    out2 = filter_rows(meds_df, matcher={"time": {"present": False}})
+    assert out2.count() == meds_df.filter(F.col("time").isNull()).count()
+
+
+def test_salted_distinct_count_exact(spark, meds_df):
+    from meds_transforms_spark.functions.partitioning import salted_distinct_count
+
+    got = {
+        r.code: r.n_distinct
+        for r in salted_distinct_count(meds_df, ["code"], "subject_id").collect()
+    }
+    want = {
+        r.code: r.n
+        for r in meds_df.groupBy("code")
+        .agg(F.countDistinct("subject_id").alias("n"))
+        .collect()
+    }
+    assert got == want
