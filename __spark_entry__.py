@@ -408,6 +408,37 @@ def q_tpch_q5(spark, sf_dir):
     return out
 
 
+def q_tpch_parts_by_brand(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_supplier_balance(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from meds_transforms_spark.sources.testdata import load_table
 
@@ -589,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_parts_by_brand": q_tpch_parts_by_brand,
+        "supplier_balance": q_supplier_balance,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
@@ -911,6 +944,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_parts_by_brand": """
+            SELECT p_brand, p_type,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_type
+        """,
+        "supplier_balance": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
         """,
         "events_hourly": """

@@ -41,6 +41,37 @@ def _nearest_cells(
     )
 
 
+def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
+    return (
+        c.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("__cell"),
+            F.col("__cvec0").alias("__cvec"),
+        )
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """One-time index build: (vec_id, __vec, __cell) corpus assignment.
+
+    At 100 TB this is the expensive pass (n_cells cosines per vector) —
+    build once, ``write.partitionBy("__cell").parquet(...)`` and query
+    against the persisted index; cell-partitioned storage means a probe
+    touches only its cells' files (partition pruning)."""
+    centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__vec"))
+    return _nearest_cells(c, centroids, "vec_id", "__vec", n_probe=1).select(
+        "vec_id", "__vec", "__cell"
+    )
+
+
 @register_stage("ivf_topk")
 def ivf_topk(
     corpus: DataFrame,
@@ -52,28 +83,19 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: (query_id, vec_id, cos, rank) over probed cells."""
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
+    """Approximate top-k: (query_id, vec_id, cos, rank) over probed cells.
+
+    Pass ``index`` (from ``build_ivf_index``, possibly read back from
+    parquet) to skip the corpus assignment pass."""
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec"))
-
-    centroids = (
-        c.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(W.orderBy("vec_id")).alias("__cell"),
-            F.col("__cvec0").alias("__cvec"),
-        )
+    centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
+    c_cells = (
+        index
+        if index is not None
+        else build_ivf_index(corpus, n_cells, corpus_id, corpus_vec)
     )
-
-    # Corpus side: single nearest cell (standard IVF assignment).
-    c_cells = _nearest_cells(
-        c.withColumnRenamed("__cvec0", "__vec"),
-        centroids,
-        "vec_id",
-        "__vec",
-        n_probe=1,
-    ).select("vec_id", "__vec", "__cell")
 
     # Query side: probe the n_probe nearest cells.
     q_cells = _nearest_cells(
