@@ -58,6 +58,7 @@ def _stats_meta(spark, sf_dir):
             "values/sum_sqd",
         ],
         sum_decimal_scale=6,
+        strategy="two_level",
     )
 
 
@@ -92,6 +93,7 @@ def q_meds_agg_code_metadata(spark, sf_dir):
             "values/max",
         ],
         sum_decimal_scale=6,
+        strategy="two_level",  # avoids the distinct-count expand (SCALING.md)
     )
     return out
 
