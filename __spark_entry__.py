@@ -557,7 +557,7 @@ def q_multimodal_decode(spark, sf_dir):
     )
     out = decode_image(docs, binary_col="payload", id_col="doc_id")
     return out.select(
-        "doc_id", "height", "width", "mode",
+        "doc_id", "media_type", "width", "height",
         F.element_at("features", 1).alias("f0"),
         F.element_at("features", 2).alias("f1"),
     )
@@ -1076,9 +1076,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": f"""
             SELECT doc_id,
-                   CAST(floor({byte_at(0)} / 255.0 * 1000) AS INT) + 1 AS height,
-                   CAST(floor({byte_at(1)} / 255.0 * 1000) AS INT) + 1 AS width,
-                   'RGB' AS mode,
+                   'application/octet-stream' AS media_type,
+                   CAST(NULL AS INT) AS width,
+                   CAST(NULL AS INT) AS height,
                    {byte_at(0)} / 255.0 AS f0,
                    {byte_at(1)} / 255.0 AS f1
             FROM documents

@@ -1,100 +1,173 @@
-"""Multimodal column plumbing — image/audio/video as opaque binary.
+"""Multimodal column operators — image/audio/video as opaque binary.
 
 Media payloads are opaque ``binary`` columns with typed metadata
-structs; the Spark-side contract (schema, partitioning, Pandas-UDF batch
-shape) is real and tested, while the actual codec work is stubbed behind
-deterministic fakes — the image/audio libraries are not available in
-this environment, and the decode kernel is the one genuinely
-environment-dependent piece.
+structs. Two tiers:
 
-Operators:
-- ``attach_media_meta``  parse a metadata struct off binary headers
-- ``decode_image``       mapInPandas decode → (height, width, mode) +
-                         feature vector (STUB: deterministic fake from
-                         the payload hash; swap the kernel for PIL/ffmpeg
-                         in production, the plumbing is identical)
-- ``frame_sample``       video → sampled frame rows (explode) (STUB kernel)
+- **Real, dependency-free**: container *header* parsing (media type
+  sniffing, PNG/JPEG dimensions, WAV sample rate/channels/duration) is
+  pure byte-layout arithmetic — implemented here for real, JVM-side
+  where the layout is fixed-offset (PNG, WAV) and in an Arrow-batched
+  ``mapInPandas`` where it needs scanning (JPEG SOF markers).
+- **Stubbed kernel**: pixel/sample decode and feature extraction need
+  codec libraries not present in this environment; the kernel is a
+  clearly-marked deterministic fake behind the same batch signature —
+  swap in PIL/ffmpeg without touching the Spark plumbing.
 
-Scale notes: binary payloads dominate row size → these operators use
-``mapInPandas`` (Arrow batches, streamed per-partition, no pivot through
-the driver), repartition by content hash for balance, and never collect.
+Scale notes: payloads dominate row size → never collect, never shuffle
+payload bytes for metadata-only questions (header parsing is a map-side
+projection); full decode streams Arrow batches per partition.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from meds_transforms_spark.operators.base import register_stage
 
-MEDIA_META_SCHEMA = T.StructType(
-    [
-        T.StructField("media_type", T.StringType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("content_hash", T.LongType()),
-    ]
-)
 
-
-@register_stage("attach_media_meta")
-def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
-    """Typed metadata struct from the raw payload — pure built-ins."""
-    b = F.col(binary_col)
-    magic = F.hex(F.substring(b, 1, 4))
-    media_type = (
-        F.when(magic.startswith("FFD8"), "image/jpeg")
-        .when(magic == "89504E47", "image/png")
-        .when(magic == "52494646", "audio/wav")
+def sniff_media_type(b: Column) -> Column:
+    """Magic-byte media type — real detection, JVM-side."""
+    magic8 = F.hex(F.substring(b, 1, 8))
+    magic4 = F.hex(F.substring(b, 1, 4))
+    return (
+        F.when(magic8 == "89504E470D0A1A0A", "image/png")
+        .when(magic4.startswith("FFD8FF"), "image/jpeg")
+        .when(
+            (magic4 == "52494646") & (F.hex(F.substring(b, 9, 4)) == "57415645"),
+            "audio/wav",
+        )
+        .when(F.hex(F.substring(b, 5, 4)) == "66747970", "video/mp4")
         .otherwise("application/octet-stream")
     )
-    return df.withColumn(
-        "media_meta",
+
+
+def png_dimensions(b: Column) -> tuple[Column, Column]:
+    """PNG width/height — fixed offsets in the IHDR chunk (bytes 17-24,
+    big-endian u32). Pure built-ins: substring + hex + base conversion."""
+    width = F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("int")
+    height = F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("int")
+    is_png = F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A"
+    return F.when(is_png, width), F.when(is_png, height)
+
+
+def wav_info(b: Column) -> Column:
+    """WAV fmt header (canonical layout): channels @23(2 LE),
+    sample_rate @25(4 LE), byte_rate @29(4 LE) → duration estimate."""
+    is_wav = (F.hex(F.substring(b, 1, 4)) == "52494646") & (
+        F.hex(F.substring(b, 9, 4)) == "57415645"
+    )
+
+    def le_u(start: int, nbytes: int) -> Column:
+        # little-endian: reverse the bytes before base conversion
+        parts = [F.hex(F.substring(b, start + i, 1)) for i in reversed(range(nbytes))]
+        return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+    channels = le_u(23, 2).cast("int")
+    sample_rate = le_u(25, 4).cast("int")
+    byte_rate = le_u(29, 4)
+    data_bytes = (F.length(b) - F.lit(44)).cast("long")
+    duration = F.when(byte_rate > 0, data_bytes / byte_rate)
+    return F.when(
+        is_wav,
         F.struct(
-            media_type.alias("media_type"),
-            F.length(b).cast("long").alias("n_bytes"),
-            F.xxhash64(b).alias("content_hash"),
+            channels.alias("channels"),
+            sample_rate.alias("sample_rate"),
+            duration.cast("double").alias("duration_sec"),
         ),
     )
 
 
-def _fake_decode(payload: bytes, n_features: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder: derive pseudo-features
-    from the payload bytes. Replace with PIL/torchvision/ffmpeg in
-    production — signature and batch shape stay identical."""
+@register_stage("attach_media_meta")
+def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Typed metadata struct — REAL header parsing, zero Python, map-side."""
+    b = F.col(binary_col)
+    w, h = png_dimensions(b)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            sniff_media_type(b).alias("media_type"),
+            F.length(b).cast("long").alias("n_bytes"),
+            F.xxhash64(b).alias("content_hash"),
+            w.alias("png_width"),
+            h.alias("png_height"),
+            wav_info(b).alias("wav"),
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+# Python-side parsing (needs scanning) + stubbed decode kernels
+# ----------------------------------------------------------------------
+
+def parse_image_dims(payload: bytes) -> tuple[int | None, int | None]:
+    """REAL dimension parsing for PNG and JPEG from raw bytes."""
+    if payload is None or len(payload) < 12:
+        return None, None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:3] == b"\xff\xd8\xff":
+        # scan JPEG segments for a SOF marker (C0-CF except C4/C8/CC)
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None, None
+    return None, None
+
+
+def _fake_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """STUB decode kernel: deterministic pseudo-features from a payload
+    hash. Replace with a real model/codec — batch shape is identical."""
     import hashlib
 
     h = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in h[:n_features]]
 
 
-IMAGE_DECODE_SCHEMA = "doc_id long, height int, width int, mode string, features array<double>"
+IMAGE_DECODE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, features array<double>"
+)
 
 
 @register_stage("decode_image")
 def decode_image(df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched decode: binary → dimensions + feature vector.
-
-    STUB KERNEL: dimensions/mode are derived deterministically from the
-    payload hash (real header parsing / pixel decode requires PIL, not
-    present here). The mapInPandas plumbing — batch iteration, schema,
-    memory profile — is the production shape.
-    """
+    """Arrow-batched image decode: REAL type sniff + dimension parse,
+    STUB feature extraction (see _fake_features)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[binary_col]
-            feats = [_fake_decode(p) for p in payloads]
+            payloads = list(pdf[binary_col])
+            dims = [parse_image_dims(p) for p in payloads]
+            types = []
+            for p in payloads:
+                if p is not None and p[:8] == b"\x89PNG\r\n\x1a\n":
+                    types.append("image/png")
+                elif p is not None and p[:3] == b"\xff\xd8\xff":
+                    types.append("image/jpeg")
+                else:
+                    types.append("application/octet-stream")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "height": [int(f[0] * 1000) + 1 for f in feats],
-                    "width": [int(f[1] * 1000) + 1 for f in feats],
-                    "mode": ["RGB"] * len(pdf),
-                    "features": feats,
+                    "media_type": types,
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "features": [_fake_features(p) for p in payloads],
                 }
             )
 
@@ -109,9 +182,9 @@ def frame_sample(
     every_n: int = 10,
     max_frames: int = 4,
 ) -> DataFrame:
-    """Video → one row per sampled frame index (STUB: frame count derived
-    from payload size; a real kernel probes the container). Explode stays
-    JVM-side; only the per-frame decode would enter Python."""
+    """Video → one row per sampled frame index (STUB frame count: derived
+    from payload size; a real kernel probes the container). The explode
+    stays JVM-side; only per-frame decode would enter Python."""
     n_frames = F.least(
         F.floor(F.length(F.col(binary_col)) / F.lit(max(every_n, 1))).cast("int") + 1,
         F.lit(int(max_frames)),

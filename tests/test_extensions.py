@@ -94,17 +94,77 @@ def test_fingerprint_normalization(spark):
     assert out[1] != out[3]
 
 
-def test_decode_image_stub_plumbing(docs):
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct as _s
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", 13)
+        + b"IHDR"
+        + _s.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00" * 8
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct as _s
+
+    # SOI + APP0 stub + SOF0 segment carrying dimensions
+    app0 = b"\xff\xe0" + _s.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", h, w) + b"\x03"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav_bytes(sample_rate: int, channels: int, n_data: int) -> bytes:
+    import struct as _s
+
+    byte_rate = sample_rate * channels * 2
+    return (
+        b"RIFF" + _s.pack("<I", 36 + n_data) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+        + b"data" + _s.pack("<I", n_data) + b"\x00" * n_data
+    )
+
+
+def test_decode_image_real_header_parse(spark):
     from meds_transforms_spark.operators.multimodal import decode_image
 
-    with_payload = docs.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
-    out = decode_image(with_payload).collect()
-    assert len(out) == docs.count()
-    by_id = {r.doc_id: r for r in out}
-    # identical payloads → identical fake features
-    assert by_id[1].features == by_id[2].features
-    assert len(by_id[1].features) == 8
-    assert by_id[1].height >= 1
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(320, 200)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    by_id = {r.doc_id: r for r in decode_image(df).collect()}
+    assert (by_id[1].media_type, by_id[1].width, by_id[1].height) == ("image/png", 640, 480)
+    assert (by_id[2].media_type, by_id[2].width, by_id[2].height) == ("image/jpeg", 320, 200)
+    assert by_id[3].media_type == "application/octet-stream"
+    assert by_id[3].width is None
+    assert len(by_id[1].features) == 8  # stub kernel, deterministic
+
+
+def test_attach_media_meta_jvm_side(spark):
+    from meds_transforms_spark.operators.multimodal import attach_media_meta
+
+    rows = [
+        (1, _png_bytes(800, 600)),
+        (2, _wav_bytes(44100, 2, 44100 * 2 * 2)),  # 1 second stereo 16-bit
+        (3, b"plain bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    # Header parsing is pure built-ins — assert no Python eval in the plan.
+    out = attach_media_meta(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    by_id = {r.doc_id: r.media_meta for r in out.collect()}
+    assert by_id[1]["media_type"] == "image/png"
+    assert (by_id[1]["png_width"], by_id[1]["png_height"]) == (800, 600)
+    assert by_id[2]["media_type"] == "audio/wav"
+    assert by_id[2]["wav"]["sample_rate"] == 44100
+    assert by_id[2]["wav"]["channels"] == 2
+    assert abs(by_id[2]["wav"]["duration_sec"] - 1.0) < 0.01
+    assert by_id[3]["media_type"] == "application/octet-stream"
 
 
 def test_matcher_any_and_col_expr(spark):
