@@ -1,0 +1,50 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline queries
+with a one-line review of each — the 'is this the plan you'd want at
+100 TB' artifact. Usage: python scripts/dump_plans.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+REVIEW = {
+    "meds_agg_code_metadata": "two-level agg: (code,subject) combine then per-code finalize — no distinct expand, both shuffles carry partial rows only",
+    "meds_filter_subjects": "single exchange on subject_id feeding the window; filter follows, nothing else moves",
+    "meds_normalization": "fact scan → two BroadcastHashJoins (stats, vocab) → projection; zero fact-table shuffles",
+    "tpch_q1": "scan with shipdate pushed to parquet → partial/final hash agg on 2 keys",
+    "tpch_q3": "lineitem scan filtered at source; orders join (AQE picks build side), customer broadcast, then agg + topK sort",
+    "docs_exact_dedup": "one scan, one exchange on the 64-bit content hash, window min, filter",
+    "docs_minhash_dedup": "explode→hash projections (codegen), two small-key hash aggs, window rep-select, semi join back",
+    "emb_topk_cosine": "corpus scan map-side joined to broadcast queries; rank window on query_id only",
+}
+
+
+def main():
+    import __spark_entry__ as E
+    from meds_transforms_spark import get_spark
+
+    spark = get_spark("dump_plans")
+    qs = E.queries()
+    out = [
+        "# PLANS — physical plans of headline queries (sf0.01 shapes)",
+        "",
+        "Regenerate with `python scripts/dump_plans.py`. Each plan is the",
+        "`executedPlan` Catalyst settled on; the review line states why this",
+        "is the intended 100 TB shape.",
+        "",
+    ]
+    for name, review in REVIEW.items():
+        df = qs[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out.append(f"## {name}\n\n**Review:** {review}\n\n```\n{plan.strip()}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
