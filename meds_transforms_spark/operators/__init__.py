@@ -32,6 +32,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     reshard_to_split,
     similarity,
     text,
+    validate,
 )
 
 __all__ = [

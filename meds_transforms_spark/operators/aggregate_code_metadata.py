@@ -80,7 +80,13 @@ def _agg_exprs(aggregations: Sequence, quantiles: Sequence[float], sum_decimal_s
     exprs = []
     for agg in aggregations:
         name = agg if isinstance(agg, str) else agg.get("name")
+        approx = bool(agg.get("approx", False)) if isinstance(agg, dict) else False
         if name == "code/n_subjects":
+            if approx:
+                # HyperLogLog++ sketch — mergeable, no expand, ~2% default
+                # error. The 100 TB opt-in where exactness isn't required.
+                exprs.append(F.approx_count_distinct(SUBJECT_ID).alias(name))
+                continue
             exprs.append(F.countDistinct(SUBJECT_ID).alias(name))
         elif name == "code/n_occurrences":
             exprs.append(F.count(F.lit(1)).alias(name))
@@ -116,6 +122,20 @@ def _agg_exprs(aggregations: Sequence, quantiles: Sequence[float], sum_decimal_s
             exprs.append(F.max(val).alias(name))
         elif name == "values/quantiles":
             qs = list(agg.get("quantiles", quantiles)) if isinstance(agg, dict) else list(quantiles)
+            if approx:
+                # Greenwald-Khanna sketch (percentile_approx) — bounded
+                # memory regardless of group size; opt-in only, the
+                # reference (and our oracle) is exact.
+                pcts = F.percentile_approx(val, [float(q) for q in qs], 10000)
+                exprs.append(
+                    F.struct(
+                        *[
+                            F.element_at(pcts, i + 1).alias(f"values/quantile/{q}")
+                            for i, q in enumerate(qs)
+                        ]
+                    ).alias("values/quantiles")
+                )
+                continue
             # Exact nearest-rank quantiles from the sorted value array.
             # collect_list skips nulls, so the VAL_PRESENT guard holds.
             sorted_vals = F.array_sort(F.collect_list(val))

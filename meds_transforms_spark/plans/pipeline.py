@@ -179,11 +179,22 @@ class Pipeline:
         return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
 
 
-def canonical_sort(df: DataFrame) -> DataFrame:
+def canonical_sort(df: DataFrame, global_order: bool = False) -> DataFrame:
     """The MEDS output order contract: (subject_id, time NULLS FIRST,
     __order) — the explicit-tiebreak replacement for Polars stable sorts
-    (SURVEY §7 hard parts)."""
+    (SURVEY §7 hard parts).
+
+    Default: subject-partitioned with per-partition order (each subject's
+    rows contiguous and ordered — what every consumer actually needs).
+    ``global_order=True`` range-partitions by subject first so files are
+    globally ordered across partitions too (costlier: sampling pass +
+    range exchange)."""
     cols = [F.col(SUBJECT_ID), F.col(TIME).asc_nulls_first()]
     if ORDER_KEY in df.columns:
         cols.append(F.col(ORDER_KEY))
-    return df.repartition(SUBJECT_ID).sortWithinPartitions(*cols)
+    part = (
+        df.repartitionByRange(SUBJECT_ID)
+        if global_order
+        else df.repartition(SUBJECT_ID)
+    )
+    return part.sortWithinPartitions(*cols)
