@@ -410,6 +410,38 @@ def q_tpch_q5(spark, sf_dir):
     return out
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Q6 forecasting revenue change — the pushdown showcase: all three
+    filters reach the parquet scan (PushedFilters), then a single agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tpch_exists(spark, sf_dir):
+    """Q4-style EXISTS: orders having any high-quantity lineitem —
+    left-semi join, grouped by priority."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_tpch_parts_by_brand(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -622,6 +654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_exists": q_tpch_exists,
         "tpch_parts_by_brand": q_tpch_parts_by_brand,
         "supplier_balance": q_supplier_balance,
         "events_hourly": q_events_hourly,
@@ -947,6 +981,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_exists": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45
+            )
+            GROUP BY o_orderpriority
         """,
         "tpch_parts_by_brand": """
             SELECT p_brand, p_type,

@@ -288,43 +288,66 @@ def ngram_jaccard_pairs(
     use_lsh_candidates: bool = True,
     num_hashes: int = 32,
     bands: int = 8,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) pairs above threshold.
+    """(id_a, id_b, jaccard) pairs above threshold (id_a < id_b), exact
+    word-n-gram Jaccard computed relationally (see inline notes).
 
-    Candidates come from MinHash-LSH buckets (default) so the exact
-    n-gram Jaccard is only evaluated on plausible pairs — never all
-    pairs. Output: id_a < id_b, exact word-n-gram Jaccard.
+    ``use_lsh_candidates`` further restricts output to MinHash-LSH
+    bucket-sharing pairs; ``max_gram_df`` caps the document frequency of
+    grams entering the co-occurrence join (the standard hot-gram guard
+    at scale; None = exact).
     """
-    grams = df.select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("__grams")
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0 (zero-overlap pairs are never emitted)"
+        )
+    # Relational formulation: |A∩B| via a gram equi-join co-occurrence
+    # count — no per-pair array intersections (array HOFs run
+    # interpreted), and only pairs sharing ≥1 gram ever materialize,
+    # which is exactly the support of jaccard > 0.
+    grams = (
+        df.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        .dropDuplicates([id_col, "__g"])
+    )
+    if max_gram_df is not None:
+        # Drop ultra-common grams: a gram in d docs contributes d² join
+        # rows but almost no discrimination. EXACT results require None.
+        from pyspark.sql import Window as W
+
+        grams = (
+            grams.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("__g")))
+            .filter(F.col("__df") <= int(max_gram_df))
+            .drop("__df")
+        )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "__g")
+    b = grams.select(F.col(id_col).alias("id_b"), "__g")
+    inter = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
     if use_lsh_candidates:
         buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, bands)
-        a = buckets.alias("a")
-        b = buckets.alias("b")
         cand = (
-            a.join(b, F.col("a.__bucket") == F.col("b.__bucket"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-            )
+            buckets.select(F.col(id_col).alias("id_a"), "__bucket")
+            .join(buckets.select(F.col(id_col).alias("id_b"), "__bucket"), "__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-    else:
-        ids = df.select(F.col(id_col))
-        cand = (
-            ids.alias("a")
-            .join(ids.alias("b"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        )
-    ga = grams.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga"))
-    gb = grams.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
-    pairs = cand.join(ga, "id_a").join(gb, "id_b")
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    union = F.size(F.array_union("__ga", "__gb"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        inter = inter.join(cand, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
+    jac = F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
     return (
-        pairs.withColumn("jaccard", jac.cast("double"))
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac.cast("double"))
         .filter(F.col("jaccard") >= float(threshold))
         .select("id_a", "id_b", "jaccard")
     )
