@@ -222,8 +222,10 @@ def simhash_table(
     shifted sign bits.
     """
     toks = F.filter(F.split(_normalized(F.col(text_col)), r"\s+"), lambda t: t != "")
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
-        F.col(id_col), F.xxhash64("__t").alias("__h")
+    # explode_outer: zero-token docs must still receive a signature
+    # (all-zero) rather than silently vanishing from the output.
+    exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
+        F.col(id_col), F.when(F.col("__t").isNotNull(), F.xxhash64("__t")).alias("__h")
     )
     bit_sums = exploded.groupBy(id_col).agg(
         *[

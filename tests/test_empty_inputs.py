@@ -1,0 +1,111 @@
+"""Empty-input robustness: every major operator must plan and execute on
+zero rows (the shape of a fully-filtered partition at scale)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def empty_meds(spark):
+    return spark.createDataFrame([], MEDS_DATA_SCHEMA)
+
+
+def test_filter_and_aggregate_on_empty(empty_meds):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_transforms_spark.operators.filter_subjects import filter_subjects
+
+    assert filter_subjects(empty_meds, min_events_per_subject=2).count() == 0
+    out = aggregate_code_metadata(
+        empty_meds,
+        aggregations=["code/n_subjects", "values/sum", "values/quantiles"],
+    )
+    assert out.count() == 0
+    two = aggregate_code_metadata(
+        empty_meds,
+        aggregations=["code/n_subjects", "values/sum"],
+        strategy="two_level",
+    )
+    assert two.count() == 0
+
+
+def test_normalization_chain_on_empty(spark, empty_meds):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_transforms_spark.operators.fit_vocabulary_indices import (
+        fit_vocabulary_indices,
+    )
+    from meds_transforms_spark.operators.normalization import normalization
+    from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
+
+    meta = aggregate_code_metadata(
+        empty_meds, aggregations=["values/n_occurrences", "values/sum", "values/sum_sqd"]
+    )
+    assert occlude_outliers(empty_meds, meta).count() == 0
+    vocab = fit_vocabulary_indices(meta, validate=False)
+    assert normalization(empty_meds, vocab).count() == 0
+
+
+def test_dedup_and_text_on_empty(spark):
+    from meds_transforms_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+        simhash_table,
+    )
+    from meds_transforms_spark.operators.text import language_id, quality_score, top_k_tokens
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty_docs).count() == 0
+    assert minhash_lsh_dedup(empty_docs).count() == 0
+    assert simhash_table(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs, threshold=0.5).count() == 0
+    assert language_id(empty_docs).count() == 0
+    assert quality_score(empty_docs).count() == 0
+    assert top_k_tokens(empty_docs).count() == 0
+
+
+def test_similarity_on_empty(spark):
+    from meds_transforms_spark.operators.similarity import brute_force_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([], "query_id long, embedding array<double>")
+    assert brute_force_topk(empty, q).count() == 0
+
+
+def test_time_derived_on_empty(empty_meds):
+    from meds_transforms_spark.operators.add_time_derived import (
+        add_time_derived_measurements,
+    )
+
+    out = add_time_derived_measurements(
+        empty_meds,
+        age={"DOB_code": "B"},
+        time_of_day={},
+        timeline_tokens={},
+    )
+    assert out.count() == 0
+
+
+def test_empty_text_documents(spark):
+    """Docs present but with empty/whitespace text — the degenerate
+    content case (distinct from zero rows)."""
+    from meds_transforms_spark.operators.dedup import minhash_lsh_dedup, simhash_table
+    from meds_transforms_spark.operators.text import text_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text here")], "doc_id long, text string"
+    )
+    stats = {r.doc_id: r.n_tokens for r in text_stats(docs).collect()}
+    assert stats == {1: 0, 2: 0, 3: 3}
+    assert simhash_table(docs).count() == 3
+    # Empty docs hash identical shingle sets → collapse together but
+    # never onto the real doc.
+    survivors = {r.doc_id for r in minhash_lsh_dedup(docs).collect()}
+    assert 3 in survivors
