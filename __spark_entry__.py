@@ -597,6 +597,16 @@ def q_multimodal_decode(spark, sf_dir):
 
 # --- no-oracle (rows-only) entries ------------------------------------
 
+def q_docs_corpus_prep(spark, sf_dir):
+    """Composed LLM-data pipeline (quality → dedup → lang → fingerprint);
+    rows-only (MinHash inside is not SQL-expressible)."""
+    from meds_transforms_spark.plans.corpus import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = prepare_training_corpus(docs, min_quality=0.2, min_tokens=5)
+    return out.select("doc_id", "n_tokens", "quality", "lang_pred", "quality_bucket")
+
+
 def q_docs_minhash_dedup(spark, sf_dir):
     from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
 
@@ -670,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_label_stats": q_emb_label_stats,
         "multimodal_decode": q_multimodal_decode,
+        "docs_corpus_prep": q_docs_corpus_prep,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_topk": q_emb_lsh_topk,
