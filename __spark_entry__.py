@@ -488,6 +488,24 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sliding_windows(spark, sf_dir):
+    """Overlapping sliding windows (1h span, 30min slide) — each event in
+    exactly 2 windows; F.window's slide semantics."""
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from meds_transforms_spark.sources.testdata import load_table
 
@@ -669,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_parts_by_brand": q_tpch_parts_by_brand,
         "supplier_balance": q_supplier_balance,
         "events_hourly": q_events_hourly,
+        "events_sliding_windows": q_events_sliding_windows,
         "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -1031,6 +1050,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_windows": """
+            WITH starts AS (
+              SELECT TIMESTAMP '1970-01-01'
+                       + to_microseconds((epoch_us(ts) // 1800000000) * 1800000000) AS window_start,
+                     event_type FROM events
+              UNION ALL
+              SELECT TIMESTAMP '1970-01-01'
+                       + to_microseconds((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS window_start,
+                     event_type FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM starts GROUP BY 1, 2
         """,
         "events_sessions": """
             WITH g AS (

@@ -24,6 +24,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == np.float32:
             df[c] = df[c].astype("float64")
