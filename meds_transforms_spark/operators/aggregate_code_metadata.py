@@ -99,23 +99,18 @@ def _agg_exprs(aggregations: Sequence, quantiles: Sequence[float], sum_decimal_s
         elif name == "values/n_ints":
             exprs.append(F.count(F.when(val == F.round(val), F.lit(1))).alias(name))
         elif name == "values/sum":
+            # Polars sums empty groups to 0.0 (not null) — match it.
             if sum_decimal_scale is not None:
-                exprs.append(
-                    F.sum(val.cast(f"decimal(30,{sum_decimal_scale})"))
-                    .cast("double")
-                    .alias(name)
-                )
+                expr = F.sum(val.cast(f"decimal(30,{sum_decimal_scale})")).cast("double")
             else:
-                exprs.append(F.sum(val).alias(name))
+                expr = F.sum(val)
+            exprs.append(F.coalesce(expr, F.lit(0.0)).alias(name))
         elif name == "values/sum_sqd":
             if sum_decimal_scale is not None:
-                exprs.append(
-                    F.sum((val * val).cast(f"decimal(38,{sum_decimal_scale + 2})"))
-                    .cast("double")
-                    .alias(name)
-                )
+                expr = F.sum((val * val).cast(f"decimal(38,{sum_decimal_scale + 2})")).cast("double")
             else:
-                exprs.append(F.sum(val * val).alias(name))
+                expr = F.sum(val * val)
+            exprs.append(F.coalesce(expr, F.lit(0.0)).alias(name))
         elif name == "values/min":
             exprs.append(F.min(val).alias(name))
         elif name == "values/max":
@@ -242,10 +237,16 @@ def _two_level_agg(guarded: DataFrame, keys, names, sum_decimal_scale):
         "values/n_subjects": F.count(F.when(F.col("__p_vals") > 0, F.lit(1))),
         "values/n_occurrences": F.sum("__p_vals"),
         "values/n_ints": F.sum("__p_ints"),
-        "values/sum": F.sum("__p_sum").cast("double") if scale is not None else F.sum("__p_sum"),
-        "values/sum_sqd": F.sum("__p_sum_sqd").cast("double")
-        if scale is not None
-        else F.sum("__p_sum_sqd"),
+        "values/sum": F.coalesce(
+            F.sum("__p_sum").cast("double") if scale is not None else F.sum("__p_sum"),
+            F.lit(0.0),
+        ),
+        "values/sum_sqd": F.coalesce(
+            F.sum("__p_sum_sqd").cast("double")
+            if scale is not None
+            else F.sum("__p_sum_sqd"),
+            F.lit(0.0),
+        ),
         "values/min": F.min("__p_min"),
         "values/max": F.max("__p_max"),
     }

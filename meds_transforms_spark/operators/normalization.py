@@ -37,8 +37,10 @@ def normalization(
         mean, std = F.col("values/mean"), F.col("values/std")
     else:
         n = F.col("values/n_occurrences")
-        mean = F.col("values/sum") / n
-        var = F.col("values/sum_sqd") / n - mean * mean
+        # try_divide: zero-count codes (no observed values) must yield
+        # null stats, not an ANSI DIVIDE_BY_ZERO error.
+        mean = F.try_divide(F.col("values/sum"), n)
+        var = F.try_divide(F.col("values/sum_sqd"), n) - mean * mean
         std = F.sqrt(F.greatest(var, F.lit(0.0)))
     stats = meta.select(
         *keys,
@@ -56,7 +58,13 @@ def normalization(
         cond = term if cond is None else cond & term
     joined = df.join(F.broadcast(stats), cond, "inner")
 
-    passthrough = [df[c] for c in df.columns if c not in (CODE, NUMERIC_VALUE)]
+    # The reference's normalization emits ONLY the tokenization-ready
+    # core schema (its golden outputs drop upstream extras like
+    # numeric_value/is_inlier); keep subject/time (+order key) only.
+    from meds_transforms_spark.schema import ORDER_KEY, SUBJECT_ID, TIME
+
+    keep = [c for c in (SUBJECT_ID, TIME, ORDER_KEY) if c in df.columns]
+    passthrough = [df[c] for c in keep]
     v = df[NUMERIC_VALUE]
     return joined.select(
         *passthrough,

@@ -47,8 +47,10 @@ def occlude_outliers(
         s = F.col("values/sum")
         s2 = F.col("values/sum_sqd")
         # mean = Σv/n ; σ = sqrt(Σv²/n − mean²)  (occlude_outliers.py:90-95)
-        mean = s / n
-        var = s2 / n - mean * mean
+        # try_divide: ANSI mode (Spark 4 default) errors on 0/0 — codes
+        # with no observed values get null mean/std → rows kept, flag null.
+        mean = F.try_divide(s, n)
+        var = F.try_divide(s2, n) - mean * mean
         stats = meta.select(
             *keys,
             mean.alias("__mean"),

@@ -46,24 +46,68 @@ def _parse_csv(text: str) -> pd.DataFrame:
         pdf["time"] = pd.to_datetime(
             pdf["time"], format=FIXTURE_TIME_FORMAT, errors="coerce"
         )
+    for col in pdf.columns:
+        if pdf[col].dtype == object:
+            nonnull = pdf[col].dropna()
+            if len(nonnull) and set(nonnull.unique()) <= {True, False, "True", "False"}:
+                # Boolean-ish fixture column (e.g. numeric_value/is_inlier):
+                # nullable pandas boolean → Spark BooleanType (plain object
+                # mixes bool and float-NaN and breaks type inference).
+                pdf[col] = pdf[col].map(
+                    {True: True, False: False, "True": True, "False": False}
+                ).astype("boolean")
+            else:
+                # NaN in object columns must become None, not the string
+                # "nan", when crossing into Spark.
+                pdf[col] = pdf[col].where(pd.notnull(pdf[col]), None)
     return pdf
 
 
-def load_fixture_frame(spark: SparkSession, csv_text: str, use_meds_schema: bool = True) -> DataFrame:
-    pdf = _parse_csv(csv_text)
+def _normalize_object_cols(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Re-run the object-column normalization after a concat (an all-null
+    shard reverts boolean columns to object)."""
+    for col in pdf.columns:
+        if pdf[col].dtype == object:
+            nonnull = pdf[col].dropna()
+            if len(nonnull) and set(nonnull.unique()) <= {True, False, "True", "False"}:
+                pdf[col] = pdf[col].map(
+                    {True: True, False: False, "True": True, "False": False}
+                ).astype("boolean")
+            else:
+                pdf[col] = pdf[col].where(pd.notnull(pdf[col]), None)
+    return pdf
+
+
+def frame_from_pandas(spark: SparkSession, pdf: pd.DataFrame, use_meds_schema: bool = True) -> DataFrame:
+    pdf = _normalize_object_cols(pdf.copy())
     if use_meds_schema and set(c.name for c in MEDS_DATA_SCHEMA.fields[:4]) <= set(pdf.columns):
-        cols = [f.name for f in MEDS_DATA_SCHEMA.fields if f.name in pdf.columns]
-        extra = [c for c in pdf.columns if c not in cols]
         from pyspark.sql import types as T
 
         fields = [f for f in MEDS_DATA_SCHEMA.fields if f.name in pdf.columns]
+        known = [f.name for f in fields]
+        extra = [c for c in pdf.columns if c not in known]
+        for c in extra:
+            if pdf[c].dtype == "boolean":
+                fields.append(T.StructField(c, T.BooleanType(), True))
+            elif str(pdf[c].dtype).startswith("float"):
+                fields.append(T.StructField(c, T.DoubleType(), True))
+            elif str(pdf[c].dtype).startswith("int"):
+                fields.append(T.StructField(c, T.LongType(), True))
+            else:
+                fields.append(T.StructField(c, T.StringType(), True))
         schema = T.StructType(fields)
-        base = spark.createDataFrame(pdf[cols], schema=schema)
-        if extra:
-            full = spark.createDataFrame(pdf[[*cols, *extra]])
-            return full
-        return base
+        out = pdf[[f.name for f in fields]].copy()
+        for c in out.columns:
+            if str(out[c].dtype) == "boolean":
+                # pd.NA is rejected by Spark's row verifier — use
+                # object with Python None/bool, schema keeps BooleanType.
+                out[c] = out[c].astype(object).where(out[c].notna(), None)
+        return spark.createDataFrame(out, schema=schema)
     return spark.createDataFrame(pdf)
+
+
+def load_fixture_frame(spark: SparkSession, csv_text: str, use_meds_schema: bool = True) -> DataFrame:
+    return frame_from_pandas(spark, _parse_csv(csv_text), use_meds_schema)
 
 
 def assert_frames_match(

@@ -1,0 +1,171 @@
+"""Validate this engine against the reference's OWN shipped golden
+scenarios (read-only at /root/reference — skipped when absent).
+
+This is the SURVEY §5 port strategy realized: the reference's example
+fixtures (in.yaml CSV tables → cfg.yaml → out_data/out_metadata.yaml)
+drive OUR operators; agreement within the reference's own tolerances
+(rel 1e-3 / abs 1e-5, row-order-free) is the parity evidence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+REF = "/root/reference/src/MEDS_transforms/stages"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not available"
+)
+
+
+def _load_yaml(path):
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _data_frame(spark, in_yaml):
+    from meds_transforms_spark.testing.fixtures import _parse_csv, frame_from_pandas
+
+    parts = [
+        _parse_csv(csv) for key, csv in in_yaml.items() if key.startswith("data/")
+    ]
+    # Concat in pandas first: an all-null shard would otherwise lose a
+    # column's dtype and break the cross-shard union.
+    return frame_from_pandas(spark, pd.concat(parts, ignore_index=True))
+
+
+def _codes_frame(spark, in_yaml):
+    from meds_transforms_spark.testing.fixtures import load_fixture_frame
+
+    csv = in_yaml.get("metadata/codes.parquet")
+    return None if csv is None else load_fixture_frame(spark, csv, use_meds_schema=False)
+
+
+def _expected_data(out_yaml):
+    from meds_transforms_spark.testing.fixtures import _parse_csv
+
+    parts = [_parse_csv(csv) for csv in out_yaml.values()]
+    return pd.concat(parts, ignore_index=True)
+
+
+def _check(got_df, expected_pdf, drop_cols=()):
+    from meds_transforms_spark.testing.fixtures import assert_frames_match
+
+    e = expected_pdf.drop(columns=[c for c in drop_cols if c in expected_pdf.columns])
+    g = got_df.drop(*[c for c in drop_cols if c in got_df.columns])
+    assert_frames_match(g, e, check_row_order=False)
+
+
+def test_ref_filter_measurements_simple(spark):
+    from meds_transforms_spark.operators.filter_measurements import filter_measurements
+
+    d = os.path.join(REF, "filter_measurements/examples/simple")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = filter_measurements(
+        _data_frame(spark, in_yaml), _codes_frame(spark, in_yaml), **cfg
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_occlude_outliers_pipeline(spark):
+    from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
+
+    d = os.path.join(REF, "occlude_outliers/examples/in_example_pipeline")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = occlude_outliers(
+        _data_frame(spark, in_yaml), _codes_frame(spark, in_yaml), **cfg
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_normalization_pipeline(spark):
+    from meds_transforms_spark.operators.normalization import normalization
+
+    d = os.path.join(REF, "normalization/examples/in_example_pipeline")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    out = normalization(_data_frame(spark, in_yaml), _codes_frame(spark, in_yaml))
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_fit_vocabulary_indices_pipeline(spark):
+    from meds_transforms_spark.operators.fit_vocabulary_indices import (
+        fit_vocabulary_indices,
+    )
+
+    d = os.path.join(REF, "fit_vocabulary_indices/examples/in_example_pipeline")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    out = fit_vocabulary_indices(_codes_frame(spark, in_yaml))
+    expected = _expected_data(_load_yaml(os.path.join(d, "out_metadata.yaml")))
+    _check(out, expected)
+
+
+def test_ref_add_time_derived_pipeline(spark):
+    from meds_transforms_spark.operators.add_time_derived import (
+        add_time_derived_measurements,
+    )
+
+    d = os.path.join(REF, "add_time_derived_measurements/examples/in_example_pipeline")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    # The reference's default stage config runs age + time_of_day; the
+    # example cfg only overrides age.DOB_code.
+    age_cfg = {"DOB_code": "MEDS_BIRTH", "age_code": "AGE", "age_unit": "years"}
+    age_cfg.update(cfg.get("age", {}))
+    out = add_time_derived_measurements(
+        _data_frame(spark, in_yaml), age=age_cfg, time_of_day={}
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_aggregate_code_metadata_unsplit_shards(spark):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+        join_and_replace,
+    )
+    from meds_transforms_spark.testing.fixtures import load_fixture_frame
+    from pyspark.sql import functions as F
+
+    d = os.path.join(REF, "aggregate_code_metadata/examples/with_not_split_defined_shards")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    data = _data_frame(spark, in_yaml)
+    # Metadata stages are train-only (configs/pipeline.py:415-428); with
+    # unsplit shard names the train subjects come from subject_splits.
+    splits = load_fixture_frame(
+        spark, in_yaml["metadata/subject_splits.parquet"], use_meds_schema=False
+    )
+    train_ids = splits.filter(F.col("split") == "train").select("subject_id")
+    data = data.join(F.broadcast(train_ids), "subject_id", "left_semi")
+
+    out = aggregate_code_metadata(
+        data,
+        aggregations=cfg["aggregations"],
+        do_summarize_over_all_codes=cfg.get("do_summarize_over_all_codes", False),
+    )
+    out = join_and_replace(out, _codes_frame(spark, in_yaml), ["code"])
+
+    expected_rows = _load_yaml(os.path.join(d, "out_metadata.yaml"))["metadata/codes.parquet"]
+    expected = pd.DataFrame(expected_rows)
+    # Flatten the quantile struct on both sides (null for value-less codes).
+    qcols = sorted(
+        next(r["values/quantiles"] for r in expected_rows if r["values/quantiles"]).keys()
+    )
+    for qc in qcols:
+        expected[qc] = [
+            (r["values/quantiles"] or {}).get(qc) for r in expected_rows
+        ]
+    expected = expected.drop(columns=["values/quantiles"])
+    got = out.select(
+        *[c for c in out.columns if c != "values/quantiles"],
+        *[F.col("`values/quantiles`").getField(qc).alias(qc) for qc in qcols],
+    )
+    # description/parent_codes: list-vs-string representation differs
+    # between the YAML golden and the CSV input fixture — not a computed
+    # statistic; excluded.
+    _check(got, expected, drop_cols=("description", "parent_codes"))
