@@ -27,13 +27,20 @@ from meds_transforms_spark.schema import CODE, NUMERIC_VALUE
 
 
 def endpoints_from_quantiles(code_metadata: DataFrame, quantiles_col: str = "values/quantiles") -> DataFrame:
-    """(code, __endpoints array<float>) from the quantiles struct column."""
+    """(code, __endpoints array<float>) from the quantiles struct column.
+
+    Endpoints are FLOAT (f32), matching the reference's metadata dtype:
+    both the bin comparison (e ≤ v against f32 values) and the bin-name
+    formatting ("96.2", not "96.19999694824219") depend on it.
+    """
     struct_fields = [
         f.name
         for f in code_metadata.schema[quantiles_col].dataType.fields
     ]
     arr = F.array(*[F.col(f"`{quantiles_col}`.`{f}`") for f in struct_fields])
-    return code_metadata.select(CODE, F.array_sort(arr).alias("__endpoints"))
+    return code_metadata.select(
+        CODE, F.array_sort(arr).cast("array<float>").alias("__endpoints")
+    )
 
 
 @register_stage("bin_numeric_values")
@@ -54,7 +61,7 @@ def bin_numeric_values(
     spark = df.sparkSession
     if custom_bins:
         rows = [(c, sorted(float(x) for x in eps)) for c, eps in custom_bins.items()]
-        bins = spark.createDataFrame(rows, "code string, __endpoints array<double>")
+        bins = spark.createDataFrame(rows, "code string, __endpoints array<float>")
     elif code_metadata is not None:
         bins = endpoints_from_quantiles(code_metadata)
     else:

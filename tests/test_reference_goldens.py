@@ -45,10 +45,12 @@ def _codes_frame(spark, in_yaml):
     return None if csv is None else load_fixture_frame(spark, csv, use_meds_schema=False)
 
 
-def _expected_data(out_yaml):
+def _expected_data(out_yaml, prefix="data/"):
     from meds_transforms_spark.testing.fixtures import _parse_csv
 
-    parts = [_parse_csv(csv) for csv in out_yaml.values()]
+    parts = [
+        _parse_csv(csv) for key, csv in out_yaml.items() if key.startswith(prefix)
+    ]
     return pd.concat(parts, ignore_index=True)
 
 
@@ -101,7 +103,9 @@ def test_ref_fit_vocabulary_indices_pipeline(spark):
     d = os.path.join(REF, "fit_vocabulary_indices/examples/in_example_pipeline")
     in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
     out = fit_vocabulary_indices(_codes_frame(spark, in_yaml))
-    expected = _expected_data(_load_yaml(os.path.join(d, "out_metadata.yaml")))
+    expected = _expected_data(
+        _load_yaml(os.path.join(d, "out_metadata.yaml")), prefix="metadata/"
+    )
     _check(out, expected)
 
 
@@ -119,6 +123,51 @@ def test_ref_add_time_derived_pipeline(spark):
     age_cfg.update(cfg.get("age", {}))
     out = add_time_derived_measurements(
         _data_frame(spark, in_yaml), age=age_cfg, time_of_day={}
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_filter_measurements_match_revise(spark):
+    from meds_transforms_spark.operators.filter_measurements import filter_measurements
+    from meds_transforms_spark.operators.match_revise import match_revise
+
+    d = os.path.join(REF, "filter_measurements/examples/match_revise")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    meta = _codes_frame(spark, in_yaml)
+
+    def stage(df, **kw):
+        return filter_measurements(df, meta, **kw)
+
+    out = match_revise(
+        _data_frame(spark, in_yaml), stage, cfg["_match_revise"], mode="match_and_revise"
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_bin_numeric_values_custom_bins(spark):
+    from meds_transforms_spark.operators.bin_numeric_values import bin_numeric_values
+
+    d = os.path.join(REF, "bin_numeric_values/examples/custom_bins_fp")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    codes_rows = in_yaml["metadata/codes.parquet"]
+    custom = _load_yaml(os.path.join(d, "custom_bins.yaml"))
+
+    # Reference semantics: per-code bins from the metadata quantiles,
+    # overridden by the custom-bins file entries.
+    bins = {
+        r["code"]: sorted(r["values/quantiles"].values())
+        for r in codes_rows
+        if r["code"] is not None and r.get("values/quantiles")
+    }
+    for code, eps in custom.items():
+        bins[code] = sorted(float(v) for v in eps.values())
+
+    out = bin_numeric_values(
+        _data_frame(spark, in_yaml),
+        custom_bins=bins,
+        code_with_bin_name="{code}//value_[{left},{right})",
+        drop_numeric_value=False,
     )
     _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
 
