@@ -242,15 +242,21 @@ def q_meds_bin_numeric(spark, sf_dir):
     from meds_transforms_spark.operators.aggregate_code_metadata import (
         aggregate_code_metadata,
     )
-    from meds_transforms_spark.operators.bin_numeric_values import (
-        endpoints_from_quantiles,
-    )
-
     meds = _meds(spark, sf_dir)
     meta = aggregate_code_metadata(
         meds, aggregations=[{"name": "values/quantiles", "quantiles": [0.25, 0.5, 0.75]}]
     )
-    bins = endpoints_from_quantiles(meta)
+    # Double endpoints here (data is double; the oracle compares in
+    # double) — the operator's f32 endpoints are a MEDS-parity detail.
+    q = F.col("values/quantiles")
+    bins = meta.select(
+        "code",
+        F.array_sort(
+            F.array(
+                q["values/quantile/0.25"], q["values/quantile/0.5"], q["values/quantile/0.75"]
+            )
+        ).alias("__endpoints"),
+    )
     joined = meds.join(F.broadcast(bins), "code", "left")
     idx = F.size(F.filter(F.col("__endpoints"), lambda e: e <= F.col("numeric_value")))
     return (
