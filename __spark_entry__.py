@@ -631,6 +631,15 @@ def q_docs_corpus_prep(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "quality", "lang_pred", "quality_bucket")
 
 
+def q_docs_minhash_transitive(spark, sf_dir):
+    """Transitive-closure MinHash dedup (iterative connected components);
+    rows-only."""
+    from meds_transforms_spark.operators.components import minhash_lsh_dedup_transitive
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_dedup_transitive(docs).select("doc_id")
+
+
 def q_docs_minhash_dedup(spark, sf_dir):
     from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
 
@@ -707,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "docs_corpus_prep": q_docs_corpus_prep,
         "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_minhash_transitive": q_docs_minhash_transitive,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_topk": q_emb_lsh_topk,
     }

@@ -16,6 +16,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     add_time_derived,
     aggregate_code_metadata,
     bin_numeric_values,
+    components,
     dedup,
     extract_values,
     filter_measurements,

@@ -1,0 +1,113 @@
+"""Iterative connected components on DataFrames — transitive dedup.
+
+The LSH dedup operators default to the 1-hop "collapse to bucket
+minimum" approximation (dedup.py). When true transitive closure is
+required ("A~B, B~C ⇒ drop C even though A and C share no bucket"),
+this module supplies min-label propagation over the similarity graph:
+
+    label(v) ← min(label(v), min over neighbors' labels)
+
+repeated to fixpoint — converging in O(component diameter) rounds,
+which for dedup graphs (near-clique clusters via shared buckets) is
+typically 2-3. Each round is two shuffles (message groupBy + label
+join); lineage is cut per round with ``localCheckpoint`` so the plan
+does not grow unboundedly — the standard Spark iterative-algorithm
+discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) — component = min node id reachable.
+
+    ``edges`` is an undirected edge list of long ids; isolated nodes can
+    be absent (callers union them back, or treat absence as singleton).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        lab_src = labels.withColumnRenamed("id", "src").withColumnRenamed(
+            "component", "src_comp"
+        )
+        lab_dst = labels.withColumnRenamed("id", "dst").withColumnRenamed(
+            "component", "dst_comp"
+        )
+        with_labels = e.join(lab_src, "src").join(lab_dst, "dst")
+        msgs = (
+            with_labels.select(F.col("src").alias("id"), F.col("dst_comp").alias("cand"))
+            .unionByName(
+                with_labels.select(F.col("dst").alias("id"), F.col("src_comp").alias("cand"))
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("cand", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register_stage("minhash_lsh_dedup_transitive")
+def minhash_lsh_dedup_transitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """MinHash-LSH dedup with FULL transitive closure: connected
+    components over the doc↔bucket-representative star graph; one
+    survivor (min id) per component."""
+    from meds_transforms_spark.operators.dedup import lsh_band_buckets
+    from pyspark.sql import Window as W
+
+    buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    # Star edges doc → bucket-min connect every co-bucketed pair
+    # transitively through the representative.
+    edges = (
+        buckets.withColumn("__rep", F.min(id_col).over(W.partitionBy("__bucket")))
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col(id_col).alias("src"), F.col("__rep").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges, max_iter=max_iter)
+    dropped = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -1,0 +1,38 @@
+"""Connected components + transitive dedup."""
+
+from __future__ import annotations
+
+
+def test_connected_components_chain_and_islands(spark):
+    from meds_transforms_spark.operators.components import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 10-11, and 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (21, 20)], "src long, dst long"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_minhash_transitive_vs_one_hop(spark):
+    from meds_transforms_spark.operators.components import (
+        minhash_lsh_dedup_transitive,
+    )
+    from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today "
+    rows = [
+        (1, base * 4),
+        (2, base * 4 + "with a small tail change"),
+        (3, base * 4 + "with a small tail change and then some more drift added"),
+        (4, "completely unrelated text about query engines and columnar formats "
+            "with many different words appearing here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    transitive = {r.doc_id for r in minhash_lsh_dedup_transitive(docs).collect()}
+    one_hop = {r.doc_id for r in minhash_lsh_dedup(docs).collect()}
+    # Unrelated doc always survives; doc 1 is the component minimum.
+    assert 4 in transitive and 1 in transitive
+    assert 2 not in transitive
+    # Transitive closure can only drop MORE than 1-hop, never fewer.
+    assert transitive <= one_hop
