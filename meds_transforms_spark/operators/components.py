@@ -41,6 +41,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for _ in range(max_iter):
         lab_src = labels.withColumnRenamed("id", "src").withColumnRenamed(
@@ -68,16 +69,14 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # Labels are monotonically non-increasing, so Σ(component) is a
+        # strictly decreasing potential — fixpoint ⟺ the sum is stable.
+        # One scalar agg per round instead of a self-join diff.
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
