@@ -27,11 +27,11 @@ def _load_yaml(path):
         return yaml.safe_load(f)
 
 
-def _data_frame(spark, in_yaml):
+def _data_frame(spark, in_yaml, prefix="data/"):
     from meds_transforms_spark.testing.fixtures import _parse_csv, frame_from_pandas
 
     parts = [
-        _parse_csv(csv) for key, csv in in_yaml.items() if key.startswith("data/")
+        _parse_csv(csv) for key, csv in in_yaml.items() if key.startswith(prefix)
     ]
     # Concat in pandas first: an all-null shard would otherwise lose a
     # column's dtype and break the cross-shard union.
@@ -218,3 +218,134 @@ def test_ref_aggregate_code_metadata_unsplit_shards(spark):
     # between the YAML golden and the CSV input fixture — not a computed
     # statistic; excluded.
     _check(got, expected, drop_cols=("description", "parent_codes"))
+
+
+def _agg_pipeline_scenario(spark, scenario):
+    """aggregate_code_metadata in_example_pipeline scenarios: metadata
+    stages are train-only, realized here via the shard-name prefix
+    (the reference's partition-pruning path, mapreduce/stage.py:463-489)."""
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+        join_and_replace,
+    )
+
+    d = os.path.join(REF, "aggregate_code_metadata/examples/in_example_pipeline", scenario)
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    data = _data_frame(spark, in_yaml, prefix="data/train/")
+    out = aggregate_code_metadata(data, aggregations=cfg["aggregations"])
+    out = join_and_replace(out, _codes_frame(spark, in_yaml), ["code"])
+    expected = _expected_data(
+        _load_yaml(os.path.join(d, "out_metadata.yaml")), prefix="metadata/"
+    )
+    _check(out, expected, drop_cols=("description", "parent_codes"))
+
+
+def test_ref_aggregate_code_metadata_fit_normalization(spark):
+    _agg_pipeline_scenario(spark, "fit_normalization")
+
+
+def test_ref_aggregate_code_metadata_fit_outlier_detection(spark):
+    _agg_pipeline_scenario(spark, "fit_outlier_detection")
+
+
+def test_ref_normalization_raw_static(spark):
+    from meds_transforms_spark.operators.normalization import normalization
+
+    d = os.path.join(REF, "normalization/examples/on_raw_static_data")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    out = normalization(_data_frame(spark, in_yaml), _codes_frame(spark, in_yaml))
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_occlude_outliers_raw_static(spark):
+    from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
+
+    d = os.path.join(REF, "occlude_outliers/examples/on_raw_static_data")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = occlude_outliers(
+        _data_frame(spark, in_yaml), _codes_frame(spark, in_yaml), **cfg
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_reorder_measurements(spark):
+    from meds_transforms_spark.operators.reorder_measurements import (
+        reorder_measurements,
+    )
+
+    d = os.path.join(REF, "reorder_measurements/examples")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = reorder_measurements(
+        _data_frame(spark, in_yaml), ordered_code_patterns=cfg["ordered_code_patterns"]
+    )
+    # Row ORDER is the stage's whole point: compare per-subject ordered
+    # sequences, not just the row multiset.
+    got = out.toPandas()
+    exp = _expected_data(_load_yaml(os.path.join(d, "out_data.yaml")))
+    got_seq = {
+        sid: list(g["code"]) for sid, g in got.groupby("subject_id", sort=True)
+    }
+    exp_seq = {
+        sid: list(g["code"]) for sid, g in exp.groupby("subject_id", sort=True)
+    }
+    assert got_seq == exp_seq
+
+
+def test_ref_extract_values_multi_match_revise(spark):
+    from meds_transforms_spark.operators.extract_values import extract_values
+    from meds_transforms_spark.operators.match_revise import match_revise
+
+    d = os.path.join(REF, "extract_values/examples")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = match_revise(
+        _data_frame(spark, in_yaml),
+        extract_values,
+        cfg["_match_revise"],
+        mode=cfg["_match_revise_mode"],
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_bin_numeric_values_default_bins(spark):
+    from meds_transforms_spark.operators.bin_numeric_values import bin_numeric_values
+
+    d = os.path.join(REF, "bin_numeric_values/examples")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    # metadata/codes.parquet here is a YAML row list (quantile structs),
+    # not a CSV string; bins come straight from the quantiles.
+    bins = {
+        r["code"]: sorted(r["values/quantiles"].values())
+        for r in in_yaml["metadata/codes.parquet"]
+        if r["code"] is not None and r.get("values/quantiles")
+    }
+    out = bin_numeric_values(
+        _data_frame(spark, in_yaml),
+        custom_bins=bins,
+        code_with_bin_name="{code}//value_[{left},{right})",
+        drop_numeric_value=False,
+    )
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_reshard_to_split(spark):
+    from meds_transforms_spark.operators.reshard_to_split import reshard_to_split
+    from meds_transforms_spark.testing.fixtures import load_fixture_frame
+
+    d = os.path.join(REF, "reshard_to_split/examples")
+    in_yaml = _load_yaml(os.path.join(d, "in.yaml"))
+    splits = load_fixture_frame(
+        spark, in_yaml["metadata/subject_splits.parquet"], use_meds_schema=False
+    )
+    out = reshard_to_split(_data_frame(spark, in_yaml), subject_splits=splits)
+    out_yaml = _load_yaml(os.path.join(d, "out_data.yaml"))
+    # Shard FILES are a reference-ism; the Spark equivalent is the split
+    # partition column. Per split, the row multiset must match the union
+    # of that split's golden shards.
+    for split in ("train", "tuning", "held_out"):
+        exp = _expected_data(out_yaml, prefix=f"data/{split}/")
+        got = out.filter(f"split = '{split}'").drop("split")
+        _check(got, exp)
