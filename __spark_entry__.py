@@ -873,7 +873,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject_id, "time", 'TIMELINE//START' AS code, CAST(NULL AS REAL) AS numeric_value
               FROM w WHERE "time" = mn
             UNION ALL
-            SELECT subject_id, "time", 'TIMELINE//DELTA' AS code,
+            SELECT subject_id, "time", 'TIMELINE//DELTA//days' AS code,
                    CAST((epoch_us("time") - epoch_us(prev)) / 86400000000.0 AS REAL)
               FROM w WHERE prev IS NOT NULL
             UNION ALL

@@ -42,6 +42,19 @@ SECONDS_PER: dict[str, float] = {
 }
 
 
+_CANONICAL: dict[float, str] = {
+    1e-6: "microseconds",
+    1e-3: "milliseconds",
+    1.0: "seconds",
+    60.0: "minutes",
+    3600.0: "hours",
+    86400.0: "days",
+    7 * 86400.0: "weeks",
+    30.436875 * 86400.0: "months",
+    365.2422 * 86400.0: "years",
+}
+
+
 def normalize_time_unit(unit: str) -> float:
     """Seconds per one ``unit``; raises on unknown units."""
     try:
@@ -50,3 +63,9 @@ def normalize_time_unit(unit: str) -> float:
         raise ValueError(
             f"Unknown time unit {unit!r}; expected one of {sorted(SECONDS_PER)}"
         ) from None
+
+
+def canonical_time_unit(unit: str) -> str:
+    """Canonical plural name for ``unit`` ("y" → "years"), matching the
+    reference's normalize_time_unit first tuple element (utils.py:21-74)."""
+    return _CANONICAL[normalize_time_unit(unit)]

@@ -100,17 +100,29 @@ def time_of_day_rows(
 def timeline_tokens_rows(
     df: DataFrame,
     time_unit: str = "d",
-    start_code: str = "TIMELINE//START",
-    end_code: str = "TIMELINE//END",
-    delta_code: str = "TIMELINE//DELTA",
+    timeline_start_code: str | None = "TIMELINE//START",
+    timeline_end_code: str | None = "TIMELINE//END",
+    time_delta_code: str | None = "TIMELINE//DELTA//{time_unit}",
 ) -> DataFrame:
     """Timeline START/END markers + inter-event deltas
     (timeline_tokens.py:250-286). Delta = time since previous event in
-    ``time_unit`` (lag-1 window, W4 in SURVEY §2.5)."""
+    ``time_unit`` (lag-1 window, W4 in SURVEY §2.5).
+
+    Reference config parity (timeline_tokens.py:16-35): a ``None`` code
+    suppresses those rows; ``{time_unit}`` in the delta code is replaced
+    with the canonical unit name ("y" → "years")."""
+    from meds_transforms_spark.functions.time_units import canonical_time_unit
+
     events = _distinct_events(df)
     per_subject = W.partitionBy(SUBJECT_ID)
     ordered = per_subject.orderBy(TIME)
     unit_seconds = normalize_time_unit(time_unit)
+    start_code, end_code = timeline_start_code, timeline_end_code
+    delta_code = (
+        time_delta_code.replace("{time_unit}", canonical_time_unit(time_unit))
+        if time_delta_code is not None
+        else None
+    )
 
     base = events.withColumn("__start", F.min(TIME).over(per_subject)).withColumn(
         "__end", F.max(TIME).over(per_subject)
@@ -134,11 +146,24 @@ def timeline_tokens_rows(
             F.lit(None).cast("float").alias(NUMERIC_VALUE),
         )
     )
-    delta_rows = deltas.select(
-        SUBJECT_ID, TIME, F.lit(delta_code).alias(CODE),
-        F.col("__delta").cast("float").alias(NUMERIC_VALUE),
-    )
-    return starts.unionByName(delta_rows).unionByName(ends)
+    parts = []
+    if start_code is not None:
+        parts.append(starts)
+    if delta_code is not None:
+        parts.append(
+            deltas.select(
+                SUBJECT_ID, TIME, F.lit(delta_code).alias(CODE),
+                F.col("__delta").cast("float").alias(NUMERIC_VALUE),
+            )
+        )
+    if end_code is not None:
+        parts.append(ends)
+    if not parts:
+        return df.sparkSession.createDataFrame([], starts.schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _SUBSTAGES = {

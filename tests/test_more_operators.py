@@ -68,7 +68,7 @@ def test_add_time_derived_composite(spark, meds_df):
     codes = {r.code for r in out.collect()}
     assert "AGE" in codes
     assert any(c.startswith("TIME_OF_DAY//") for c in codes)
-    assert {"TIMELINE//START", "TIMELINE//END", "TIMELINE//DELTA"} <= codes
+    assert {"TIMELINE//START", "TIMELINE//END", "TIMELINE//DELTA//days"} <= codes
     assert "HR" in codes  # originals retained
     # AGE sanity: subject 1 admitted 2010, born 1980 → ~29.4 years
     ages = [

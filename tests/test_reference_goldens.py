@@ -331,6 +331,86 @@ def test_ref_bin_numeric_values_default_bins(spark):
     _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
 
 
+# --- scenarios with no shipped in.yaml -------------------------------
+# Their input is the canonical simple_static_MEDS dataset, which other
+# scenarios DO ship raw: normalization/on_raw_static_data/in.yaml's data
+# shards are the unmodified 62-row dataset, and fit_vocabulary_indices'
+# golden minus its computed column is the raw codes table.
+
+_RAW_IN = "normalization/examples/on_raw_static_data/in.yaml"
+
+
+def _raw_dataset(spark, prefix="data/"):
+    return _data_frame(spark, _load_yaml(os.path.join(REF, _RAW_IN)), prefix=prefix)
+
+
+def test_ref_filter_subjects(spark):
+    from meds_transforms_spark.operators.filter_subjects import filter_subjects
+
+    d = os.path.join(REF, "filter_subjects/examples")
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = filter_subjects(_raw_dataset(spark), **cfg)
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
+def test_ref_fit_vocabulary_indices_raw_static(spark):
+    from meds_transforms_spark.operators.fit_vocabulary_indices import (
+        fit_vocabulary_indices,
+    )
+    from meds_transforms_spark.testing.fixtures import _parse_csv, frame_from_pandas
+
+    d = os.path.join(REF, "fit_vocabulary_indices/examples/on_raw_static_data")
+    expected = _expected_data(
+        _load_yaml(os.path.join(d, "out_metadata.yaml")), prefix="metadata/"
+    )
+    codes_in = frame_from_pandas(
+        spark, expected.drop(columns=["code/vocab_index"]).copy()
+    )
+    out = fit_vocabulary_indices(codes_in)
+    _check(out, expected)
+
+
+def test_ref_aggregate_code_metadata_raw_static(spark):
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from pyspark.sql import functions as F
+
+    d = os.path.join(REF, "aggregate_code_metadata/examples/on_raw_static_data")
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = aggregate_code_metadata(
+        _raw_dataset(spark, prefix="data/train/"),
+        aggregations=cfg["aggregations"],
+        do_summarize_over_all_codes=cfg["do_summarize_over_all_codes"],
+    )
+    expected_rows = _load_yaml(os.path.join(d, "out_metadata.yaml"))[
+        "metadata/codes.parquet"
+    ]
+    expected = pd.DataFrame(expected_rows)
+    qcols = sorted(
+        next(r["values/quantiles"] for r in expected_rows if r["values/quantiles"]).keys()
+    )
+    for qc in qcols:
+        expected[qc] = [(r["values/quantiles"] or {}).get(qc) for r in expected_rows]
+    expected = expected.drop(columns=["values/quantiles"])
+    got = out.select(
+        *[c for c in out.columns if c != "values/quantiles"],
+        *[F.col("`values/quantiles`").getField(qc).alias(qc) for qc in qcols],
+    )
+    _check(got, expected, drop_cols=("description", "parent_codes"))
+
+
+def test_ref_add_time_derived_raw_static(spark):
+    from meds_transforms_spark.operators.add_time_derived import (
+        add_time_derived_measurements,
+    )
+
+    d = os.path.join(REF, "add_time_derived_measurements/examples/on_raw_static_data")
+    cfg = _load_yaml(os.path.join(d, "cfg.yaml"))
+    out = add_time_derived_measurements(_raw_dataset(spark), **cfg)
+    _check(out, _expected_data(_load_yaml(os.path.join(d, "out_data.yaml"))))
+
+
 def test_ref_reshard_to_split(spark):
     from meds_transforms_spark.operators.reshard_to_split import reshard_to_split
     from meds_transforms_spark.testing.fixtures import load_fixture_frame
