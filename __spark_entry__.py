@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from meds_transforms_spark.plans import tpch as _tpch_suite
+
 SF0001 = "/root/testdata/sf0.001"
 
 #: MEDS view of the events table, shared by oracle SQL (double value —
@@ -719,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_transitive": q_docs_minhash_transitive,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_topk": q_emb_lsh_topk,
+        **_tpch_suite.QUERIES,
     }
 
 
@@ -1195,4 +1198,5 @@ def oracle_sql() -> dict[str, str]:
                    {byte_at(1)} / 255.0 AS f1
             FROM documents
         """,
+        **_tpch_suite.ORACLES,
     }

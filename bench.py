@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q8",
+    "tpch_q18",
+    "tpch_q21",
     "events_hourly",
     "events_sessions",
     "docs_token_stats",
