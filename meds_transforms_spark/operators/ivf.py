@@ -15,6 +15,10 @@ Plan shape: centroids are broadcast (tiny); corpus cell assignment is a
 map-side projection; the probe is an equi-join on cell id — a plain
 shuffle join AQE can skew-split — followed by per-query top-k ranking.
 The corpus is never cross-joined against the full query set.
+
+L2 norms are computed ONCE per vector (corpus norms are persisted into
+the index) instead of inside every pair comparison: array lambdas run
+interpreted, so per-pair work must be the single dot product.
 """
 
 from __future__ import annotations
@@ -23,21 +27,28 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from meds_transforms_spark.operators.base import register_stage
-from meds_transforms_spark.operators.similarity import cosine_similarity
+from meds_transforms_spark.operators.similarity import dot, l2_norm
 
 
 def _nearest_cells(
     vec_df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n_probe: int
 ):
-    """(row, cell) pairs for the n_probe highest-cosine centroids."""
+    """(row, cell) pairs for the n_probe highest-cosine centroids.
+
+    ``vec_df`` must carry a precomputed ``__vnorm``; centroids carry
+    ``__cnorm`` (from :func:`ivf_centroids`). The pair expression is
+    then one dot product + one divide.
+    """
+    denom = F.col("__vnorm") * F.col("__cnorm")
     scored = vec_df.join(F.broadcast(centroids)).withColumn(
-        "__cell_cos", cosine_similarity(F.col(vec_col), F.col("__cvec"))
+        "__cell_cos",
+        F.when(denom > 0, dot(F.col(vec_col), F.col("__cvec")) / denom),
     )
     w = W.partitionBy(id_col).orderBy(F.col("__cell_cos").desc(), F.col("__cell"))
     return (
         scored.withColumn("__cell_rank", F.row_number().over(w))
         .filter(F.col("__cell_rank") <= n_probe)
-        .drop("__cvec", "__cell_cos", "__cell_rank")
+        .drop("__cvec", "__cnorm", "__cell_cos", "__cell_rank")
     )
 
 
@@ -49,6 +60,7 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", co
         .select(
             F.row_number().over(W.orderBy("vec_id")).alias("__cell"),
             F.col("__cvec0").alias("__cvec"),
+            l2_norm(F.col("__cvec0")).alias("__cnorm"),
         )
     )
 
@@ -59,16 +71,21 @@ def build_ivf_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """One-time index build: (vec_id, __vec, __cell) corpus assignment.
+    """One-time index build: (vec_id, __vec, __vnorm, __cell) assignment.
 
     At 100 TB this is the expensive pass (n_cells cosines per vector) —
     build once, ``write.partitionBy("__cell").parquet(...)`` and query
     against the persisted index; cell-partitioned storage means a probe
-    touches only its cells' files (partition pruning)."""
+    touches only its cells' files (partition pruning). The vector norm
+    is persisted alongside so query-time scoring never recomputes it."""
     centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__vec"))
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__vec"),
+        l2_norm(F.col(corpus_vec)).alias("__vnorm"),
+    )
     return _nearest_cells(c, centroids, "vec_id", "__vec", n_probe=1).select(
-        "vec_id", "__vec", "__cell"
+        "vec_id", "__vec", "__vnorm", "__cell"
     )
 
 
@@ -89,25 +106,39 @@ def ivf_topk(
 
     Pass ``index`` (from ``build_ivf_index``, possibly read back from
     parquet) to skip the corpus assignment pass."""
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qvec"),
+        l2_norm(F.col(query_vec)).alias("__qnorm"),
+    )
     centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
     c_cells = (
         index
         if index is not None
         else build_ivf_index(corpus, n_cells, corpus_id, corpus_vec)
     )
+    if "__vnorm" not in c_cells.columns:  # index built by an older writer
+        c_cells = c_cells.withColumn("__vnorm", l2_norm(F.col("__vec")))
 
     # Query side: probe the n_probe nearest cells.
     q_cells = _nearest_cells(
-        q.withColumnRenamed("__qvec", "__vec"),
+        q.select(
+            "query_id",
+            F.col("__qvec").alias("__vec"),
+            F.col("__qnorm").alias("__vnorm"),
+        ),
         centroids,
         "query_id",
         "__vec",
         n_probe=n_probe,
-    ).select("query_id", F.col("__vec").alias("__qv"), "__cell")
+    ).select(
+        "query_id", F.col("__vec").alias("__qv"), F.col("__vnorm").alias("__qnorm"), "__cell"
+    )
 
+    denom = F.col("__vnorm") * F.col("__qnorm")
     scored = c_cells.join(q_cells, "__cell").withColumn(
-        "cos", cosine_similarity(F.col("__vec"), F.col("__qv")).cast("double")
+        "cos",
+        F.when(denom > 0, dot(F.col("__vec"), F.col("__qv")) / denom).cast("double"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (

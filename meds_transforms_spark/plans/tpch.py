@@ -409,6 +409,54 @@ def q_tpch_q11(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking (adapted: no commit/receipt dates ⇒
+    'late' = a returned line): count orders per priority that have at
+    least one returned lineitem in a quarter — EXISTS ⇒ left_semi
+    against a pre-projected key set; the quarter filter prunes orders
+    before the shuffle."""
+    li, orders = (_t(spark, sf_dir, n) for n in ["lineitem", "orders"])
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20 potential part promotion (adapted: no partsupp ⇒ 'excess'
+    suppliers from lineitem itself): suppliers of NATION_1 who shipped
+    more than 50 units of some '%widget%' part —
+    a grouped HAVING pre-agg flows into a left_semi against supplier:
+    the nested-IN chain of the canonical text becomes two semi joins,
+    no subquery re-evaluation."""
+    li, sup, nat, part = (
+        _t(spark, sf_dir, n) for n in ["lineitem", "supplier", "nation", "part"]
+    )
+    wanted = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(50).cast("decimal(12,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
 def q_tpch_q2(spark, sf_dir):
     """Q2 (adapted: no partsupp ⇒ min retail price): parts priced at
     the minimum of their type — the correlated MIN subquery as a
@@ -623,6 +671,32 @@ ORACLES: dict[str, str] = {
         FROM from_n1, (SELECT sum(value_dec) AS total_dec FROM from_n1) t
         WHERE value_dec * 1000 > total_dec
     """,
+    "tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q20": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+            )
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2))
+          )
+          AND s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1'
+          )
+    """,
     "tpch_q2": """
         SELECT p_type, p_partkey, p_name,
                CAST(min_price AS DOUBLE) AS retailprice
@@ -638,6 +712,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "tpch_q2": q_tpch_q2,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q20": q_tpch_q20,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
