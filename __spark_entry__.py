@@ -514,6 +514,33 @@ def q_events_sliding_windows(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each purchase event picks up the latest prior click's
+    value for the same user — single shuffle on user_id, no range join
+    (operators/asof.py). Right side pre-agged to unique (user, ts) so
+    the tie winner is deterministic in both engines."""
+    from meds_transforms_spark.operators.asof import asof_join
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        payload=["click_value"], direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_matched").alias("click_ts"), "click_value",
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from meds_transforms_spark.sources.testdata import load_table
 
@@ -704,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_parts_by_brand": q_tpch_parts_by_brand,
         "supplier_balance": q_supplier_balance,
         "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
         "events_sliding_windows": q_events_sliding_windows,
         "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
@@ -1069,6 +1097,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof": """
+            WITH clicks AS (
+              SELECT user_id, ts, max(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ),
+            p AS (
+              SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.ts AS click_ts, c.click_value
+            FROM p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "events_sliding_windows": """
             WITH starts AS (

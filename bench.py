@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "tpch_q18",
     "tpch_q21",
     "events_hourly",
+    "events_asof",
     "events_sessions",
     "docs_token_stats",
     "docs_exact_dedup",
