@@ -541,6 +541,35 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_rolling(spark, sf_dir):
+    """Trailing 1-hour per-user window on every event — native
+    rangeBetween over epoch-µs, one shuffle (operators/rolling.py)."""
+    from meds_transforms_spark.operators.rolling import rolling_time_stats
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_time_stats(
+        ev, keys="user_id", time_col="ts", value_col="value",
+        window_seconds=3600, prefix="h1",
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Long→wide per-user feature matrix over the 5 event types —
+    explicit pivot values, one hash aggregation, exact decimal sums."""
+    from meds_transforms_spark.operators.rolling import pivot_features
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return pivot_features(
+        ev, entity_col="user_id", category_col="event_type",
+        categories=["click", "view", "purchase", "signup", "error"],
+        value_col="value",
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from meds_transforms_spark.sources.testdata import load_table
 
@@ -732,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance": q_supplier_balance,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
+        "events_rolling": q_events_rolling,
+        "events_pivot": q_events_pivot,
         "events_sliding_windows": q_events_sliding_windows,
         "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
@@ -1097,6 +1128,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id, ts, value,
+                   count(*) OVER w AS h1_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS h1_sum
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            )
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = 'click') AS DOUBLE) AS click_sum,
+                   count(*) FILTER (event_type = 'view') AS view_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = 'view') AS DOUBLE) AS view_sum,
+                   count(*) FILTER (event_type = 'purchase') AS purchase_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_sum,
+                   count(*) FILTER (event_type = 'signup') AS signup_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = 'signup') AS DOUBLE) AS signup_sum,
+                   count(*) FILTER (event_type = 'error') AS error_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = 'error') AS DOUBLE) AS error_sum
+            FROM events GROUP BY user_id
         """,
         "events_asof": """
             WITH clicks AS (

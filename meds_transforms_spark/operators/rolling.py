@@ -1,0 +1,103 @@
+"""Time-range rolling statistics and wide featurization.
+
+Two featurization primitives a training-data pipeline needs that the
+reference lacks (its windows are whole-partition or lag-1 only —
+SURVEY §2.5):
+
+- ``rolling_time_stats``: per-key trailing event-time window
+  (``RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW``) computed
+  with Spark's native ``rangeBetween`` over epoch-microseconds — one
+  shuffle on the key, in-partition sort, no self-join and no
+  per-row subquery. At 100 TB this rides the same subject/user
+  partitioning as every other window stage.
+- ``pivot_features``: long→wide per-entity feature matrix over an
+  EXPLICIT category list. Passing the list matters at scale: without
+  it Spark runs an extra distinct-collect job over the full table to
+  discover pivot values; with it the pivot is a single partial+final
+  hash aggregation with one output column per category.
+
+Sums are computed over exact DECIMAL casts so results are
+order-independent and cross-engine deterministic (float sums are
+neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+@register_stage("rolling_time_stats")
+def rolling_time_stats(
+    df: DataFrame,
+    keys: list[str] | str,
+    time_col: str = "time",
+    value_col: str | None = None,
+    window_seconds: int = 3600,
+    decimal_scale: int = 6,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Append trailing-window count/sum columns to every row.
+
+    The window is ``[t - window_seconds, t]`` inclusive on both ends —
+    the same semantics as SQL ``RANGE BETWEEN x PRECEDING AND CURRENT
+    ROW`` (rows tied on the order value are all included).
+
+    Output columns: ``{prefix}_n`` (count) and, when ``value_col`` is
+    given, ``{prefix}_sum`` (DECIMAL sum cast to double).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    p = prefix or f"w{window_seconds}s"
+    us = int(window_seconds) * 1_000_000
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(time_col)))
+        .rangeBetween(-us, 0)
+    )
+    out = df.withColumn(f"{p}_n", F.count(F.lit(1)).over(w))
+    if value_col is not None:
+        dec = F.col(value_col).cast(f"decimal(28,{decimal_scale})")
+        out = out.withColumn(
+            f"{p}_sum", F.sum(dec).over(w).cast("double")
+        )
+    return out
+
+
+@register_stage("pivot_features")
+def pivot_features(
+    df: DataFrame,
+    entity_col: str,
+    category_col: str,
+    categories: list[str],
+    value_col: str | None = None,
+    decimal_scale: int = 6,
+) -> DataFrame:
+    """One row per entity; per-category count and exact-sum columns.
+
+    ``categories`` is the explicit, ordered output column list; rows
+    with other categories are ignored (pivot semantics). Column names:
+    ``{cat}_n`` and ``{cat}_sum``.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast(f"decimal(28,{decimal_scale})")).alias("s")
+        )
+    pivoted = (
+        df.groupBy(entity_col)
+        .pivot(category_col, list(categories))
+        .agg(*aggs)
+    )
+    # Single-agg pivots name columns `{cat}`; multi-agg `{cat}_{alias}`.
+    cols = [F.col(entity_col)]
+    for cat in categories:
+        if value_col is None:
+            cols.append(F.coalesce(F.col(f"`{cat}`"), F.lit(0)).alias(f"{cat}_n"))
+        else:
+            cols.append(
+                F.coalesce(F.col(f"`{cat}_n`"), F.lit(0)).alias(f"{cat}_n")
+            )
+            cols.append(F.col(f"`{cat}_s`").cast("double").alias(f"{cat}_sum"))
+    return pivoted.select(*cols)
