@@ -712,6 +712,29 @@ def q_docs_simhash(spark, sf_dir):
     return simhash_table(docs)
 
 
+def q_emb_topk_vectorized(spark, sf_dir):
+    """Arrow/BLAS scoring path of exact top-k (mapInArrow matmul with
+    per-batch partial top-k) — same oracle as the expression path; the
+    output cosine is rounded to 4 decimals so both engines' float sum
+    orders agree."""
+    from meds_transforms_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("embedding")
+    )
+    out = brute_force_topk_vectorized(
+        emb, queries, k=10, corpus_vec="emb_d", query_vec="embedding"
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+    )
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     from meds_transforms_spark.operators.similarity import lsh_topk
 
@@ -772,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_tokens": q_docs_top_tokens,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_topk_vectorized": q_emb_topk_vectorized,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_label_stats": q_emb_label_stats,
         "multimodal_decode": q_multimodal_decode,
@@ -1269,6 +1293,18 @@ def oracle_sql() -> dict[str, str]:
                     / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
         """,
         "emb_topk_cosine": """
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[])) DESC,
+                              c.vec_id) AS INT) AS rank
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            QUALIFY rank <= 10
+        """,
+        "emb_topk_vectorized": """
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                                 CAST(q.embedding AS DOUBLE[])), 4) AS cos_r,

@@ -122,6 +122,97 @@ def brute_force_topk(
     )
 
 
+@register_stage("brute_force_topk_vectorized")
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul.
+
+    The scale path for HIGH-dimensional embeddings, where even one
+    interpreted dot product per pair dominates: the (small) query side
+    is collected once into a dense matrix shipped in the UDF closure;
+    each Arrow batch of the corpus becomes a (batch × dim) matrix and
+    one BLAS ``C @ Qᵀ`` scores every pair in the batch. Each batch
+    emits only its local top-k per query (argpartition), so the final
+    exact rank window sees ≤ batches·k·|Q| candidate rows instead of
+    |C|·|Q| — the corpus is scanned once, map-side, and never shuffled.
+
+    Local-top-k + global-top-k composes exactly (top-k of unioned
+    per-batch top-ks = global top-k); boundary ties are kept by
+    ordering candidates on (-cos, vec_id) in-batch, matching the
+    global window's tie-break.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    q_rows = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).collect()
+    if not q_rows:
+        schema = "query_id long, vec_id long, cos double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    kk = int(k)
+    dim = Q.shape[1]
+
+    out_schema = "query_id long, vec_id long, cos double"
+
+    def score_batches(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            # List<double> → flat values buffer → (n, dim) view. No
+            # per-row Python objects: this is the whole point of the
+            # Arrow path. combine_chunks handles multi-chunk columns;
+            # ragged inputs (wrong-length vectors) fail loudly on the
+            # reshape rather than silently mis-scoring.
+            col = rb.column(1)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            C = flat.reshape(n, dim).astype(np.float64, copy=False)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = Cn @ Qn.T  # (batch, |Q|)
+            top = min(kk, n)
+            # lexsort: primary -cos, secondary vec_id — matches the
+            # global window's (cos desc, vec_id asc) tie-break.
+            out_q, out_id, out_cos = [], [], []
+            for j in range(S.shape[1]):
+                order = np.lexsort((ids, -S[:, j]))[:top]
+                out_q.append(np.full(top, qids[j], dtype=np.int64))
+                out_id.append(ids[order])
+                out_cos.append(S[order, j])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_id)),
+                    pa.array(np.concatenate(out_cos)),
+                ],
+                names=["query_id", "vec_id", "cos"],
+            )
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        F.col(corpus_vec).cast("array<double>").alias("__v"),
+    )
+    cand = c.mapInArrow(score_batches, schema=out_schema)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 @register_stage("lsh_topk")
 def lsh_topk(
     corpus: DataFrame,
