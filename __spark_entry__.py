@@ -680,36 +680,53 @@ def q_multimodal_decode(spark, sf_dir):
 # --- no-oracle (rows-only) entries ------------------------------------
 
 def q_docs_corpus_prep(spark, sf_dir):
-    """Composed LLM-data pipeline (quality → dedup → lang → fingerprint);
-    rows-only (MinHash inside is not SQL-expressible)."""
+    """Composed LLM-data pipeline (quality/token filter → exact dedup →
+    MinHash near-dedup → language id → bucketing), fully oracle-checked:
+    md5-derived MinHash buckets make every stage SQL-reproducible."""
     from meds_transforms_spark.plans.corpus import prepare_training_corpus
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = prepare_training_corpus(docs, min_quality=0.2, min_tokens=5)
-    return out.select("doc_id", "n_tokens", "quality", "lang_pred", "quality_bucket")
+    out = prepare_training_corpus(
+        docs, min_quality=0.2, min_tokens=5, hash_fn="md5_60"
+    )
+    return out.select(
+        "doc_id", "n_tokens", F.round("quality", 6).alias("quality_r"),
+        "lang_pred", "quality_bucket",
+    )
 
 
 def q_docs_minhash_transitive(spark, sf_dir):
-    """Transitive-closure MinHash dedup (iterative connected components);
-    rows-only."""
+    """Transitive-closure MinHash dedup (iterative min-label
+    connected components on Spark) with md5-derived buckets, verified
+    against a DuckDB RECURSIVE-CTE transitive closure of the same
+    co-bucket graph."""
     from meds_transforms_spark.operators.components import minhash_lsh_dedup_transitive
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_dedup_transitive(docs).select("doc_id")
+    return minhash_lsh_dedup_transitive(docs, hash_fn="md5_60").select("doc_id")
 
 
 def q_docs_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dedup with hash_fn="md5_60" so the ENTIRE
+    pipeline — normalize → shingle → one-permutation slots → band
+    buckets → representative election — is reproduced verbatim by the
+    DuckDB oracle (md5 is engine-independent; xxhash64, the perf
+    default, has no DuckDB equivalent)."""
     from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_dedup(docs, num_hashes=32, bands=8).select("doc_id")
+    return minhash_lsh_dedup(
+        docs, num_hashes=32, bands=8, hash_fn="md5_60"
+    ).select("doc_id")
 
 
 def q_docs_simhash(spark, sf_dir):
+    """60-bit SimHash with engine-independent md5-derived token hashes
+    so the DuckDB oracle reproduces the whole signature computation."""
     from meds_transforms_spark.operators.dedup import simhash_table
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_table(docs)
+    return simhash_table(docs, hash_fn="md5_60")
 
 
 def q_emb_topk_vectorized(spark, sf_dir):
@@ -736,6 +753,10 @@ def q_emb_topk_vectorized(spark, sf_dir):
 
 
 def q_emb_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k with bucket_fn="exact":
+    sign-random (±1) planes over integer-quantized components make the
+    bucket bits order-independent exact integers, so the DuckDB oracle
+    recomputes the identical buckets, candidates, and ranks."""
     from meds_transforms_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
@@ -744,7 +765,13 @@ def q_emb_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("emb_d").alias("embedding")
     )
-    return lsh_topk(emb, queries, k=10, num_planes=8, corpus_vec="emb_d", query_vec="embedding")
+    out = lsh_topk(
+        emb, queries, k=10, num_planes=8,
+        corpus_vec="emb_d", query_vec="embedding", bucket_fn="exact",
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+    )
 
 
 # ----------------------------------------------------------------------
@@ -806,6 +833,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         **_tpch_suite.QUERIES,
     }
+
+
+def _minhash_bands_sql(source: str = "documents") -> str:
+    """Shared md5-based MinHash band-bucket pipeline (normalize →
+    5-char shingles → one-permutation 32-slot signature → 8 band
+    buckets) — the SQL mirror of
+    operators/dedup.lsh_band_buckets(hash_fn="md5_60")."""
+    return r"""norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+              FROM """ + source + r"""
+            ), pos AS (
+              SELECT doc_id, txt,
+                     unnest(range(1, greatest(len(txt) - 4, 1) + 1)) AS i
+              FROM norm
+            ), sh AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(substr(txt, CAST(i AS BIGINT), 5)), 1, 15) AS BIGINT) AS h
+              FROM pos
+            ), slots AS (
+              SELECT doc_id, h % 32 AS slot, min(h) AS mh
+              FROM sh GROUP BY doc_id, slot
+            ), bands AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(slot // 4 AS VARCHAR) || ':' ||
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY slot)), 1, 15) AS BIGINT) AS bucket
+              FROM slots GROUP BY doc_id, slot // 4
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1243,6 +1297,129 @@ def oracle_sql() -> dict[str, str]:
                      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
               FROM documents
             ) WHERE doc_id = keeper
+        """,
+        "emb_lsh_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            ), proj AS (
+              SELECT vec_id, p, sum(w * q) AS psum
+              FROM (
+                SELECT e.vec_id, pr.range AS p, jr.range AS j,
+                       ((CAST('0x' || substr(md5(CAST(pr.range AS VARCHAR) || ':' ||
+                          CAST(jr.range AS VARCHAR)), 1, 15) AS BIGINT) & 1) * 2 - 1) AS w,
+                       CAST(floor(emb[CAST(jr.range AS INT) + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+                FROM e, range(8) pr, range(64) jr
+              ) GROUP BY vec_id, p
+            ), buck AS (
+              SELECT vec_id,
+                     string_agg(CASE WHEN psum > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+              FROM proj GROUP BY vec_id
+            ), cand AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(ce.emb, qe.emb) AS cos
+              FROM buck c
+              JOIN buck q ON c.bucket = q.bucket AND q.vec_id < 5
+              JOIN e ce ON ce.vec_id = c.vec_id
+              JOIN e qe ON qe.vec_id = q.vec_id
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM cand QUALIFY rank <= 10
+        """,
+        "docs_simhash": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(txt, '\s+'), x -> x <> '')) AS t
+              FROM norm
+            ), hs AS (
+              SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+            )
+            SELECT doc_id, """
+        + " + ".join(
+            f"(CASE WHEN sum(((h >> {b}) & 1) * 2 - 1) > 0"
+            f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(60)
+        )
+        + r""" AS simhash
+            FROM hs GROUP BY doc_id
+        """,
+        "docs_minhash_dedup": r"""
+            WITH """ + _minhash_bands_sql() + r""", reps AS (
+              SELECT bucket, min(doc_id) AS rep FROM bands GROUP BY bucket
+            ), doc_rep AS (
+              SELECT b.doc_id, min(r.rep) AS rep
+              FROM bands b JOIN reps r USING (bucket) GROUP BY b.doc_id
+            )
+            SELECT doc_id FROM doc_rep WHERE doc_id = rep
+        """,
+        "docs_corpus_prep": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                     (least(length(text) / 200.0, 1.0)
+                      * (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) > 0.2
+                              THEN 0.5 ELSE 1.0 END)
+                      * (0.5 + 0.5 * least(len(list_distinct(list_intersect(
+                            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                            ['the','and','of','to','in','is','that','for','with','was']))) / 3.0, 1.0))
+                     ) AS quality
+              FROM documents
+            ), filt AS (
+              SELECT * FROM base WHERE quality >= 0.2 AND n_tokens >= 5
+            ), ded AS (
+              SELECT doc_id, text, n_tokens, quality FROM (
+                SELECT *, min(doc_id) OVER (
+                  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
+                FROM filt
+              ) WHERE doc_id = keeper
+            ), """ + _minhash_bands_sql("ded") + r""", reps AS (
+              SELECT bucket, min(doc_id) AS rep FROM bands GROUP BY bucket
+            ), doc_rep AS (
+              SELECT b.doc_id, min(r.rep) AS rep
+              FROM bands b JOIN reps r USING (bucket) GROUP BY b.doc_id
+            ), final AS (
+              SELECT d.* FROM ded d JOIN (
+                SELECT doc_id FROM doc_rep WHERE doc_id = rep) s USING (doc_id)
+            ), langtok AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks
+              FROM final
+            ), langh AS (
+              SELECT doc_id,
+                     len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','was'])) AS en_h,
+                     len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit','für','von'])) AS de_h,
+                     len(list_intersect(toks, ['le','la','et','les','des','est','pas','pour','que','une'])) AS fr_h,
+                     len(list_intersect(toks, ['el','la','de','que','los','las','una','por','con','para'])) AS es_h
+              FROM langtok
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN fr_h > 0 AND fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
+                          WHEN es_h > 0 AND es_h >= en_h AND es_h >= de_h THEN 'es'
+                          WHEN en_h > 0 AND en_h >= de_h THEN 'en'
+                          WHEN de_h > 0 THEN 'de'
+                          ELSE 'und' END AS lang_pred
+              FROM langh
+            )
+            SELECT f.doc_id, f.n_tokens, round(f.quality, 6) AS quality_r,
+                   l.lang_pred,
+                   least(CAST(floor(f.quality * 10) AS INT), 9) AS quality_bucket
+            FROM final f JOIN lang l USING (doc_id)
+        """,
+        "docs_minhash_transitive": r"""
+            WITH RECURSIVE """ + _minhash_bands_sql() + r""", edges AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM bands a JOIN bands b USING (bucket)
+              WHERE a.doc_id <> b.doc_id
+            ), reach(id, r) AS (
+              SELECT DISTINCT doc_id, doc_id FROM bands
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)
         """,
         "docs_lang_id": r"""
             WITH t AS (

@@ -131,6 +131,7 @@ def minhash_lsh_dedup_transitive(
     bands: int = 8,
     shingle_k: int = 5,
     max_iter: int = 20,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH dedup with FULL transitive closure: connected
     components over the doc↔bucket-representative star graph; one
@@ -138,7 +139,9 @@ def minhash_lsh_dedup_transitive(
     from meds_transforms_spark.operators.dedup import lsh_band_buckets
     from pyspark.sql import Window as W
 
-    buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    buckets = lsh_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, hash_fn
+    )
     # Star edges doc → bucket-min connect every co-bucketed pair
     # transitively through the representative.
     edges = (

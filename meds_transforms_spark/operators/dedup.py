@@ -43,6 +43,30 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     )
 
 
+def _h64(hash_fn: str, *cols: Column) -> Column:
+    """64-bit-ish hash of the ':'-joined string forms of ``cols``.
+
+    - ``"xxhash64"`` (default): fastest, JVM codegen, multi-arg native.
+    - ``"md5_60"``: first 15 hex chars of md5 as a positive 60-bit
+      long. ~Same collision behavior at these scales, but md5 exists
+      with identical output in every engine — used by the DuckDB
+      oracles to verify the FULL MinHash/SimHash pipeline end-to-end
+      (xxhash64 has no DuckDB equivalent).
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*cols)
+    if hash_fn == "md5_60":
+        joined = (
+            cols[0]
+            if len(cols) == 1
+            else F.concat_ws(":", *[c.cast("string") for c in cols])
+        )
+        return F.conv(F.substring(F.md5(joined.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) of normalized text."""
     toks = F.filter(F.split(_normalized(col), r"\s+"), lambda t: t != "")
@@ -90,6 +114,7 @@ def lsh_band_buckets(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, band-bucket hash) pairs via one-permutation MinHash — the
     relational formulation built for scale.
@@ -164,7 +189,7 @@ def lsh_band_buckets(
         )
         .select(
             F.col(id_col),
-            F.xxhash64(F.col("__chunk").substr(F.col("__i"), F.lit(shingle_k))).alias("__h"),
+            _h64(hash_fn, F.col("__chunk").substr(F.col("__i"), F.lit(shingle_k))).alias("__h"),
         )
     )
     slots = (
@@ -175,8 +200,9 @@ def lsh_band_buckets(
         slots.withColumn("__band", F.expr(f"__slot div {rows_per_band}"))
         .groupBy(id_col, "__band")
         .agg(
-            F.xxhash64(
-                "__band",
+            _h64(
+                hash_fn,
+                F.col("__band"),
                 F.concat_ws(
                     ",",
                     F.transform(
@@ -216,6 +242,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dedup: docs sharing any LSH band bucket collapse to the
     bucket's min id (1-hop representative — the standard at-scale
@@ -226,7 +253,9 @@ def minhash_lsh_dedup(
     join-back against the bucket table."""
     from pyspark.sql import Window as W
 
-    buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    buckets = lsh_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, hash_fn
+    )
     with_rep = buckets.withColumn(
         "__rep", F.min(id_col).over(W.partitionBy("__bucket"))
     )
@@ -239,31 +268,39 @@ SIMHASH_BITS = 63  # ≤63: Spark 4 ANSI mode errors on LongType overflow
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) via the relational formulation.
 
     bit b of the signature = sign of Σ_tokens (2·bit_b(hash(token)) − 1).
     Explode tokens, hash once (codegen), then ONE hash-aggregation with
-    63 ``sum(getbit(h, b)·2−1)`` columns — no interpreted lambdas, and
-    map-side partial aggregation means the shuffle carries one 63-column
-    row per doc per map partition. Packing is a plain projection of
-    shifted sign bits.
+    one ``sum(getbit(h, b)·2−1)`` column per bit — no interpreted
+    lambdas, and map-side partial aggregation means the shuffle carries
+    one bit-sum row per doc per map partition. Packing is a plain
+    projection of shifted sign bits.
+
+    ``hash_fn="md5_60"`` yields a 60-bit signature whose token hashes
+    are engine-independent, enabling a full-pipeline DuckDB oracle.
     """
+    bits = 60 if hash_fn == "md5_60" else SIMHASH_BITS
     toks = F.filter(F.split(_normalized(F.col(text_col)), r"\s+"), lambda t: t != "")
     # explode_outer: zero-token docs must still receive a signature
     # (all-zero) rather than silently vanishing from the output.
     exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
-        F.col(id_col), F.when(F.col("__t").isNotNull(), F.xxhash64("__t")).alias("__h")
+        F.col(id_col),
+        F.when(F.col("__t").isNotNull(), _h64(hash_fn, F.col("__t"))).alias("__h"),
     )
     bit_sums = exploded.groupBy(id_col).agg(
         *[
             F.sum(F.getbit("__h", F.lit(b)) * 2 - 1).alias(f"__b{b}")
-            for b in range(SIMHASH_BITS)
+            for b in range(bits)
         ]
     )
     packed = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         term = F.when(
             F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))

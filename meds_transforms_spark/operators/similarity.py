@@ -76,6 +76,42 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 16) -> Column:
     return F.concat_ws("", bits)
 
 
+def hyperplane_bucket_exact(
+    vec: Column, dim: int, num_planes: int = 8, quant: int = 1_000_000
+) -> Column:
+    """Engine-reproducible LSH bucket: sign-random (±1) hyperplanes with
+    integer-quantized projections.
+
+    Weight(p, j) = ±1 from the low bit of an md5-derived hash of
+    ``"p:j"``; component j is quantized ``floor(v·quant + 0.5)`` (floor
+    is exact on doubles, so every engine computes the same integer).
+    The projection is then an INTEGER sum — order-independent and
+    bit-identical everywhere — so the bucket bit (sign) matches a SQL
+    reimplementation exactly. Rademacher signs are a standard LSH
+    family; quantization at 1e-6 only perturbs points within 1e-6·√d
+    of a hyperplane, which moves bucket boundaries, not correctness
+    (LSH buckets are approximate by construction).
+    """
+    from meds_transforms_spark.operators.dedup import _h64
+
+    def plane_bit(p: Column) -> Column:
+        w = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.getbit(_h64("md5_60", p, j), F.lit(0)) * 2 - 1,
+        )
+        terms = F.zip_with(
+            vec,
+            w,
+            lambda x, wj: wj.cast("long")
+            * F.floor(x * F.lit(float(quant)) + F.lit(0.5)).cast("long"),
+        )
+        proj = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(num_planes - 1)), plane_bit)
+    return F.concat_ws("", bits)
+
+
 @register_stage("brute_force_topk")
 def brute_force_topk(
     corpus: DataFrame,
@@ -223,6 +259,7 @@ def lsh_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    bucket_fn: str = "hash",
 ) -> DataFrame:
     """Approximate top-k: compare only same-hyperplane-bucket pairs.
 
@@ -230,19 +267,27 @@ def lsh_topk(
     on bucket ids — a plain shuffle join Catalyst can plan (and AQE can
     skew-split). Recall is tuned by ``num_planes`` (fewer planes →
     bigger buckets → higher recall, more compute).
+
+    ``bucket_fn="exact"`` switches to the engine-reproducible
+    sign-random integer-projection bucketing
+    (:func:`hyperplane_bucket_exact`) so a SQL oracle can recompute
+    the identical buckets.
     """
     dim_row = corpus.select(F.size(corpus_vec).alias("d")).limit(1).collect()
     dim = dim_row[0]["d"]
+    bucketize = (
+        hyperplane_bucket_exact if bucket_fn == "exact" else hyperplane_bucket
+    )
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cvec"),
         l2_norm(F.col(corpus_vec)).alias("__cn"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__cvec"), dim, num_planes))
+    ).withColumn("__bucket", bucketize(F.col("__cvec"), dim, num_planes))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qvec"),
         l2_norm(F.col(query_vec)).alias("__qn"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), dim, num_planes))
+    ).withColumn("__bucket", bucketize(F.col("__qvec"), dim, num_planes))
     denom = F.col("__cn") * F.col("__qn")
     scored = c.join(q, "__bucket").withColumn(
         "cos",

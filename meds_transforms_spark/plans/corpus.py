@@ -34,6 +34,7 @@ def prepare_training_corpus(
     languages: list[str] | None = None,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Returns the cleaned corpus with quality/stats columns attached."""
     from meds_transforms_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
@@ -52,7 +53,8 @@ def prepare_training_corpus(
     out = exact_dedup(out, text_col=text_col, id_col=id_col)
     if near_dedup:
         out = minhash_lsh_dedup(
-            out, text_col=text_col, id_col=id_col, num_hashes=num_hashes, bands=bands
+            out, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, hash_fn=hash_fn,
         )
     out = language_id(out, text_col=text_col)
     if languages:
