@@ -56,6 +56,40 @@ def windowed_code_counts(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: drop later arrivals with identical
+    (normalized) content.
+
+    ``dropDuplicatesWithinWatermark`` on the 64-bit content hash — the
+    streaming analog of ``operators.dedup.exact_dedup``. State is
+    bounded by the watermark: a duplicate arriving more than
+    ``watermark`` after its first occurrence is admitted again (the
+    standard trade for bounded state on an unbounded stream; the batch
+    operator remains the exact pass for compaction jobs).
+
+    At scale the state store is keyed by a single long per distinct doc
+    in the watermark horizon — RocksDB state backend handles billions;
+    no shuffle beyond the dedup key exchange.
+    """
+    from meds_transforms_spark.operators.dedup import _normalized
+
+    c = F.col(text_col)
+    key = F.xxhash64(_normalized(c) if normalize else c)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .withColumn("__key", key)
+        .dropDuplicatesWithinWatermark(["__key"])
+        .drop("__key")
+    )
+
+
 def stream_to_meds_sink(
     stream: DataFrame,
     out_path: str,

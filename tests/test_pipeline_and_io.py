@@ -127,3 +127,34 @@ def test_streaming_windowed_counts(spark, meds_df, tmp_path):
     # assertions are that the stream planned, ran, and committed.
     assert q.lastProgress is not None
     spark.sql("SELECT * FROM codes_stream").collect()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import datetime as dt
+
+    from meds_transforms_spark.streaming.events import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, "hello world"),
+        (2, t0 + dt.timedelta(minutes=1), "Hello   WORLD"),  # dup after normalize
+        (3, t0 + dt.timedelta(minutes=2), "different"),
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string").write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    )
+    deduped = streaming_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    # one of the two normalized-equal docs survives, plus the distinct one
+    assert 3 in got and len(got) == 2 and (1 in got or 2 in got)
