@@ -541,6 +541,52 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_grouping_sets(spark, sf_dir):
+    """Multi-granularity aggregate in ONE pass: (day×type), (day),
+    (type), () via grouping sets — Spark expands to a single Expand +
+    hash agg, no self-union of four scans."""
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    day, etype = F.col("day"), F.col("event_type")
+    return (
+        ev.groupingSets(
+            [[day, etype], [day], [etype], []], day, etype
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_events_rows_window(spark, sf_dir):
+    """ROWS-frame sliding stats: mean of the previous 3 values per user
+    (frame excludes current row) — deterministic tie order via event_id
+    in the window sort; exact decimal sum, double division at the edge."""
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.count(F.lit(1)).over(w).alias("prev_n"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("prev_mean"),
+    )
+
+
 def q_events_rolling(spark, sf_dir):
     """Trailing 1-hour per-user window on every event — native
     rangeBetween over epoch-µs, one shuffle (operators/rolling.py)."""
@@ -813,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_rolling": q_events_rolling,
         "events_pivot": q_events_pivot,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_rows_window": q_events_rows_window,
         "events_sliding_windows": q_events_sliding_windows,
         "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
@@ -1206,6 +1254,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_grouping_sets": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+                   CAST(grouping(date_trunc('day', ts)) * 2
+                        + grouping(event_type) AS BIGINT) AS gid
+            FROM events
+            GROUP BY GROUPING SETS ((day, event_type), (day), (event_type), ())
+        """,
+        "events_rows_window": """
+            SELECT event_id, user_id, ts, value,
+                   count(*) OVER w AS prev_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                     / count(*) OVER w AS prev_mean
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+            )
         """,
         "events_rolling": """
             SELECT event_id, user_id, ts, value,
