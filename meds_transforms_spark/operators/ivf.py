@@ -65,11 +65,70 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", co
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd's iterations over the deterministic seed centroids.
+
+    Each round: (1) assign every vector to its nearest centroid — a
+    broadcast of n_cells rows against a map-side scan, no corpus
+    shuffle; (2) recompute centroids as the element-wise mean of
+    assigned vectors — posexplode to (cell, dim, value) rows, one hash
+    aggregation, rebuild the array with a sorted collect. Per-round
+    cost is one corpus scan + one shuffle of (cell, dim) keys —
+    n_cells·dim distinct keys, independent of corpus size, so partial
+    aggregation does almost all the work map-side. Centroids are
+    localCheckpoint'd per round to truncate the lineage.
+
+    Cells that lose all members keep their previous centroid. Returns
+    the refined centroid frame in :func:`ivf_centroids` layout
+    (``__cell, __cvec, __cnorm``) — drop-in for ``ivf_topk(index=...)``
+    builds.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__vec"),
+        l2_norm(F.col(corpus_vec)).alias("__vnorm"),
+    )
+    cents = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec).localCheckpoint(
+        eager=True
+    )
+    for _ in range(int(iters)):
+        assigned = _nearest_cells(c, cents, "vec_id", "__vec", n_probe=1)
+        means = (
+            assigned.select("__cell", F.posexplode("__vec").alias("__j", "__x"))
+            .groupBy("__cell", "__j")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__j", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__newvec")
+            )
+        )
+        cents = (
+            cents.join(means, "__cell", "left")
+            .select(
+                "__cell",
+                F.coalesce(F.col("__newvec"), F.col("__cvec")).alias("__cvec"),
+            )
+            .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_cells: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """One-time index build: (vec_id, __vec, __vnorm, __cell) assignment.
 
@@ -77,8 +136,11 @@ def build_ivf_index(
     build once, ``write.partitionBy("__cell").parquet(...)`` and query
     against the persisted index; cell-partitioned storage means a probe
     touches only its cells' files (partition pruning). The vector norm
-    is persisted alongside so query-time scoring never recomputes it."""
-    centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
+    is persisted alongside so query-time scoring never recomputes it.
+    Pass ``centroids`` (e.g. from :func:`kmeans_refine`) to override the
+    deterministic seeds."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__vec"),
@@ -101,21 +163,24 @@ def ivf_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: (query_id, vec_id, cos, rank) over probed cells.
 
     Pass ``index`` (from ``build_ivf_index``, possibly read back from
-    parquet) to skip the corpus assignment pass."""
+    parquet) to skip the corpus assignment pass, and/or ``centroids``
+    (e.g. refined by :func:`kmeans_refine`) to override the seeds."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qvec"),
         l2_norm(F.col(query_vec)).alias("__qnorm"),
     )
-    centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
     c_cells = (
         index
         if index is not None
-        else build_ivf_index(corpus, n_cells, corpus_id, corpus_vec)
+        else build_ivf_index(corpus, n_cells, corpus_id, corpus_vec, centroids)
     )
     if "__vnorm" not in c_cells.columns:  # index built by an older writer
         c_cells = c_cells.withColumn("__vnorm", l2_norm(F.col("__vec")))

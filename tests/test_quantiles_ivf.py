@@ -59,3 +59,71 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert qid in got
         recalls.append(len(want & got) / len(want))
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_kmeans_refine_improves_quantization(spark):
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.ivf import (
+        _nearest_cells,
+        ivf_centroids,
+        kmeans_refine,
+    )
+    from meds_transforms_spark.operators.similarity import dot, l2_norm
+
+    # 4 well-separated axis clusters in 8-d with small hash-noise.
+    d, n = 8, 400
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda j: (
+                F.when(j == (F.col("id") % 4) * 2, F.lit(10.0)).otherwise(F.lit(0.0))
+                + F.xxhash64("id", j).cast("double") / F.lit(float(2**63))
+            ),
+        ).alias("embedding"),
+    )
+
+    def mean_quant_cos(cents):
+        c = base.select(
+            "vec_id",
+            F.col("embedding").alias("__vec"),
+            l2_norm(F.col("embedding")).alias("__vnorm"),
+        )
+        assigned = _nearest_cells(c, cents, "vec_id", "__vec", n_probe=1)
+        # re-join centroid vectors to score the assignment quality
+        scored = assigned.join(cents, "__cell").select(
+            (
+                dot(F.col("__vec"), F.col("__cvec"))
+                / (F.col("__vnorm") * F.col("__cnorm"))
+            ).alias("cos")
+        )
+        return scored.agg(F.avg("cos")).collect()[0][0]
+
+    seeds = ivf_centroids(base, 4)
+    refined = kmeans_refine(base, n_cells=4, iters=3)
+    q_seed, q_ref = mean_quant_cos(seeds), mean_quant_cos(refined)
+    assert q_ref > q_seed + 0.002, (q_seed, q_ref)
+    assert refined.count() == 4
+
+
+def test_ivf_topk_accepts_refined_centroids(spark):
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.ivf import ivf_topk, kmeans_refine
+
+    base = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.xxhash64("id", j).cast("double") / F.lit(float(2**63)),
+        ).alias("embedding"),
+    )
+    qs = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_refine(base, n_cells=4, iters=2)
+    out = ivf_topk(base, qs, k=5, n_cells=4, n_probe=2, centroids=cents)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["rank"] <= 5 for r in rows)
