@@ -107,3 +107,62 @@ def test_token_count_matches_python_split(spark, text):
 
     expected = len([t for t in re.split(r"\s+", text, flags=re.ASCII) if t])
     assert got == expected
+
+
+@st.composite
+def asof_tables(draw):
+    """Random left/right event tables over a few keys with second-level
+    timestamps (duplicates allowed on the left; right deduped per
+    (key, time) as the operator contract requires)."""
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=4, unique=True))
+    left, right = [], []
+    for k in keys:
+        lt = draw(st.lists(st.integers(0, 120), min_size=0, max_size=12))
+        rt = draw(
+            st.lists(st.integers(0, 120), min_size=0, max_size=10, unique=True)
+        )
+        left += [(k, t) for t in lt]
+        right += [(k, t, float(k * 1000 + t)) for t in rt]
+    return left, right
+
+
+@settings(max_examples=20, deadline=None)
+@given(tables=asof_tables(), direction=st.sampled_from(["backward", "forward"]),
+       strict=st.booleans())
+def test_asof_join_matches_naive(spark, tables, direction, strict):
+    import datetime as dt
+
+    from meds_transforms_spark.operators.asof import asof_join
+
+    left_rows, right_rows = tables
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(left_rows)] or [(99, ts(0), 0)],
+        "k long, time timestamp, row_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(t), v) for (k, t, v) in right_rows] or [(98, ts(0), 0.0)],
+        "k long, time timestamp, v double",
+    )
+    out = {
+        r["row_id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", direction=direction, strict=strict
+        ).collect()
+    }
+
+    rmap: dict[int, list[tuple[int, float]]] = {}
+    for k, t, v in (right_rows or [(98, 0, 0.0)]):
+        rmap.setdefault(k, []).append((t, v))
+    for i, (k, t) in enumerate(left_rows or [(99, 0)]):
+        if direction == "backward":
+            cand = [(rt, v) for rt, v in rmap.get(k, []) if (rt < t if strict else rt <= t)]
+            expect = max(cand)[1] if cand else None
+        else:
+            cand = [(rt, v) for rt, v in rmap.get(k, []) if (rt > t if strict else rt >= t)]
+            expect = min(cand)[1] if cand else None
+        assert out[i] == expect, (i, k, t, direction, strict, cand, out[i])
