@@ -42,10 +42,38 @@ def test_q19_part_filter_pushed_below_join(spark, entry):
     assert "Brand#" in plan.split("BroadcastHashJoin")[-1]
 
 
-def test_q21_semi_and_anti_joins(spark, entry):
+def test_q21_counting_rewrite_plan(spark, entry):
+    """Q21's double-EXISTS is implemented as chained hash aggregations;
+    the only join left is the broadcast against supplier."""
     plan = entry.queries()["tpch_q21"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_matches_literal_exists_formulation(spark, entry):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    alls = li.select(F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")).distinct()
+    r2 = r.select(F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk"))
+    lone = (
+        r.join(alls, (F.col("l_orderkey") == F.col("a_ok")) & (F.col("l_suppkey") != F.col("a_sk")), "left_semi")
+        .join(r2, (F.col("l_orderkey") == F.col("r_ok")) & (F.col("l_suppkey") != F.col("r_sk")), "left_anti")
+    )
+    literal = {
+        (r_["s_name"],): r_["numwait"]
+        for r_ in lone.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait")).collect()
+    }
+    rewritten = {
+        (r_["s_name"],): r_["numwait"]
+        for r_ in entry.queries()["tpch_q21"](spark, SF_DIR).collect()
+    }
+    assert literal == rewritten
 
 
 def test_q13_left_outer_preserves_all_customers(spark, entry):
