@@ -1278,7 +1278,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": """
             SELECT event_id, user_id, ts, value,
                    count(*) OVER w AS h1_n,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS h1_sum
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+                     / 1000000.0 AS h1_sum
             FROM events
             WINDOW w AS (
               PARTITION BY user_id ORDER BY ts
