@@ -35,6 +35,11 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Self-sufficient against sessions we didn't build (a plain
+        # SparkSession ERRORS on the TIMESTAMP(NANOS) column:
+        # PARQUET_TYPE_ILLEGAL). The conf is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # Integer division, NOT `/1000` (double division loses precision
