@@ -725,6 +725,18 @@ def q_multimodal_decode(spark, sf_dir):
 
 # --- no-oracle (rows-only) entries ------------------------------------
 
+def q_docs_tfidf(spark, sf_dir):
+    """Smoothed TF-IDF per (doc, token) — two hash aggs + one join;
+    score rounded to 6 so both engines' ln() agree at the boundary."""
+    from meds_transforms_spark.operators.text import tf_idf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tf_idf(docs, min_df=2)
+    return out.select(
+        "doc_id", "tok", "tf", "df", F.round("tfidf", 6).alias("tfidf_r")
+    )
+
+
 def q_docs_corpus_prep(spark, sf_dir):
     """Composed LLM-data pipeline (quality/token filter → exact dedup →
     MinHash near-dedup → language id → bucketing), fully oracle-checked:
@@ -875,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_stats": q_emb_label_stats,
         "multimodal_decode": q_multimodal_decode,
         "docs_corpus_prep": q_docs_corpus_prep,
+        "docs_tfidf": q_docs_tfidf,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_minhash_transitive": q_docs_minhash_transitive,
         "docs_simhash": q_docs_simhash,
@@ -1424,6 +1437,20 @@ def oracle_sql() -> dict[str, str]:
               FROM bands b JOIN reps r USING (bucket) GROUP BY b.doc_id
             )
             SELECT doc_id FROM doc_rep WHERE doc_id = rep
+        """,
+        "docs_tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+            ), dfreq AS (
+              SELECT tok, count(*) AS df FROM tf GROUP BY tok HAVING count(*) >= 2
+            ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf_r
+            FROM tf JOIN dfreq USING (tok), n
         """,
         "docs_corpus_prep": r"""
             WITH base AS (

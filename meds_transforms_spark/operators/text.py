@@ -156,3 +156,42 @@ def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -
     if normalize:
         c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return df.withColumn("fingerprint", F.xxhash64(c))
+
+
+@register_stage("tf_idf")
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc, token, tf, df, tfidf) — smoothed TF-IDF, fully relational.
+
+    tf = in-doc term count; df = number of docs containing the token;
+    idf = ln((N+1)/(df+1)) + 1 (sklearn-style smoothing: never zero,
+    defined for unseen tokens). Two hash aggregations — (doc, token)
+    and (token) — plus one broadcast of the per-token df table when it
+    fits, else a plain shuffle join Catalyst picks. Shuffles carry
+    (token, count) pairs, never text bodies. ``min_df`` prunes the
+    ultra-rare tail before the join (the standard vocabulary guard —
+    at web scale most tokens are hapaxes that triple join traffic for
+    no modeling value).
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= int(min_df))
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return tf.join(dfreq, "tok").select(
+        F.col(id_col),
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf") * idf).alias("tfidf"),
+    )
