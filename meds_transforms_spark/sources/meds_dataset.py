@@ -153,3 +153,38 @@ def attach_order_key(df: DataFrame) -> DataFrame:
 
 def _exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_within_by: Iterable[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Coalesce a small-file parquet directory into ~target-sized files.
+
+    The small-files problem is the dominant operational tax on long-
+    lived datasets (every file costs a task + open + footer read; a
+    stage-per-shard writer like the reference's produces one file per
+    shard per stage). This sizes output count from the ACTUAL input
+    bytes (filesystem listing, no data read), uses ``coalesce`` — a
+    shuffle-FREE narrow repartition, each output task reads several
+    input files sequentially — and optionally restores intra-file order
+    (e.g. ``(subject_id, time)``) so parquet min/max stats stay
+    selective after compaction. Returns the target file count.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // int(target_file_bytes)))  # ceil
+
+    df = spark.read.parquet(src)
+    out = df.coalesce(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode(mode).parquet(dst)
+    return n_files

@@ -158,3 +158,28 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
     # one of the two normalized-equal docs survives, plus the distinct one
     assert 3 in got and len(got) == 2 and (1 in got or 2 in got)
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.sources.meds_dataset import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(
+        spark, src, dst, target_file_bytes=10**9, sort_within_by=["k", "id"]
+    )
+    assert n == 1
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == 1
+    a = spark.read.parquet(src).groupBy("k").count().collect()
+    b = spark.read.parquet(dst).groupBy("k").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
