@@ -20,6 +20,10 @@ REVIEW = {
     "docs_exact_dedup": "one scan, one exchange on the 64-bit content hash, window min, filter",
     "docs_minhash_dedup": "explode→hash projections (codegen), two small-key hash aggs, window rep-select, semi join back",
     "emb_topk_cosine": "corpus scan map-side joined to broadcast queries; rank window on query_id only",
+    "tpch_q21": "double-EXISTS as two chained hash aggs ((order,supplier) then order) + broadcast supplier — 2 exchanges, no semi/anti re-shuffles",
+    "events_asof": "both sides unioned → ONE exchange on user_id → running last(ignorenulls) window; no range join anywhere",
+    "events_rolling": "single exchange + sort feeding a bounded RANGE frame over epoch-µs; scaled-long sliding sum stays in codegen",
+    "docs_tfidf": "two hash aggs ((doc,token), token) + broadcast df-table join; shuffles carry (token,count) only",
 }
 
 
