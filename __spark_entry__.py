@@ -737,6 +737,31 @@ def q_docs_tfidf(spark, sf_dir):
     )
 
 
+def q_docs_semantic_search(spark, sf_dir):
+    """RAG-prep composition: quality-gate the corpus, join each doc's
+    embedding (broadcastable dim join), then exact cosine top-5 per
+    query vector over the SURVIVING subset — filter-before-score, the
+    shape that keeps 100 TB ANN affordable."""
+    from meds_transforms_spark.operators.similarity import brute_force_topk
+    from meds_transforms_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    good = quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
+    corpus = good.join(emb, good.doc_id == emb.vec_id).select("vec_id", "emb_d")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("embedding")
+    )
+    out = brute_force_topk(
+        corpus, queries, k=5, corpus_vec="emb_d", query_vec="embedding"
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+    )
+
+
 def q_docs_corpus_prep(spark, sf_dir):
     """Composed LLM-data pipeline (quality/token filter → exact dedup →
     MinHash near-dedup → language id → bucketing), fully oracle-checked:
@@ -888,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "docs_corpus_prep": q_docs_corpus_prep,
         "docs_tfidf": q_docs_tfidf,
+        "docs_semantic_search": q_docs_semantic_search,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "docs_minhash_transitive": q_docs_minhash_transitive,
         "docs_simhash": q_docs_simhash,
@@ -1437,6 +1463,33 @@ def oracle_sql() -> dict[str, str]:
               FROM bands b JOIN reps r USING (bucket) GROUP BY b.doc_id
             )
             SELECT doc_id FROM doc_rep WHERE doc_id = rep
+        """,
+        "docs_semantic_search": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     (least(length(text) / 200.0, 1.0)
+                      * (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) > 0.2
+                              THEN 0.5 ELSE 1.0 END)
+                      * (0.5 + 0.5 * least(len(list_distinct(list_intersect(
+                            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                            ['the','and','of','to','in','is','that','for','with','was']))) / 3.0, 1.0))
+                     ) AS quality
+              FROM documents
+            ), corpus AS (
+              SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+              FROM embeddings e JOIN q ON q.doc_id = e.vec_id
+              WHERE q.quality >= 0.5
+            ), qv AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE vec_id < 3
+            )
+            SELECT qv.query_id, c.vec_id,
+                   round(list_cosine_similarity(c.emb, qv.emb), 4) AS cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY qv.query_id
+                     ORDER BY list_cosine_similarity(c.emb, qv.emb) DESC, c.vec_id) AS INT) AS rank
+            FROM corpus c, qv
+            QUALIFY rank <= 5
         """,
         "docs_tfidf": r"""
             WITH toks AS (

@@ -127,3 +127,27 @@ def test_ivf_topk_accepts_refined_centroids(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r["rank"] <= 5 for r in rows)
+
+
+def test_approx_methods_recall_floor(spark):
+    """IVF (probing 4 of 8 cells) must recover most of the exact top-10;
+    this guards against silent candidate-generation regressions."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.ivf import ivf_topk
+    from meds_transforms_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("embedding")
+    )
+    exact = brute_force_topk(emb, qs, k=10, corpus_vec="emb_d", query_vec="embedding")
+    approx = ivf_topk(
+        emb, qs, k=10, n_cells=8, n_probe=4, corpus_vec="emb_d", query_vec="embedding"
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
