@@ -174,6 +174,83 @@ def decode_image(df: DataFrame, binary_col: str = "payload", id_col: str = "doc_
     return df.select(id_col, binary_col).mapInPandas(decode, IMAGE_DECODE_SCHEMA)
 
 
+def _wav_chunks(payload: bytes) -> dict[bytes, bytes]:
+    """Walk the RIFF chunk list; return {chunk_id: chunk_bytes}."""
+    out: dict[bytes, bytes] = {}
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return out
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        out[cid] = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+WAV_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "rms double, peak double, mean double"
+)
+
+
+@register_stage("decode_wav_pcm")
+def decode_wav_pcm(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL 16-bit PCM WAV decode — no codec library needed.
+
+    PCM is just packed little-endian int16s: walk the RIFF chunks to
+    the fmt/data payloads (real container parsing), then
+    ``np.frombuffer`` the sample data and compute sample statistics
+    (RMS, peak, mean on [-1, 1]-normalized values). Unlike the image
+    pixel kernel (which genuinely needs a codec and stays stubbed),
+    this path is production-real end to end. Arrow-batched mapInPandas;
+    payload bytes never shuffle.
+    """
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "rms": [], "peak": [], "mean": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                chunks = _wav_chunks(payload)
+                fmt, data = chunks.get(b"fmt "), chunks.get(b"data")
+                ok = fmt is not None and len(fmt) >= 16 and data is not None
+                rate = ch = None
+                stats = (None, None, None, None)
+                if ok:
+                    audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
+                    (bits,) = struct.unpack("<H", fmt[14:16])
+                    if audio_fmt == 1 and bits == 16 and len(data) >= 2:
+                        x = np.frombuffer(
+                            data[: len(data) - (len(data) % 2)], dtype="<i2"
+                        ).astype(np.float64) / 32768.0
+                        stats = (
+                            len(x),
+                            float(np.sqrt(np.mean(x * x))),
+                            float(np.max(np.abs(x))),
+                            float(np.mean(x)),
+                        )
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(stats[0])
+                rows["rms"].append(stats[1])
+                rows["peak"].append(stats[2])
+                rows["mean"].append(stats[3])
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
+            out["channels"] = pd.array(out["channels"], dtype="Int32")
+            out["n_samples"] = pd.array(out["n_samples"], dtype="Int64")
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(decode, WAV_DECODE_SCHEMA)
+
+
 @register_stage("frame_sample")
 def frame_sample(
     df: DataFrame,

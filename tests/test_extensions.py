@@ -175,3 +175,42 @@ def test_matcher_any_and_col_expr(spark):
     assert cols == {"a", "b"}
     got = [r[0] for r in df.select(expr).collect()]
     assert got == ["A", "22"]
+
+
+def test_decode_wav_pcm_real_samples(spark):
+    """Synthesize a real 16-bit PCM WAV (sine + constant) and verify the
+    decoder recovers exact sample statistics — no codec library, just
+    RIFF walking + frombuffer."""
+    import math
+    import struct as st
+
+    import numpy as np
+
+    from meds_transforms_spark.operators.multimodal import decode_wav_pcm
+
+    rate, n = 8000, 800
+    sine = np.array(
+        [int(16383 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)],
+        dtype="<i2",
+    )
+    const = np.full(n, 8192, dtype="<i2")
+
+    def wav(samples: np.ndarray) -> bytes:
+        data = samples.tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        riff = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        riff += b"data" + st.pack("<I", len(data)) + data
+        return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(sine))), (2, bytearray(wav(const))), (3, bytearray(b"not a wav"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_wav_pcm(df).collect()}
+    assert got[1]["sample_rate"] == rate and got[1]["channels"] == 1
+    assert got[1]["n_samples"] == n
+    expect_rms = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+    assert abs(got[1]["rms"] - expect_rms) < 1e-12
+    assert abs(got[2]["rms"] - 8192 / 32768.0) < 1e-12
+    assert abs(got[2]["mean"] - 8192 / 32768.0) < 1e-12
+    assert got[3]["n_samples"] is None and got[3]["sample_rate"] is None
