@@ -14,11 +14,24 @@ interleaved with pointer jumping (path compression)
 so convergence is O(log diameter) rounds rather than O(diameter) —
 on the sf0.01 document graph this is 5 rounds instead of 19. Each
 round is three small shuffles (message groupBy + label join + jump
-join); lineage is cut per round with ``localCheckpoint`` so the plan
-does not grow unboundedly — the standard Spark iterative-algorithm
-discipline. The edge list itself is checkpointed once up front so an
-expensive upstream DAG (e.g. the MinHash/LSH bucket pipeline) is not
-re-evaluated every round.
+join).
+
+Memory discipline (the GraphFrames/ALS iterative pattern): each
+round's labels are persisted and the PREVIOUS round's blocks
+explicitly unpersisted once the new round materializes, so cached
+data is bounded at two label copies regardless of round count —
+persist blocks are released deterministically, whereas checkpoint
+blocks wait on GC-driven cleanup and accumulate across rounds. But
+persist alone does NOT cut lineage, and this loop's logical plan
+grows ×4 per round (labels appears twice in the propagate join and
+the result twice more in the pointer jump), so un-truncated lineage
+explodes exponentially — at ~5 rounds the plan string alone OOMs the
+driver during AQE's explain logging. Hence a localCheckpoint every
+CHECKPOINT_EVERY rounds truncates the plan to a LogicalRDD leaf
+while the per-round persist/unpersist keeps data memory bounded.
+The edge list is localCheckpoint'd once up front for the same
+reason: its plan (e.g. the whole MinHash/LSH bucket pipeline) would
+otherwise be embedded ×2 per round into the growing loop plan.
 """
 
 from __future__ import annotations
@@ -40,9 +53,11 @@ def connected_components(
     ``edges`` is an undirected edge list of long ids; isolated nodes can
     be absent (callers union them back, or treat absence as singleton).
     """
-    # Checkpoint the edge list: every round joins against it, and the
-    # caller's DAG (LSH bucketing, similarity scoring...) must not be
-    # re-executed once per round.
+    # Checkpoint (not merely persist) the edge list: every round joins
+    # against it, so both its DATA (the caller's LSH/similarity DAG must
+    # not re-execute per round) and its PLAN (embedded ×2 into each
+    # round's exponentially-compounding loop plan) must be reduced to a
+    # materialized leaf.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
@@ -61,10 +76,16 @@ def connected_components(
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
+        # Initial labels are a leaf too — they appear ×4 in round 1's plan.
         labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
         prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
-        for _ in range(max_iter):
+        # Truncate lineage every few rounds: between cuts the plan grows
+        # ×4 per round over LogicalRDD leaves (bounded, ≤4^CHECKPOINT_EVERY
+        # leaf references); without cuts it grows over the full history
+        # and the plan string alone OOMs the driver.
+        CHECKPOINT_EVERY = 3
+        for i in range(max_iter):
             lab_src = labels.withColumnRenamed("id", "src").withColumnRenamed(
                 "component", "src_comp"
             )
@@ -90,7 +111,7 @@ def connected_components(
                         F.col("component"), F.coalesce("cand", F.col("component"))
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .persist()
             )
             # Pointer jump: label(v) ← label(label(v)). Labels are always
             # node ids within v's component, so composing the mapping with
@@ -107,19 +128,35 @@ def connected_components(
                         F.col("component"), F.coalesce("__jumped", F.col("component"))
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .persist()
             )
             # Labels are monotonically non-increasing, so Σ(component) is a
             # strictly decreasing potential — fixpoint ⟺ the sum is stable.
-            # One scalar agg per round instead of a self-join diff.
+            # One scalar agg per round instead of a self-join diff. The agg
+            # also materializes new_labels, after which the previous
+            # round's blocks can be dropped.
             new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                # Cut lineage to a leaf, then drop the cached copy — the
+                # checkpointed RDD is an independent materialization.
+                cut = new_labels.localCheckpoint(eager=True)
+                new_labels.unpersist()
+                new_labels = cut
+            propagated.unpersist()
+            labels.unpersist()  # no-op if labels is a checkpoint leaf
             labels = new_labels
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
+        # Pin the (small) result via localCheckpoint, then release the
+        # last round's cached blocks: the caller gets a self-contained
+        # frame and the session retains only (id, component) rows plus
+        # GC-cleaned checkpoint leaves.
+        result = labels.localCheckpoint(eager=True)
+        labels.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return labels
+    return result
 
 
 @register_stage("minhash_lsh_dedup_transitive")
