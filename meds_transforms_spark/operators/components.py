@@ -16,22 +16,19 @@ on the sf0.01 document graph this is 5 rounds instead of 19. Each
 round is three small shuffles (message groupBy + label join + jump
 join).
 
-Memory discipline (the GraphFrames/ALS iterative pattern): each
-round's labels are persisted and the PREVIOUS round's blocks
-explicitly unpersisted once the new round materializes, so cached
-data is bounded at two label copies regardless of round count —
-persist blocks are released deterministically, whereas checkpoint
-blocks wait on GC-driven cleanup and accumulate across rounds. But
-persist alone does NOT cut lineage, and this loop's logical plan
-grows ×4 per round (labels appears twice in the propagate join and
-the result twice more in the pointer jump), so un-truncated lineage
-explodes exponentially — at ~5 rounds the plan string alone OOMs the
-driver during AQE's explain logging. Hence a localCheckpoint every
-CHECKPOINT_EVERY rounds truncates the plan to a LogicalRDD leaf
-while the per-round persist/unpersist keeps data memory bounded.
-The edge list is localCheckpoint'd once up front for the same
-reason: its plan (e.g. the whole MinHash/LSH bucket pipeline) would
-otherwise be embedded ×2 per round into the growing loop plan.
+Iterative-loop discipline: each round ends in an eager
+``localCheckpoint``, cutting lineage to a constant ~6-leaf plan.
+Un-cut, the plan references labels ~6× and the edge list 2× per
+round, i.e. ~6^rounds growth — Catalyst analysis then dominates round
+wall time (measured 13 s/round at 100k nodes with cuts every 3
+rounds) and with no cuts the plan string alone OOMs the driver by
+round ~5. Checkpointed (id, long) label blocks are tiny relative to
+the graph and are reclaimed by GC-driven cleanup; the ``propagated``
+intermediate (consumed twice by the pointer-jump self-join) is
+persisted and unpersisted deterministically within the round. The
+edge list is localCheckpoint'd once up front so an expensive upstream
+DAG (e.g. the MinHash/LSH bucket pipeline) is neither re-executed nor
+re-embedded in the loop plan.
 """
 
 from __future__ import annotations
@@ -80,11 +77,17 @@ def connected_components(
         labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
         prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
-        # Truncate lineage every few rounds: between cuts the plan grows
-        # ×4 per round over LogicalRDD leaves (bounded, ≤4^CHECKPOINT_EVERY
-        # leaf references); without cuts it grows over the full history
-        # and the plan string alone OOMs the driver.
-        CHECKPOINT_EVERY = 3
+        # Truncate lineage EVERY round. Each round's tree references
+        # labels ~6× and the edge list 2× (propagate join + message join
+        # + pointer-jump self-join), so un-cut plans grow ~6^rounds:
+        # at cut-interval 3 that is already a ~200-leaf tree whose
+        # Catalyst analysis dominates round wall time (measured 13 s/
+        # round at 100k nodes), and with no cuts the plan string alone
+        # OOMs the driver by round ~5. A per-round localCheckpoint keeps
+        # every round's plan a constant ~6 leaves; the checkpointed
+        # (id, long) blocks are tiny relative to the graph and are
+        # GC-cleaned, while the persisted intermediates are released
+        # deterministically below.
         for i in range(max_iter):
             lab_src = labels.withColumnRenamed("id", "src").withColumnRenamed(
                 "component", "src_comp"
@@ -128,32 +131,21 @@ def connected_components(
                         F.col("component"), F.coalesce("__jumped", F.col("component"))
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             # Labels are monotonically non-increasing, so Σ(component) is a
             # strictly decreasing potential — fixpoint ⟺ the sum is stable.
-            # One scalar agg per round instead of a self-join diff. The agg
-            # also materializes new_labels, after which the previous
-            # round's blocks can be dropped.
+            # One scalar agg per round instead of a self-join diff; it reads
+            # the just-checkpointed blocks, not the join DAG.
             new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-            if (i + 1) % CHECKPOINT_EVERY == 0:
-                # Cut lineage to a leaf, then drop the cached copy — the
-                # checkpointed RDD is an independent materialization.
-                cut = new_labels.localCheckpoint(eager=True)
-                new_labels.unpersist()
-                new_labels = cut
             propagated.unpersist()
-            labels.unpersist()  # no-op if labels is a checkpoint leaf
             labels = new_labels
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
-        # Pin the (small) result via localCheckpoint, then release the
-        # last round's cached blocks: the caller gets a self-contained
-        # frame and the session retains only (id, component) rows plus
-        # GC-cleaned checkpoint leaves.
-        result = labels.localCheckpoint(eager=True)
-        labels.unpersist()
+        # labels is already a self-contained checkpoint leaf — the caller
+        # gets (id, component) rows with no lineage back into the loop.
+        result = labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return result
