@@ -36,3 +36,21 @@ def test_minhash_transitive_vs_one_hop(spark):
     assert 2 not in transitive
     # Transitive closure can only drop MORE than 1-hop, never fewer.
     assert transitive <= one_hop
+
+
+def test_connected_components_degenerate_edges(spark):
+    """Self-loops, duplicate and reversed duplicates must not distort labels."""
+    from meds_transforms_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3)], "src long, dst long"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 3}
+
+
+def test_connected_components_empty(spark):
+    from meds_transforms_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
