@@ -541,6 +541,31 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Range-containment join: every event inside the 30-minute window
+    opened by each error event of the same user, summarized per window.
+    Bucketized equi-join rewrite (operators/interval.py) — hash join on
+    (user, time-bin) + exact containment filter; no nested loop."""
+    from meds_transforms_spark.operators.interval import interval_join
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    joined = interval_join(
+        ev, windows, "ts", "start_ts", "end_ts", on="user_id", bin_width_s=900
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_events_grouping_sets(spark, sf_dir):
     """Multi-granularity aggregate in ONE pass: (day×type), (day),
     (type), () via grouping sets — Spark expands to a single Expand +
@@ -894,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance": q_supplier_balance,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
         "events_rolling": q_events_rolling,
         "events_pivot": q_events_pivot,
         "events_grouping_sets": q_events_grouping_sets,
@@ -1352,6 +1378,21 @@ def oracle_sql() -> dict[str, str]:
                    c.ts AS click_ts, c.click_value
             FROM p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "events_interval_join": """
+            WITH windows AS (
+              SELECT event_id AS interval_id, user_id, ts AS start_ts,
+                     ts + INTERVAL 30 MINUTE AS end_ts
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT w.interval_id,
+                   count(*) AS n_events,
+                   count(DISTINCT p.event_type) AS n_types,
+                   CAST(sum(CAST(p.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+            FROM windows w JOIN events p
+              ON p.user_id = w.user_id
+             AND p.ts >= w.start_ts AND p.ts <= w.end_ts
+            GROUP BY w.interval_id
         """,
         "events_sliding_windows": """
             WITH starts AS (

@@ -15,6 +15,7 @@ from meds_transforms_spark.operators.base import (
 from meds_transforms_spark.operators import (  # noqa: F401  (registration side effects)
     add_time_derived,
     aggregate_code_metadata,
+    asof,
     bin_numeric_values,
     components,
     dedup,
@@ -22,6 +23,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     filter_measurements,
     filter_subjects,
     fit_vocabulary_indices,
+    interval,
     ivf,
     match_revise,
     misc,
@@ -31,6 +33,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     quantiles,
     reorder_measurements,
     reshard_to_split,
+    rolling,
     similarity,
     text,
     validate,

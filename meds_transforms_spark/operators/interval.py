@@ -1,0 +1,116 @@
+"""Interval-containment (range) join — bucketized equi-join rewrite.
+
+Spark has no native range join. A raw ``p.ts BETWEEN i.start AND i.end``
+condition executes as BroadcastNestedLoopJoin (right side must fit in
+memory, O(|P|·|I|) comparisons) or, with an equi key, as a hash join
+whose range residual re-scans every same-key pair — quadratic per key
+when keys are few or skewed. The reference has no range join either
+(SURVEY §2.3: equi-joins only); an event/training-data pipeline needs
+one constantly ("all events inside each outage window / session /
+study period").
+
+The scale rewrite (the same binning idea behind Databricks' RANGE_JOIN
+hint, re-expressed with public DataFrame ops): quantize time into
+fixed-width bins. Each interval explodes to the bins it overlaps, each
+point maps to exactly ONE bin, so the join becomes a hash equi-join on
+``(keys…, bin)`` plus an exact containment filter — shuffle-parallel,
+AQE-skew-splittable, no nested loop anywhere, and each qualifying pair
+is produced exactly once (the point's single bin). Cost knobs: bin
+width ≈ median interval span keeps the interval-side expansion at a
+small constant (~2-3 rows per interval); points never expand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+def _micros(c: Column, dtype: str) -> Column:
+    """Epoch-microsecond long for timestamp columns, pass-through cast
+    for numeric ones — bins need only a consistent integer axis."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(c)
+    return c.cast("long")
+
+
+@register_stage("interval_join")
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    on: list[str] | str | None = None,
+    bin_width_s: float | None = None,
+    payload: list[str] | None = None,
+    suffix: str = "_i",
+) -> DataFrame:
+    """Inner join: every point row + every interval containing it.
+
+    Containment is inclusive on both ends (SQL ``BETWEEN``). Intervals
+    with null or inverted bounds (end < start) match nothing; points
+    with null time match nothing.
+
+    Parameters
+    ----------
+    on: optional equality key(s) joined in addition to containment.
+    bin_width_s: bin width in seconds. Default (None) probes the median
+        interval span with one tiny driver-side agg — an explicit width
+        avoids that extra job and is the right call inside iterative or
+        streaming plans.
+    payload: interval columns to attach (default: all but the keys).
+        Names colliding with point columns get ``suffix`` appended.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    p_dt = dict(points.dtypes)[point_time]
+    s_dt = dict(intervals.dtypes)[start]
+    e_dt = dict(intervals.dtypes)[end]
+
+    iv = intervals.filter(
+        F.col(start).isNotNull()
+        & F.col(end).isNotNull()
+        & (F.col(end) >= F.col(start))
+    )
+
+    if bin_width_s is None:
+        # One scalar probe of the median span — intervals are the small
+        # side by construction; at scale callers pass the width.
+        med = iv.agg(
+            F.percentile_approx(
+                _micros(F.col(end), e_dt) - _micros(F.col(start), s_dt), 0.5
+            )
+        ).collect()[0][0]
+        width_us = max(int(med or 0), 1)
+    else:
+        width_us = max(int(bin_width_s * 1_000_000), 1)
+
+    pay = payload or [c for c in intervals.columns if c not in keys]
+    p_cols = set(points.columns)
+    renames = {c: (c + suffix if c in p_cols else c) for c in pay}
+
+    iv_binned = iv.select(
+        *[F.col(k) for k in keys],
+        F.col(start).alias("__s"),
+        F.col(end).alias("__e"),
+        *[F.col(c).alias(renames[c]) for c in pay],
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(F.col("__s"), s_dt) / width_us),
+                F.floor(_micros(F.col("__e"), e_dt) / width_us),
+            )
+        ),
+    )
+    p_binned = points.filter(F.col(point_time).isNotNull()).withColumn(
+        "__bin", F.floor(_micros(F.col(point_time), p_dt) / width_us)
+    )
+
+    joined = p_binned.join(iv_binned, [*keys, "__bin"]).filter(
+        (F.col(point_time) >= F.col("__s")) & (F.col(point_time) <= F.col("__e"))
+    )
+    return joined.drop("__bin", "__s", "__e")

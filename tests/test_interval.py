@@ -1,0 +1,105 @@
+"""Interval (range-containment) join vs a naive join+filter reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+
+def _mk_data(spark, n_points=400, n_intervals=60, n_keys=7, seed=11):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    pts = [
+        (i, rng.randrange(n_keys), base + dt.timedelta(seconds=rng.randrange(86_400)))
+        for i in range(n_points)
+    ]
+    ivs = []
+    for j in range(n_intervals):
+        s = base + dt.timedelta(seconds=rng.randrange(86_400))
+        ivs.append(
+            (j, rng.randrange(n_keys), s, s + dt.timedelta(seconds=rng.randrange(1, 7_200)))
+        )
+    points = spark.createDataFrame(pts, "pid long, k long, ts timestamp")
+    intervals = spark.createDataFrame(
+        ivs, "iid long, k long, start_ts timestamp, end_ts timestamp"
+    )
+    return points, intervals
+
+
+def _naive_pairs(points, intervals, with_key=True):
+    cond = (F.col("p.ts") >= F.col("i.start_ts")) & (F.col("p.ts") <= F.col("i.end_ts"))
+    if with_key:
+        cond = (F.col("p.k") == F.col("i.k")) & cond
+    return {
+        (r.pid, r.iid)
+        for r in points.alias("p")
+        .join(intervals.alias("i"), cond)
+        .select("p.pid", "i.iid")
+        .collect()
+    }
+
+
+def test_interval_join_matches_naive_keyed(spark):
+    from meds_transforms_spark.operators.interval import interval_join
+
+    points, intervals = _mk_data(spark)
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", on="k", bin_width_s=600
+        ).collect()
+    }
+    assert got == _naive_pairs(points, intervals, with_key=True)
+    assert got  # non-vacuous
+
+
+def test_interval_join_no_equi_key_and_auto_width(spark):
+    from meds_transforms_spark.operators.interval import interval_join
+
+    points, intervals = _mk_data(spark, n_points=150, n_intervals=25)
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(points, intervals, "ts", "start_ts", "end_ts").collect()
+    }
+    assert got == _naive_pairs(points, intervals, with_key=False)
+
+
+def test_interval_join_inclusive_bounds_and_degenerate(spark):
+    from meds_transforms_spark.operators.interval import interval_join
+
+    t = dt.datetime(2024, 6, 1, 12, 0, 0)
+    points = spark.createDataFrame(
+        [(1, t), (2, t + dt.timedelta(seconds=5)), (3, None)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, t, t),  # zero-length: matches exactly t (BETWEEN is inclusive)
+            (11, t + dt.timedelta(seconds=9), t),  # inverted: matches nothing
+            (12, None, t),  # null bound: matches nothing
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", bin_width_s=1
+        ).collect()
+    }
+    assert got == {(1, 10)}
+
+
+def test_interval_join_payload_suffix(spark):
+    from meds_transforms_spark.operators.interval import interval_join
+
+    t = dt.datetime(2024, 6, 1)
+    points = spark.createDataFrame([(1, t, "p")], "pid long, ts timestamp, tag string")
+    intervals = spark.createDataFrame(
+        [(9, t, t, "i")], "iid long, start_ts timestamp, end_ts timestamp, tag string"
+    )
+    out = interval_join(points, intervals, "ts", "start_ts", "end_ts", bin_width_s=60)
+    assert "tag" in out.columns and "tag_i" in out.columns
+    row = out.collect()[0]
+    assert row.tag == "p" and row.tag_i == "i" and row.iid == 9
