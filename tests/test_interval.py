@@ -103,3 +103,23 @@ def test_interval_join_payload_suffix(spark):
     assert "tag" in out.columns and "tag_i" in out.columns
     row = out.collect()[0]
     assert row.tag == "p" and row.tag_i == "i" and row.iid == 9
+
+
+def test_interval_join_residual_strategy_matches(spark):
+    from meds_transforms_spark.operators.interval import interval_join
+
+    points, intervals = _mk_data(spark, n_points=200, n_intervals=30)
+    kw = dict(on="k", bin_width_s=600)
+    got_bin = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", **kw
+        ).collect()
+    }
+    got_res = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", strategy="residual", **kw
+        ).collect()
+    }
+    assert got_bin == got_res == _naive_pairs(points, intervals, with_key=True)
