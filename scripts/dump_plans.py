@@ -24,6 +24,7 @@ REVIEW = {
     "events_asof": "both sides unioned → ONE exchange on user_id → running last(ignorenulls) window; no range join anywhere",
     "events_rolling": "single exchange + sort feeding a bounded RANGE frame over epoch-µs; scaled-long sliding sum stays in codegen",
     "docs_tfidf": "two hash aggs ((doc,token), token) + broadcast df-table join; shuffles carry (token,count) only",
+    "events_interval_join": "interval side filtered+exploded to time bins then hash-joined on (user, bin) — broadcast here, shuffle join at scale; containment filter after the join, never a nested loop",
 }
 
 
