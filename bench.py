@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "tpch_q21",
     "events_hourly",
     "events_asof",
+    "events_interval_join",
     "events_sessions",
     "docs_token_stats",
     "docs_exact_dedup",
