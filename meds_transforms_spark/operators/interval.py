@@ -18,6 +18,11 @@ AQE-skew-splittable, no nested loop anywhere, and each qualifying pair
 is produced exactly once (the point's single bin). Cost knobs: bin
 width ≈ median interval span keeps the interval-side expansion at a
 small constant (~2-3 rows per interval); points never expand.
+
+Every op here is stateless (filter / bin projection / equi-join /
+filter), so the points side may be a STREAMING DataFrame joined to a
+static interval table — the streaming enrichment path — with no extra
+code; pass ``bin_width_s`` explicitly then (the auto-probe collects).
 """
 
 from __future__ import annotations

@@ -123,3 +123,31 @@ def test_interval_join_residual_strategy_matches(spark):
         ).collect()
     }
     assert got_bin == got_res == _naive_pairs(points, intervals, with_key=True)
+
+
+def test_interval_join_stream_static(spark, tmp_path):
+    """interval_join is stateless (filter/bin/equi-join/filter), so a
+    STREAMING points side against a static interval table works as a
+    stream-static join with no extra code — the streaming enrichment
+    path. Explicit bin_width_s is required (the auto-probe collects)."""
+    from meds_transforms_spark.operators.interval import interval_join
+
+    points, intervals = _mk_data(spark, n_points=120, n_intervals=20)
+    src = str(tmp_path / "pts")
+    points.write.parquet(src)
+
+    stream_pts = spark.readStream.schema("pid long, k long, ts timestamp").parquet(src)
+    joined = interval_join(
+        stream_pts, intervals, "ts", "start_ts", "end_ts", on="k", bin_width_s=600
+    )
+    (
+        joined.writeStream.format("memory")
+        .queryName("iv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {(r.pid, r.iid) for r in spark.sql("select pid, iid from iv_out").collect()}
+    assert got == _naive_pairs(points, intervals, with_key=True)
