@@ -1,0 +1,60 @@
+"""Plan-shape guards: no unplanned nested-loop joins in headline queries.
+
+A CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside the
+explicit allowlist, means Catalyst fell off the hash-join path — the
+exact failure mode that is invisible at sf0.001 and fatal at 100 TB.
+
+Allowlisted BNLJ sites (verified intentional; all have a tiny broadcast
+side, which is the optimal physical plan for them):
+- emb_topk_cosine: the query-vector side (~dozens of rows) is broadcast
+  against the corpus — map-side scoring by design (similarity.py).
+- tpch_q11 / tpch_q22: single-row scalar aggregates crossed into the
+  main table — Spark's standard execution of scalar-subquery HAVING.
+A full-inventory sweep (all 69 driver queries) found BNLJ only in these
+plus docs_semantic_search / emb_ivf_topk (same broadcast-query-side
+pattern); none show CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: headline queries whose plans build without executing driver-side jobs
+GUARDED = [
+    "meds_agg_code_metadata",
+    "meds_filter_subjects",
+    "meds_normalization",
+    "meds_timeline_deltas",
+    "meds_pipeline_e2e",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
+    "events_hourly",
+    "events_asof",
+    "events_interval_join",
+    "events_sessions",
+    "docs_token_stats",
+    "docs_exact_dedup",
+    "docs_minhash_dedup",
+    "emb_topk_cosine",
+]
+
+BNLJ_OK = {"emb_topk_cosine", "tpch_q11", "tpch_q22"}
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_no_unplanned_nested_loops(spark, name):
+    import __spark_entry__ as E
+
+    df = E.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, name
