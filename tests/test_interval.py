@@ -151,3 +151,28 @@ def test_interval_join_stream_static(spark, tmp_path):
     )
     got = {(r.pid, r.iid) for r in spark.sql("select pid, iid from iv_out").collect()}
     assert got == _naive_pairs(points, intervals, with_key=True)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    bin_width=st.sampled_from([1, 2, 3, 7, 61, 600, 7200]),
+    seed=st.integers(0, 2**16),
+)
+def test_interval_join_property_bin_width_invariance(spark, bin_width, seed):
+    """The result must be identical for ANY bin width — boundary
+    alignment between points, interval ends, and bin edges is where
+    off-by-ones live."""
+    from meds_transforms_spark.operators.interval import interval_join
+
+    points, intervals = _mk_data(spark, n_points=60, n_intervals=12, seed=seed)
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", on="k",
+            bin_width_s=bin_width,
+        ).collect()
+    }
+    assert got == _naive_pairs(points, intervals, with_key=True)
