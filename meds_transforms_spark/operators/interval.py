@@ -53,6 +53,7 @@ def interval_join(
     payload: list[str] | None = None,
     suffix: str = "_i",
     strategy: str = "bin",
+    max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Inner join: every point row + every interval containing it.
 
@@ -78,6 +79,11 @@ def interval_join(
         key: 1.5 s vs 4.4 s at 10M×200k — scripts/scale_interval.py),
         but per-key cost is quadratic, so reserve it for keys you know
         are fine-grained.
+    max_bins_per_interval: hard error (executor-side) if one interval
+        would explode past this many bins — one garbage interval (a
+        [1970, 2100] sentinel at 1 s bins is 4 billion rows) must fail
+        fast, not OOM a stage. Raise the cap or widen the bins for
+        genuinely long intervals.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
 
@@ -145,7 +151,19 @@ def interval_join(
         F.explode(
             F.sequence(
                 F.floor(_micros(F.col("__s"), s_dt) / width_us),
-                F.floor(_micros(F.col("__e"), e_dt) / width_us),
+                # assert_true short-circuits the stage on the first
+                # over-wide interval instead of materializing its bins.
+                F.when(
+                    F.assert_true(
+                        F.floor(_micros(F.col("__e"), e_dt) / width_us)
+                        - F.floor(_micros(F.col("__s"), s_dt) / width_us)
+                        < F.lit(max_bins_per_interval),
+                        f"interval_join: an interval spans more than "
+                        f"max_bins_per_interval={max_bins_per_interval} bins; "
+                        f"widen bin_width_s or raise the cap",
+                    ).isNull(),
+                    F.floor(_micros(F.col("__e"), e_dt) / width_us),
+                ),
             )
         ),
     )

@@ -176,3 +176,28 @@ def test_interval_join_property_bin_width_invariance(spark, bin_width, seed):
         ).collect()
     }
     assert got == _naive_pairs(points, intervals, with_key=True)
+
+
+def test_interval_join_bin_explosion_guard(spark):
+    """An interval spanning more bins than the cap must fail fast, not
+    materialize billions of explode rows."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from meds_transforms_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(9, dt.datetime(1970, 1, 1), dt.datetime(2100, 1, 1))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(SparkRuntimeException, match="max_bins_per_interval"):
+        interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", bin_width_s=1
+        ).count()
+    # Same data succeeds when the cap is raised appropriately via wider bins.
+    ok = interval_join(
+        points, intervals, "ts", "start_ts", "end_ts", bin_width_s=10 * 365 * 86_400
+    )
+    assert {(r.pid, r.iid) for r in ok.collect()} == {(1, 9)}
