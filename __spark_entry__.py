@@ -674,6 +674,35 @@ def q_docs_quality(spark, sf_dir):
     return quality_score(docs).select("doc_id", F.round("quality", 6).alias("quality"))
 
 
+def q_docs_stratified_sample(spark, sf_dir):
+    """Hash-deterministic language balancing (operators/sampling.py):
+    per-stratum keep rates in one codegen filter, no RNG state — the
+    md5_60 mode makes the selected set bit-identical in DuckDB."""
+    from meds_transforms_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "zh": 1.0, "de": 0.25},
+        on="doc_id",
+        seed=42,
+        default_fraction=0.1,
+        hash_fn="md5_60",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_docs_group_cap(spark, sf_dir):
+    """Exact per-language cap (≤5 docs) in deterministic hash order —
+    the source/domain-cap curation primitive; one shuffle on lang."""
+    from meds_transforms_spark.operators.sampling import group_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_cap(
+        docs, "lang", 5, on="doc_id", seed=42, hash_fn="md5_60"
+    ).select("doc_id", "lang", "source")
+
+
 def q_docs_exact_dedup(spark, sf_dir):
     from meds_transforms_spark.operators.dedup import exact_dedup
 
@@ -928,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_group_cap": q_docs_group_cap,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_lang_id": q_docs_lang_id,
         "docs_top_tokens": q_docs_top_tokens,
@@ -1439,6 +1470,26 @@ def oracle_sql() -> dict[str, str]:
                    round(length_score * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
                          * (0.5 + 0.5 * least(stop_hits / 3.0, 1.0)), 6) AS quality
             FROM t
+        """,
+        "docs_stratified_sample": r"""
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1000000
+                  < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
+                              WHEN 'de' THEN 250000 ELSE 100000 END
+        """,
+        "docs_group_cap": r"""
+            WITH h AS (
+              SELECT doc_id, lang, source,
+                     CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 1000000 AS b
+              FROM documents
+            )
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn
+              FROM h
+            ) WHERE rn <= 5
         """,
         "docs_exact_dedup": r"""
             SELECT doc_id FROM (

@@ -34,6 +34,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     reorder_measurements,
     reshard_to_split,
     rolling,
+    sampling,
     similarity,
     text,
     validate,

@@ -1,0 +1,120 @@
+"""Deterministic sampling / balancing — dataset-curation operators.
+
+A 100 TB training-data pipeline constantly downsamples: cap a crawl
+source, balance languages, carve a reproducible eval slice. Spark's
+``df.sample``/``sampleBy`` draw from per-partition RNG streams, so the
+selected set changes with partitioning, retries, and engine — useless
+as a dataset DEFINITION. These operators instead hash a caller-chosen
+key: a row is in the sample iff ``hash(seed, key) mod M < fraction·M``.
+
+Properties that matter at scale:
+- Pure codegen projections + filter — no shuffle, no RNG state, no
+  driver coordination; pushes down like any filter.
+- Reproducible across runs, partitionings, AND engines (the
+  ``md5_60`` hash mode matches DuckDB's md5 arithmetic exactly, so
+  sampling queries are oracle-checkable like everything else).
+- CORRELATED: hashing the same key (e.g. subject_id) in different
+  tables selects the SAME entities everywhere — a consistent
+  cross-table subsample without any join.
+- ``group_cap`` is the exact per-group variant (hard cap, not a rate):
+  one shuffle on the group key, a row_number window, a filter — the
+  same plan shape as any per-group window stage.
+
+The reference has no sampling stage (SURVEY §2; its only subsetting is
+predicate filters + train/test splits in reshard_to_split.py:133-160,
+which uses driver-side seeded numpy over distinct subjects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.operators.dedup import _h64
+
+#: hash-space modulus: fractions are expressed as thresholds out of M,
+#: so rates are exact multiples of 1e-6 (and the SQL stays readable).
+M = 1_000_000
+
+
+def _bucket(on: list[str], seed: int, hash_fn: str):
+    cols = [F.lit(int(seed)).cast("string"), *[F.col(c) for c in on]]
+    return F.pmod(_h64(hash_fn, *cols), F.lit(M))
+
+
+@register_stage("deterministic_sample")
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    on: list[str] | str,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by ``hash(seed, on…)`` —
+    stable under re-partitioning/retries; same-key rows across tables
+    are kept or dropped together."""
+    on = [on] if isinstance(on, str) else list(on)
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(on, seed, hash_fn) < F.lit(int(round(fraction * M))))
+
+
+@register_stage("stratified_sample")
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    on: list[str] | str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum keep rates (e.g. balance languages) in ONE filter —
+    a when-chain maps the stratum to its threshold; no per-stratum scan
+    or union, unlike ``sampleBy`` the decision is hash-deterministic."""
+    on = [on] if isinstance(on, str) else list(on)
+    thresh = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        t = F.lit(int(round(frac * M)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default_fraction * M)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default_fraction * M))))
+    )
+    return df.filter(_bucket(on, seed, hash_fn) < thresh)
+
+
+@register_stage("group_cap")
+def group_cap(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    n: int,
+    on: list[str] | str | None = None,
+    order_by: list[str] | None = None,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hard cap: at most ``n`` rows per group — source/domain caps.
+
+    Survivors are the first ``n`` by ``order_by``, or by a deterministic
+    hash of ``on`` (a shuffled-but-stable order) when only ``on`` is
+    given; the hash (then ``on`` itself) always tie-breaks, so the
+    result is a function of the data alone. One shuffle on the group
+    key — skewed groups ride AQE like any window stage.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if on is None and order_by is None:
+        raise ValueError("pass `on` (hash order) and/or `order_by`")
+    on = [on] if isinstance(on, str) else list(on or [])
+    order = [F.col(c) for c in (order_by or [])]
+    if on:
+        order += [_bucket(on, seed, hash_fn), *[F.col(c) for c in on]]
+    w = W.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

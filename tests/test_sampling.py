@@ -1,0 +1,113 @@
+"""Deterministic sampling / balancing operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.pmod(F.xxhash64("id", F.lit(99)), F.lit(3)) + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_deterministic_sample_rate_and_stability(spark):
+    from meds_transforms_spark.operators.sampling import deterministic_sample
+
+    df = _docs(spark)
+    s1 = deterministic_sample(df, 0.3, on="doc_id", seed=7)
+    got1 = {r.doc_id for r in s1.collect()}
+    # Stable under re-partitioning — the selection is a function of the data.
+    got2 = {
+        r.doc_id
+        for r in deterministic_sample(
+            df.repartition(13), 0.3, on="doc_id", seed=7
+        ).collect()
+    }
+    assert got1 == got2
+    assert 0.25 < len(got1) / 2000 < 0.35
+    # Different seed → different (mostly disjoint-ish) selection.
+    got3 = {r.doc_id for r in deterministic_sample(df, 0.3, on="doc_id", seed=8).collect()}
+    assert got3 != got1
+
+
+def test_deterministic_sample_correlated_across_tables(spark):
+    """Hashing the same key selects the same entities in any table."""
+    from meds_transforms_spark.operators.sampling import deterministic_sample
+
+    subjects = spark.range(500).select(F.col("id").alias("subject_id"))
+    events = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(500)).alias("subject_id"),
+    )
+    kept_subj = {
+        r.subject_id
+        for r in deterministic_sample(subjects, 0.2, on="subject_id", seed=1).collect()
+    }
+    kept_ev_subj = {
+        r.subject_id
+        for r in deterministic_sample(events, 0.2, on="subject_id", seed=1)
+        .select("subject_id")
+        .distinct()
+        .collect()
+    }
+    assert kept_ev_subj == kept_subj
+
+
+def test_stratified_sample_rates(spark):
+    from meds_transforms_spark.operators.sampling import stratified_sample
+
+    df = _docs(spark, 3000)
+    out = stratified_sample(
+        df, "lang", {"en": 1.0, "de": 0.5}, on="doc_id", seed=3, default_fraction=0.0
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == totals["en"]          # keep-all stratum
+    assert "zh" not in counts                     # default 0 drops stratum
+    assert 0.4 < counts["de"] / totals["de"] < 0.6
+
+
+def test_group_cap_exact_and_deterministic(spark):
+    from meds_transforms_spark.operators.sampling import group_cap
+
+    df = _docs(spark)
+    out = group_cap(df, "lang", 25, on="doc_id", seed=5)
+    counts = [r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()]
+    assert counts == [25, 25, 25]
+    again = group_cap(df.repartition(17), "lang", 25, on="doc_id", seed=5)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # order_by path: smallest doc_ids win
+    first = group_cap(df, "lang", 3, order_by=["doc_id"])
+    ids = sorted(r.doc_id for r in first.filter("lang = 'en'").collect())
+    en_ids = sorted(r.doc_id for r in df.filter("lang = 'en'").collect())
+    assert ids == en_ids[:3]
+
+
+def test_sampling_md5_mode_matches_duckdb(spark):
+    """The md5_60 hash mode reproduces bit-identically in DuckDB —
+    sampling is oracle-checkable like every other operator."""
+    import duckdb
+
+    from meds_transforms_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    got = sorted(
+        r.doc_id
+        for r in deterministic_sample(
+            df, 0.25, on="doc_id", seed=11, hash_fn="md5_60"
+        ).collect()
+    )
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT i AS doc_id FROM range(300) t(i) "
+            "WHERE CAST('0x' || substr(md5('11:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) "
+            "      % 1000000 < 250000 ORDER BY 1"
+        ).fetchall()
+    ]
+    assert got == want and got
