@@ -96,14 +96,32 @@ def group_cap(
     order_by: list[str] | None = None,
     seed: int = 0,
     hash_fn: str = "xxhash64",
+    two_phase: bool = True,
 ) -> DataFrame:
     """Hard cap: at most ``n`` rows per group — source/domain caps.
 
     Survivors are the first ``n`` by ``order_by``, or by a deterministic
     hash of ``on`` (a shuffled-but-stable order) when only ``on`` is
     given; the hash (then ``on`` itself) always tie-breaks, so the
-    result is a function of the data alone. One shuffle on the group
-    key — skewed groups ride AQE like any window stage.
+    result is a function of the data alone.
+
+    Two-phase plan (the scalable per-key top-k): a single window on the
+    group key sorts EVERY group's rows in one task — a billion-row
+    domain capped to 5 is a one-core straggler (external sort included).
+    Phase 1 caps within ``(group, input partition)`` — the shuffle key
+    carries the partition id, so even one giant group spreads over all
+    reducers; phase 2 ranks only the ≤ n·P survivors per group. Any
+    input partition holding a global-top-n row ranks it ≤ n locally, so
+    phase 1 always retains a superset of the answer, and phase 2's
+    total order (order + hash + key tiebreaks) makes the final result
+    independent of partitioning.
+
+    Measured honestly (SCALING.md): the extra exchange + second window
+    cost ~3× at ≤10M-row groups on local[32], where a one-task
+    in-memory sort is cheap — the two-phase win needs groups big enough
+    to spill or monopolize a core (≳10⁸ rows). ``two_phase=False``
+    picks the single-window plan for workloads whose groups are known
+    small.
     """
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if on is None and order_by is None:
@@ -112,9 +130,19 @@ def group_cap(
     order = [F.col(c) for c in (order_by or [])]
     if on:
         order += [_bucket(on, seed, hash_fn), *[F.col(c) for c in on]]
-    w = W.partitionBy(*group_cols).orderBy(*order)
+
+    survivors = df
+    if two_phase:
+        w1 = W.partitionBy(*group_cols, "__pid").orderBy(*order)
+        survivors = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= n)
+            .drop("__pid", "__rn")
+        )
+    w2 = W.partitionBy(*group_cols).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )

@@ -81,6 +81,9 @@ def test_group_cap_exact_and_deterministic(spark):
     assert counts == [25, 25, 25]
     again = group_cap(df.repartition(17), "lang", 25, on="doc_id", seed=5)
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # Both physical strategies produce the identical set.
+    single = group_cap(df, "lang", 25, on="doc_id", seed=5, two_phase=False)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in single.collect()}
     # order_by path: smallest doc_ids win
     first = group_cap(df, "lang", 3, order_by=["doc_id"])
     ids = sorted(r.doc_id for r in first.filter("lang = 'en'").collect())
