@@ -114,3 +114,27 @@ def test_sampling_md5_mode_matches_duckdb(spark):
         ).fetchall()
     ]
     assert got == want and got
+
+
+def test_deterministic_sample_on_stream(spark, tmp_path):
+    """The hash filter is stateless — sampling applies to a streaming
+    source unchanged (and selects the same rows as the batch path)."""
+    from meds_transforms_spark.operators.sampling import deterministic_sample
+
+    df = _docs(spark, 400)
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, lang string").parquet(src)
+    (
+        deterministic_sample(stream, 0.3, on="doc_id", seed=7)
+        .writeStream.format("memory")
+        .queryName("sample_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {r.doc_id for r in spark.sql("select doc_id from sample_out").collect()}
+    want = {r.doc_id for r in deterministic_sample(df, 0.3, on="doc_id", seed=7).collect()}
+    assert got == want
