@@ -25,6 +25,8 @@ REVIEW = {
     "events_rolling": "single exchange + sort feeding a bounded RANGE frame over epoch-µs; scaled-long sliding sum stays in codegen",
     "docs_tfidf": "two hash aggs ((doc,token), token) + broadcast df-table join; shuffles carry (token,count) only",
     "events_interval_join": "interval side filtered+exploded to time bins then hash-joined on (user, bin) — broadcast here, shuffle join at scale; containment filter after the join, never a nested loop",
+    "docs_stratified_sample": "sampling is ONE codegen filter on the scan (hash < per-stratum threshold) — no shuffle, no RNG, pushes like any predicate",
+    "docs_group_cap": "two-phase top-k: window on (lang, input-partition) caps locally, second window ranks ≤n·P survivors — a giant group spreads over all reducers",
 }
 
 
