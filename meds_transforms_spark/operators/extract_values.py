@@ -12,7 +12,6 @@ Pure projection — codegen, zero shuffle at any scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from meds_transforms_spark.functions.col_expr import parse_col_expr
 from meds_transforms_spark.operators.base import register_stage

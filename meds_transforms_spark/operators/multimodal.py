@@ -26,7 +26,6 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from meds_transforms_spark.operators.base import register_stage
 
