@@ -911,6 +911,30 @@ def q_emb_lsh_topk(spark, sf_dir):
     )
 
 
+def q_emb_cosine_dedup(spark, sf_dir):
+    """Embedding near-dup removal, demonstrated as augmentation dedup:
+    union the corpus with deterministically scaled copies (scaling
+    preserves cosine = 1.0), then embedding_cosine_dedup(exact=True)
+    must drop the copies. Exact mode (dedup.py): md5-derived ±1-plane
+    buckets + the threshold decided in integer/decimal arithmetic, so
+    the survivor set is engine-identical."""
+    from meds_transforms_spark.operators.dedup import embedding_cosine_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    aug = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("emb_d"), lambda x: x * F.lit(1.01)).alias("emb_d"),
+    )
+    both = emb.unionByName(aug)
+    out = embedding_cosine_dedup(
+        both, vec_col="emb_d", id_col="vec_id",
+        threshold=0.95, num_planes=8, exact=True,
+    )
+    return out.select("vec_id")
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -975,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_transitive": q_docs_minhash_transitive,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_cosine_dedup": q_emb_cosine_dedup,
         **_tpch_suite.QUERIES,
     }
 
@@ -1470,6 +1495,48 @@ def oracle_sql() -> dict[str, str]:
                    round(length_score * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
                          * (0.5 + 0.5 * least(stop_hits / 3.0, 1.0)), 6) AS quality
             FROM t
+        """,
+        "emb_cosine_dedup": r"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings
+            ), allv AS (
+              SELECT vec_id, emb FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(emb, x -> x * 1.01) AS emb
+              FROM base
+            ), proj AS (
+              SELECT vec_id, p, sum(w * q) AS psum
+              FROM (
+                SELECT b.vec_id, pr.range AS p, jr.range AS j,
+                       ((CAST('0x' || substr(md5(CAST(pr.range AS VARCHAR) || ':' ||
+                          CAST(jr.range AS VARCHAR)), 1, 15) AS BIGINT) & 1) * 2 - 1) AS w,
+                       CAST(floor(emb[CAST(jr.range AS INT) + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+                FROM allv b, range(8) pr, range(64) jr
+              ) GROUP BY vec_id, p
+            ), buck AS (
+              SELECT vec_id,
+                     string_agg(CASE WHEN psum > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+              FROM proj GROUP BY vec_id
+            ), qv AS (
+              SELECT b.vec_id, bucket,
+                     list_transform(emb, x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS q
+              FROM allv b JOIN buck USING (vec_id)
+            ), qn AS (
+              SELECT vec_id, bucket, q,
+                     CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+              FROM qv
+            ), dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM qn a JOIN qn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+                AND CAST(CAST(list_dot_product(a.q, b.q) AS BIGINT) AS HUGEINT)
+                    * CAST(list_dot_product(a.q, b.q) AS BIGINT) * 10000
+                    >= 9025 * CAST(a.n2 AS HUGEINT) * b.n2
+            )
+            SELECT vec_id FROM allv
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "docs_stratified_sample": r"""
             SELECT doc_id, lang, source, n_chars FROM documents

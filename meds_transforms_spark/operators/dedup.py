@@ -428,29 +428,87 @@ def embedding_cosine_dedup(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     num_planes: int = 16,
+    exact: bool = False,
 ) -> DataFrame:
     """Near-dup removal by embedding cosine within random-hyperplane LSH
     buckets: same-bucket pairs with cosine ≥ threshold collapse to the
     min id. Hyperplanes are deterministic pseudo-random (hash-derived),
-    so the operator needs no fitted model state."""
+    so the operator needs no fitted model state.
+
+    ``exact=True`` switches to the engine-reproducible formulation
+    (``hyperplane_bucket_exact``'s md5-derived ±1 planes, and the
+    cosine threshold decided in INTEGER arithmetic): components are
+    quantized ``floor(x·10⁴ + 0.5)``, and ``cos ≥ t`` becomes
+    ``dot > 0 ∧ 10⁴·dot² ≥ round(t²·10⁴)·‖a‖²·‖b‖²`` over exact
+    decimals — every engine picks the identical survivor set, so the
+    operator is DuckDB-oracle-checkable end to end. Quantization is
+    part of the exact mode's definition (near-dup thresholds are
+    approximate by nature; 1e-4 per-component wobble only moves pairs
+    sitting exactly on the threshold).
+    """
     from meds_transforms_spark.operators.similarity import (
         cosine_similarity,
         hyperplane_bucket,
+        hyperplane_bucket_exact,
         l2_normalize,
     )
 
     dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
-    normed = df.withColumn("__nvec", l2_normalize(F.col(vec_col))).withColumn(
-        "__bucket", hyperplane_bucket(F.col("__nvec"), dim, num_planes)
-    )
-    a = normed.select(F.col(id_col).alias("id_a"), F.col("__nvec").alias("__va"), "__bucket")
-    b = normed.select(F.col(id_col).alias("id_b"), F.col("__nvec").alias("__vb"), "__bucket")
-    pairs = (
-        a.join(b, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("__va"), F.col("__vb"), assume_normalized=True))
-        .filter(F.col("cos") >= float(threshold))
-    )
+    if exact:
+        QUANT = 10_000
+        qvec = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"),
+        )
+        norm2 = lambda q: F.aggregate(  # noqa: E731
+            q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        )
+        base = (
+            df.withColumn("__q", qvec)
+            .withColumn("__n2", norm2(F.col("__q")))
+            .withColumn(
+                "__bucket", hyperplane_bucket_exact(F.col(vec_col), dim, num_planes)
+            )
+        )
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col("__q").alias("__qa"),
+            F.col("__n2").alias("__na"), "__bucket",
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col("__q").alias("__qb"),
+            F.col("__n2").alias("__nb"), "__bucket",
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        t2 = int(round(threshold * threshold * 10_000))
+        dec = "decimal(38,0)"
+        pairs = (
+            a.join(b, "__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("__dot", dot)
+            .filter(
+                (F.col("__dot") > 0)
+                & (
+                    F.col("__dot").cast(dec) * F.col("__dot").cast(dec) * F.lit(10_000)
+                    >= F.lit(t2).cast(dec) * F.col("__na").cast(dec) * F.col("__nb").cast(dec)
+                )
+            )
+        )
+    else:
+        normed = df.withColumn("__nvec", l2_normalize(F.col(vec_col))).withColumn(
+            "__bucket", hyperplane_bucket(F.col("__nvec"), dim, num_planes)
+        )
+        a = normed.select(F.col(id_col).alias("id_a"), F.col("__nvec").alias("__va"), "__bucket")
+        b = normed.select(F.col(id_col).alias("id_b"), F.col("__nvec").alias("__vb"), "__bucket")
+        pairs = (
+            a.join(b, "__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine_similarity(F.col("__va"), F.col("__vb"), assume_normalized=True))
+            .filter(F.col("cos") >= float(threshold))
+        )
     # Collapse: every id_b similar to a smaller id_a is dropped.
     dropped = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(dropped, id_col, "left_anti")

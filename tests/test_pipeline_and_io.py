@@ -100,6 +100,12 @@ def test_embedding_cosine_dedup(spark):
     out = {r.vec_id for r in embedding_cosine_dedup(df, threshold=0.99).collect()}
     assert 2 not in out
     assert {1, 3, 4} <= out
+    # exact (engine-reproducible integer-arithmetic) mode agrees here
+    out_e = {
+        r.vec_id
+        for r in embedding_cosine_dedup(df, threshold=0.99, exact=True).collect()
+    }
+    assert out_e == out
 
 
 def test_streaming_windowed_counts(spark, meds_df, tmp_path):
