@@ -36,16 +36,24 @@ TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # Self-sufficient against sessions we didn't build (a plain
-        # SparkSession ERRORS on the TIMESTAMP(NANOS) column:
-        # PARQUET_TYPE_ILLEGAL). The conf is runtime-settable.
+        # Older Sparks ERROR on the TIMESTAMP(NANOS) column
+        # (PARQUET_TYPE_ILLEGAL) unless this legacy conf is set; Spark
+        # >= 4.1 ignores it and reads nanos natively as TIMESTAMP_NTZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Integer division, NOT `/1000` (double division loses precision
-        # at epoch-nanos magnitude). Truncation matches DuckDB's parquet
-        # ns→µs read behavior, keeping oracle comparisons exact.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Integer division, NOT `/1000` (double division loses
+            # precision at epoch-nanos magnitude). Truncation matches
+            # DuckDB's parquet ns→µs read, keeping oracles exact.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Spark 4.1+ native nanos read (already µs-truncated). The
+            # session timezone is pinned to UTC everywhere, so this cast
+            # is a pure reinterpretation — same instants, and functions
+            # like unix_micros (TIMESTAMP-only) work downstream.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
