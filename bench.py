@@ -54,12 +54,20 @@ def main():
     # Warm the JVM/codegen path once with the cheapest query.
     qs["meds_fit_vocab"](spark, SF_DIR).count()
 
+    # Best-of-N per query, INTERLEAVED (full passes over the list, min
+    # across passes): single-shot timings on a shared VM show rare
+    # 10-30× blips (host steal / GC bursts lasting tens of seconds) that
+    # say nothing about the plan. Back-to-back repeats land inside the
+    # same burst; a later full pass does not.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    for _ in range(runs):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            times[name] = round(min(times.get(name, float("inf")), elapsed), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
@@ -70,6 +78,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -39,7 +39,9 @@ def get_spark(
         # TimestampType at the boundary.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs driver+executors in ONE JVM; N concurrent task
+        # threads need headroom or full-GC pauses dominate tail latency.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
