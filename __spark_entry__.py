@@ -692,6 +692,50 @@ def q_docs_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (operators/text.repetition_stats):
+    array-expression fractions in pure codegen + one explode→count→max
+    histogram for the top-word share."""
+    from meds_transforms_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+def q_docs_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/text.scrub_pii). The corpus is synthetic
+    word salad with no PII, so the query plants deterministic
+    email/phone/IP spans derived from (doc_id, source) — both engines
+    build the identical string, making the redaction counts and the
+    scrubbed text itself oracle-checkable rather than trivially zero."""
+    from meds_transforms_spark.operators.text import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    synth = F.concat_ws(
+        " ",
+        F.lit("contact"),
+        F.concat(F.col("source"), F.lit(".user@example.com")),
+        F.lit("call"),
+        F.concat(
+            F.lit("555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+        F.lit("from"),
+        F.concat((F.col("doc_id") % 256).cast("string"), F.lit(".0.0.1")),
+        F.col("text"),
+    )
+    out = scrub_pii(
+        docs.select("doc_id", synth.alias("text")), out_col="scrubbed"
+    )
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.substring("scrubbed", 1, 60).alias("scrub_head"),
+    )
+
+
 def q_docs_group_cap(spark, sf_dir):
     """Exact per-language cap (≤5 docs) in deterministic hash order —
     the source/domain-cap curation primitive; one shuffle on lang."""
@@ -981,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -1480,6 +1526,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
                    round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
+        """,
+        "docs_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), b AS (
+              SELECT doc_id, ws, len(ws) AS n_words,
+                     len(list_distinct(ws)) AS n_distinct_words,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bg
+              FROM t
+            ), h AS (
+              SELECT doc_id, max(c) AS topc FROM (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM t)
+                GROUP BY doc_id, w
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+                   round((n_words - n_distinct_words) / greatest(n_words, 1), 6) AS dup_word_fraction,
+                   round((len(bg) - len(list_distinct(bg))) / greatest(len(bg), 1), 6) AS dup_bigram_fraction,
+                   round(coalesce(topc, 0) / greatest(n_words, 1), 6) AS top_word_fraction
+            FROM b LEFT JOIN h USING (doc_id)
+        """,
+        "docs_pii_scrub": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     concat_ws(' ', 'contact', source || '.user@example.com', 'call',
+                               '555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                               'from', CAST(doc_id % 256 AS VARCHAR) || '.0.0.1',
+                               text) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   substr(regexp_replace(
+                            regexp_replace(
+                              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                              '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                          1, 60) AS scrub_head
+            FROM s
         """,
         "docs_quality": r"""
             WITH t AS (

@@ -195,3 +195,111 @@ def tf_idf(
         "df",
         (F.col("tf") * idf).alias("tfidf"),
     )
+
+
+#: PII categories → (regex, replacement token). Patterns are restricted
+#: to the Java-regex ∩ RE2 common dialect so Spark and SQL oracles agree.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+@register_stage("scrub_pii")
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    categories: tuple = ("email", "phone", "ipv4"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact PII spans and count redactions per category.
+
+    A training-data hygiene pass: email addresses, phone numbers and
+    IPv4 literals are replaced with typed placeholder tokens, and a
+    ``n_<category>`` count column records how many spans each document
+    had (the audit signal — pipelines threshold or route on it).
+
+    Pure projection: regexp_count + chained regexp_replace, all
+    whole-stage codegen, no shuffle, linear at any scale. Order matters:
+    counts are taken on the ORIGINAL text, then replacements applied
+    email→phone→ipv4 (email first — its local part may contain digits
+    that the looser patterns would otherwise bite into).
+    """
+    out_col = out_col or text_col
+    src = F.col(text_col)
+    for cat in categories:
+        pat, _ = PII_PATTERNS[cat]
+        df = df.withColumn(f"n_{cat}", F.regexp_count(src, F.lit(pat)).cast("long"))
+    scrubbed = src
+    for cat in categories:
+        pat, repl = PII_PATTERNS[cat]
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.withColumn(out_col, scrubbed)
+
+
+@register_stage("repetition_stats")
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Per document: word count, distinct-word count, duplicate-word
+    fraction, duplicate-bigram fraction, and the frequency share of the
+    single most common word. High values mark boilerplate / degenerate
+    documents that repetition filters drop before training.
+
+    Plan shape: the set-based fractions are array expressions on the
+    split token list — a pure codegen projection, no shuffle. Only the
+    top-word share needs a histogram: explode → (doc, word) hash count →
+    (doc) max, two partial-agg shuffles carrying counts (never text),
+    joined back on ``id_col``. All word math is on lowercased
+    whitespace tokens, matching ``tf_idf``/``top_k_tokens``.
+    """
+    ws = _tokens(F.lower(F.col(text_col)))
+    n = F.size(ws)
+    # zip_with over two shifted slices, NOT transform(sequence(...),
+    # i -> element_at(ws, i)): the lambda form re-evaluates the split
+    # expression per element (no CSE inside higher-order functions),
+    # turning an O(n) projection into O(n²) per document. The slice
+    # pair evaluates the split a constant number of times. Guarded:
+    # slice with a negative length (n < 2) errors.
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        n.alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+        F.size(bigrams).alias("__nb"),
+        F.size(F.array_distinct(bigrams)).alias("__ndb"),
+    )
+    hist = (
+        base.select(F.col(id_col), F.explode("__ws").alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    frac = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)
+    return (
+        base.join(hist, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+            frac(F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")).alias(
+                "dup_word_fraction"
+            ),
+            frac(F.col("__nb") - F.col("__ndb"), F.col("__nb")).alias(
+                "dup_bigram_fraction"
+            ),
+            frac(F.coalesce(F.col("__top"), F.lit(0)), F.col("n_words")).alias(
+                "top_word_fraction"
+            ),
+        )
+    )

@@ -104,3 +104,48 @@ def test_salted_distinct_count_exact(spark, meds_df):
         .collect()
     }
     assert got == want
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    from meds_transforms_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io or c_d%e@sub.dom.org, call 555-123-4567 now"),
+            (2, "server 10.0.255.3 rebooted; no contacts here"),
+            (3, "plain text only"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 1, 0)
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert "a.b@x.io" not in out[1].text and "555-123-4567" not in out[1].text
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 1)
+    assert "<IP>" in out[2].text
+    assert out[3].text == "plain text only"
+    assert out[4].text is None and out[4].n_email is None
+
+
+def test_repetition_stats_fractions(spark):
+    from meds_transforms_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word repeated: all-dup
+            (2, "w x y z"),          # all distinct
+            (3, "a b a b a"),        # bigrams: "a b" x2, "b a" x2 -> 2 dup of 4
+            (4, "solo"),             # single word: no bigrams
+            (5, ""),                 # empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].n_words == 4 and out[1].n_distinct_words == 1
+    assert out[1].dup_word_fraction == 0.75 and out[1].top_word_fraction == 1.0
+    assert out[1].dup_bigram_fraction == round(2 / 3, 6)
+    assert out[2].dup_word_fraction == 0.0 and out[2].top_word_fraction == 0.25
+    assert out[3].n_words == 5 and out[3].dup_bigram_fraction == 0.5
+    assert out[4].n_words == 1 and out[4].dup_bigram_fraction == 0.0
+    assert out[5].n_words == 0 and out[5].top_word_fraction == 0.0
