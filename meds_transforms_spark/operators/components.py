@@ -17,7 +17,11 @@ round is three small shuffles (message groupBy + label join + jump
 join).
 
 Iterative-loop discipline: each round ends in an eager
-``localCheckpoint``, cutting lineage to a constant ~6-leaf plan.
+``localCheckpoint`` WITH A STATS RESET (see ``_checkpoint_reset_stats``
+— checkpointing alone carries the origin plan's size estimate forward,
+and the per-round product of ~6 such leaves compounds it ~6^round until
+BigInteger stats arithmetic on the driver dominates wall time),
+cutting lineage to a constant ~6-leaf plan.
 Un-cut, the plan references labels ~6× and the edge list 2× per
 round, i.e. ~6^rounds growth — Catalyst analysis then dominates round
 wall time (measured 13 s/round at 100k nodes with cuts every 3
@@ -39,6 +43,36 @@ from pyspark.sql import functions as F
 from meds_transforms_spark.operators.base import register_stage
 
 
+def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that also RESETS plan statistics.
+
+    ``Dataset.localCheckpoint`` truncates lineage but PRESERVES the
+    origin plan's size-in-bytes statistic on the new LogicalRDD leaf.
+    In an iterative loop that is fatal: join size estimates are the
+    *product* of child sizes, each round's tree references the previous
+    labels ~6×, so the carried estimate compounds ~6^round. The number
+    itself is the problem — by round ~10 the stats BigInteger has
+    millions of digits and Catalyst's SizeInBytesOnlyStatsPlanVisitor
+    spends MINUTES multiplying BigInts per round (measured 425 s at
+    round 11 on a 377-edge graph, ~6× worse each round, with lineage
+    fully truncated).
+
+    Rebuilding the frame from the checkpointed JavaRDD[Row] gives a
+    leaf with the default size estimate, making every round's stats
+    arithmetic constant-size. The rebuild is JVM-only (public
+    Dataset.javaRDD / SparkSession.createDataFrame overloads) — rows
+    never cross into Python. Falls back to the plain checkpoint where
+    the JVM handles are unavailable (Spark Connect)."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        new_jdf = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
+        return type(ck)(new_jdf, spark)
+    except Exception:
+        return ck
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -55,8 +89,8 @@ def connected_components(
     # not re-execute per round) and its PLAN (embedded ×2 into each
     # round's exponentially-compounding loop plan) must be reduced to a
     # materialized leaf.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
+    e = _checkpoint_reset_stats(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     spark = edges.sparkSession
     # The iterative rounds shuffle only (id, long) pairs — size the
@@ -74,7 +108,7 @@ def connected_components(
             .distinct()
         )
         # Initial labels are a leaf too — they appear ×4 in round 1's plan.
-        labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+        labels = _checkpoint_reset_stats(nodes.withColumn("component", F.col("id")))
         prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
         # Truncate lineage EVERY round. Each round's tree references
@@ -131,7 +165,7 @@ def connected_components(
                         F.col("component"), F.coalesce("__jumped", F.col("component"))
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_checkpoint_reset_stats)
             )
             # Labels are monotonically non-increasing, so Σ(component) is a
             # strictly decreasing potential — fixpoint ⟺ the sum is stable.

@@ -27,6 +27,8 @@ REVIEW = {
     "events_interval_join": "interval side filtered+exploded to time bins then hash-joined on (user, bin) — broadcast here, shuffle join at scale; containment filter after the join, never a nested loop",
     "docs_stratified_sample": "sampling is ONE codegen filter on the scan (hash < per-stratum threshold) — no shuffle, no RNG, pushes like any predicate",
     "docs_group_cap": "two-phase top-k: window on (lang, input-partition) caps locally, second window ranks ≤n·P survivors — a giant group spreads over all reducers",
+    "docs_repetition": "array fractions are one codegen projection (zip_with bigrams, no per-element re-eval); only the top-word share shuffles — explode→(doc,word) partial count→(doc) max, counts only, joined back",
+    "docs_pii_scrub": "regexp_count + chained regexp_replace: a single codegen projection over the scan — zero shuffle, zero UDF, linear at any scale",
 }
 
 
