@@ -40,37 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meds_transforms_spark.functions.iterative import (
+    checkpoint_reset_stats as _checkpoint_reset_stats,
+)
 from meds_transforms_spark.operators.base import register_stage
-
-
-def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint that also RESETS plan statistics.
-
-    ``Dataset.localCheckpoint`` truncates lineage but PRESERVES the
-    origin plan's size-in-bytes statistic on the new LogicalRDD leaf.
-    In an iterative loop that is fatal: join size estimates are the
-    *product* of child sizes, each round's tree references the previous
-    labels ~6×, so the carried estimate compounds ~6^round. The number
-    itself is the problem — by round ~10 the stats BigInteger has
-    millions of digits and Catalyst's SizeInBytesOnlyStatsPlanVisitor
-    spends MINUTES multiplying BigInts per round (measured 425 s at
-    round 11 on a 377-edge graph, ~6× worse each round, with lineage
-    fully truncated).
-
-    Rebuilding the frame from the checkpointed JavaRDD[Row] gives a
-    leaf with the default size estimate, making every round's stats
-    arithmetic constant-size. The rebuild is JVM-only (public
-    Dataset.javaRDD / SparkSession.createDataFrame overloads) — rows
-    never cross into Python. Falls back to the plain checkpoint where
-    the JVM handles are unavailable (Spark Connect)."""
-    ck = df.localCheckpoint(eager=True)
-    try:
-        spark = ck.sparkSession
-        jdf = ck._jdf
-        new_jdf = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
-        return type(ck)(new_jdf, spark)
-    except Exception:
-        return ck
 
 
 def connected_components(

@@ -94,9 +94,9 @@ def kmeans_refine(
         F.col(corpus_vec).cast("array<double>").alias("__vec"),
         l2_norm(F.col(corpus_vec)).alias("__vnorm"),
     )
-    cents = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec).localCheckpoint(
-        eager=True
-    )
+    from meds_transforms_spark.functions.iterative import checkpoint_reset_stats
+
+    cents = checkpoint_reset_stats(ivf_centroids(corpus, n_cells, corpus_id, corpus_vec))
     for _ in range(int(iters)):
         assigned = _nearest_cells(c, cents, "vec_id", "__vec", n_probe=1)
         means = (
@@ -118,7 +118,10 @@ def kmeans_refine(
                 F.coalesce(F.col("__newvec"), F.col("__cvec")).alias("__cvec"),
             )
             .withColumn("__cnorm", l2_norm(F.col("__cvec")))
-            .localCheckpoint(eager=True)
+            # reset stats too: the loop references cents twice per round,
+            # so the checkpoint-carried size estimate compounds (see
+            # functions/iterative.py)
+            .transform(checkpoint_reset_stats)
         )
     return cents
 

@@ -54,3 +54,24 @@ def test_connected_components_empty(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+def test_components_many_rounds_no_driver_blowup(spark):
+    """Chain graph forcing ~12+ propagation rounds. Pre-fix, the
+    checkpoint-carried size statistic compounded ~6^round and rounds
+    8-11 alone took 1.8/9/49/425 s of driver BigInt arithmetic (on a
+    377-edge graph!); post-fix the whole run is seconds. The generous
+    bound only fails if the exponential behavior returns."""
+    import time
+
+    from meds_transforms_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    t0 = time.time()
+    comp = connected_components(edges)
+    rows = comp.collect()
+    assert time.time() - t0 < 120
+    assert len(rows) == 200
+    assert {r.component for r in rows} == {0}
