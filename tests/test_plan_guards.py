@@ -41,6 +41,8 @@ GUARDED = [
     "events_interval_join",
     "events_sessions",
     "docs_token_stats",
+    "docs_repetition",
+    "docs_pii_scrub",
     "docs_exact_dedup",
     "docs_minhash_dedup",
     "emb_topk_cosine",

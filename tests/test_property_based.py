@@ -166,3 +166,31 @@ def test_asof_join_matches_naive(spark, tables, direction, strict):
             cand = [(rt, v) for rt, v in rmap.get(k, []) if (rt > t if strict else rt >= t)]
             expect = min(cand)[1] if cand else None
         assert out[i] == expect, (i, k, t, direction, strict, cand, out[i])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c")),  # tiny alphabet → dense repeats
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_match_python_reference(spark, texts):
+    from meds_transforms_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.lower().split() if w]
+        bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        top = max((ws.count(w) for w in set(ws)), default=0)
+        r = got[i]
+        assert r.n_words == len(ws)
+        assert r.n_distinct_words == len(set(ws))
+        assert r.dup_word_fraction == round((len(ws) - len(set(ws))) / max(len(ws), 1), 6)
+        assert r.dup_bigram_fraction == round((len(bg) - len(set(bg))) / max(len(bg), 1), 6)
+        assert r.top_word_fraction == round(top / max(len(ws), 1), 6)
