@@ -736,6 +736,29 @@ def q_docs_pii_scrub(spark, sf_dir):
     )
 
 
+def q_docs_boilerplate(spark, sf_dir):
+    """Per-source boilerplate-line removal (operators/text.
+    remove_boilerplate_lines). The corpus is single-line, so the query
+    wraps each document in a deterministic source-derived header and
+    footer; the operator must strip exactly those (they repeat across
+    every doc of the source) and return the original body intact —
+    oracle-checked line-for-line."""
+    from meds_transforms_spark.operators.text import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("=== "), F.col("source"), F.lit(" header ===\n"),
+            F.col("text"),
+            F.lit("\ncopyright "), F.col("source"),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(wrapped, min_docs=50)
+    return out.select("doc_id", "text")
+
+
 def q_docs_group_cap(spark, sf_dir):
     """Exact per-language cap (≤5 docs) in deterministic hash order —
     the source/domain-cap curation primitive; one shuffle on lang."""
@@ -1026,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
+        "docs_boilerplate": q_docs_boilerplate,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
@@ -1526,6 +1550,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
                    round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
+        """,
+        "docs_boilerplate": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     '=== ' || source || ' header ===' || chr(10) || text ||
+                     chr(10) || 'copyright ' || source AS text
+              FROM documents
+            ), ex AS (
+              SELECT DISTINCT source, doc_id, line
+              FROM (SELECT source, doc_id,
+                           unnest(string_split(text, chr(10))) AS line
+                    FROM t)
+            ), c AS (
+              SELECT source, line, count(*) AS n_docs
+              FROM ex GROUP BY source, line
+            ), bl AS (
+              SELECT source, list(line) AS bl
+              FROM c WHERE n_docs >= 50 GROUP BY source
+            )
+            SELECT t.doc_id,
+                   CASE WHEN bl.bl IS NULL THEN t.text
+                        ELSE array_to_string(
+                               list_filter(string_split(t.text, chr(10)),
+                                           x -> NOT list_contains(bl.bl, x)),
+                               chr(10))
+                   END AS text
+            FROM t LEFT JOIN bl USING (source)
         """,
         "docs_repetition": r"""
             WITH t AS (

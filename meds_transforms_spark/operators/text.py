@@ -303,3 +303,64 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             ),
         )
     )
+
+
+@register_stage("remove_boilerplate_lines")
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_frac: float | None = None,
+) -> DataFrame:
+    """Drop lines that repeat across many documents of the same source —
+    the classic web-corpus cleanup (site headers, nav bars, cookie
+    banners, copyright footers) ahead of dedup/training.
+
+    A line is boilerplate within ``group_col`` when it appears in at
+    least ``min_docs`` distinct documents (and, if ``min_frac`` is
+    given, in at least that fraction of the source's documents —
+    whichever threshold is higher).
+
+    Plan shape: one explode→distinct→count shuffle on (source, line)
+    discovers boilerplate; the per-source boilerplate LIST (small by
+    definition — boilerplate is the handful of lines every page shares)
+    is broadcast back and removal is an order-preserving array filter
+    in the projection: no second explode, no re-sort, document text
+    never shuffles.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    occurrences = df.select(
+        group_col, id_col, F.explode(lines).alias("__line")
+    ).dropDuplicates([group_col, id_col, "__line"])
+    counts = occurrences.groupBy(group_col, "__line").agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    threshold = F.lit(int(min_docs))
+    if min_frac is not None:
+        per_source = df.groupBy(group_col).agg(
+            F.countDistinct(id_col).alias("__src_docs")
+        )
+        counts = counts.join(F.broadcast(per_source), group_col)
+        threshold = F.greatest(
+            threshold, F.ceil(F.col("__src_docs") * F.lit(float(min_frac)))
+        )
+    bl = (
+        counts.filter(F.col("__n_docs") >= threshold)
+        .groupBy(group_col)
+        .agg(F.collect_list("__line").alias("__bl"))
+    )
+    return (
+        df.join(F.broadcast(bl), group_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__bl").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(
+                    "\n",
+                    F.filter(lines, lambda x: ~F.array_contains(F.col("__bl"), x)),
+                )
+            ),
+        )
+        .drop("__bl")
+    )

@@ -149,3 +149,40 @@ def test_repetition_stats_fractions(spark):
     assert out[3].n_words == 5 and out[3].dup_bigram_fraction == 0.5
     assert out[4].n_words == 1 and out[4].dup_bigram_fraction == 0.0
     assert out[5].n_words == 0 and out[5].top_word_fraction == 0.0
+
+
+def test_remove_boilerplate_lines(spark):
+    from meds_transforms_spark.operators.text import remove_boilerplate_lines
+
+    rows = [
+        (1, "siteA", "HEADER\nbody one\nFOOTER"),
+        (2, "siteA", "HEADER\nbody two\nFOOTER"),
+        (3, "siteA", "HEADER\nbody three\nFOOTER"),
+        (4, "siteB", "HEADER\nother body"),  # HEADER only once in siteB
+        (5, "siteB", "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r.text for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+    assert out[1] == "body one" and out[2] == "body two" and out[3] == "body three"
+    assert out[4] == "HEADER\nother body"  # below threshold in its source
+    assert out[5] == "unique text"
+
+    # min_frac raises the threshold to ceil(frac * per-source docs):
+    # siteC has 4 docs; PROMO is in 3 (75%), DUO in 2 (50%). At
+    # min_docs=2 + min_frac=0.6 the threshold is max(2, 3) = 3, so
+    # PROMO goes, DUO stays (it would have been cut by min_docs alone).
+    rows_c = [
+        (6, "siteC", "PROMO\nalpha\nDUO"),
+        (7, "siteC", "PROMO\nbeta\nDUO"),
+        (8, "siteC", "PROMO\ngamma"),
+        (9, "siteC", "delta"),
+    ]
+    df_c = spark.createDataFrame(rows_c, "doc_id long, source string, text string")
+    out_frac = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(df_c, min_docs=2, min_frac=0.6).collect()
+    }
+    assert out_frac[6] == "alpha\nDUO"
+    assert out_frac[7] == "beta\nDUO"
+    assert out_frac[8] == "gamma"
+    assert out_frac[9] == "delta"
