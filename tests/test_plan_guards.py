@@ -43,6 +43,7 @@ GUARDED = [
     "docs_token_stats",
     "docs_repetition",
     "docs_pii_scrub",
+    "docs_boilerplate",
     "docs_exact_dedup",
     "docs_minhash_dedup",
     "emb_topk_cosine",
