@@ -651,7 +651,7 @@ def q_events_sessions(spark, sf_dir):
         "is_break", F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
     )
     return with_breaks.groupBy("user_id").agg(
-        (F.sum("is_break") + 1).alias("n_sessions"),
+        (F.sum("is_break") + 1).cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -1012,7 +1012,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order matters: the driver's CORRECTNESS gate checks a
+    # capped prefix of this dict, so queries without a green row from a
+    # prior round are registered FIRST (r01 verified the first 50; the
+    # 25 below had no row). events_sessions follows to prove its BIGINT
+    # cast fix; the remaining r01-green queries fill the tail.
     return {
+        **_tpch_suite.QUERIES,
+        "docs_tfidf": q_docs_tfidf,
+        "docs_semantic_search": q_docs_semantic_search,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_minhash_transitive": q_docs_minhash_transitive,
+        "docs_simhash": q_docs_simhash,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_cosine_dedup": q_emb_cosine_dedup,
+        "events_sessions": q_events_sessions,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1045,7 +1059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": q_events_grouping_sets,
         "events_rows_window": q_events_rows_window,
         "events_sliding_windows": q_events_sliding_windows,
-        "events_sessions": q_events_sessions,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
@@ -1063,14 +1076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_stats": q_emb_label_stats,
         "multimodal_decode": q_multimodal_decode,
         "docs_corpus_prep": q_docs_corpus_prep,
-        "docs_tfidf": q_docs_tfidf,
-        "docs_semantic_search": q_docs_semantic_search,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_minhash_transitive": q_docs_minhash_transitive,
-        "docs_simhash": q_docs_simhash,
-        "emb_lsh_topk": q_emb_lsh_topk,
-        "emb_cosine_dedup": q_emb_cosine_dedup,
-        **_tpch_suite.QUERIES,
     }
 
 
@@ -1540,7 +1545,7 @@ def oracle_sql() -> dict[str, str]:
                                > 1800000000 THEN 1 ELSE 0 END AS is_break
               FROM events
             )
-            SELECT user_id, sum(is_break) + 1 AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(is_break) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "docs_token_stats": r"""
@@ -1562,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT source, doc_id,
                            unnest(string_split(text, chr(10))) AS line
                     FROM t)
+              WHERE trim(line) <> ''
             ), c AS (
               SELECT source, line, count(*) AS n_docs
               FROM ex GROUP BY source, line
@@ -1570,10 +1576,10 @@ def oracle_sql() -> dict[str, str]:
               FROM c WHERE n_docs >= 50 GROUP BY source
             )
             SELECT t.doc_id,
-                   CASE WHEN bl.bl IS NULL THEN t.text
+                   CASE WHEN bl.bl IS NULL OR t.text IS NULL THEN t.text
                         ELSE array_to_string(
                                list_filter(string_split(t.text, chr(10)),
-                                           x -> NOT list_contains(bl.bl, x)),
+                                           x -> trim(x) = '' OR NOT list_contains(bl.bl, x)),
                                chr(10))
                    END AS text
             FROM t LEFT JOIN bl USING (source)

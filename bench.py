@@ -27,9 +27,12 @@ BENCH_QUERIES = [
     "meds_timeline_deltas",
     "meds_pipeline_e2e",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q18",
     "tpch_q21",
     "events_hourly",
@@ -61,12 +64,14 @@ def main():
     # same burst; a later full pass does not.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(runs):
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
+            raw[name].append(round(elapsed, 3))
             times[name] = round(min(times.get(name, float("inf")), elapsed), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,6 +83,9 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # Per-pass raw timings so variance (not just min) stays
+                # visible across rounds.
+                "raw_timings": raw,
                 "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

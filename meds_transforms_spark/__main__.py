@@ -40,7 +40,12 @@ def _cmd_run(args) -> int:
         code_modifiers=args.code_modifiers.split(",") if args.code_modifiers else None,
         resume=args.resume,
     )
-    out_data, out_meta = pipe.run(data, code_metadata=src.code_metadata(), train_data=train)
+    out_data, out_meta = pipe.run(
+        data,
+        code_metadata=src.code_metadata(),
+        train_data=train,
+        subject_splits=src.subject_splits(),
+    )
     dst.write_data(canonical_sort(out_data))
     if out_meta is not None:
         dst.write_code_metadata(out_meta)

@@ -18,7 +18,11 @@ once needs BOTH of these per round:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
@@ -28,8 +32,15 @@ def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
     public ``Dataset.javaRDD`` + ``SparkSession.createDataFrame``
     overloads; rows never cross into Python), producing a leaf with the
     default size estimate so per-round stats arithmetic stays
-    constant-size. Falls back to the plain checkpoint where the JVM
-    handles are unavailable (Spark Connect)."""
+    constant-size. Falls back (with a logged warning) to the plain
+    checkpoint where the JVM handles are unavailable (Spark Connect).
+
+    Side effect of the rebuild: the new ExternalRDD leaf reports
+    ``spark.sql.defaultSizeInBytes`` (Long.MaxValue), so a frame that
+    previously qualified for auto-broadcast will shuffle-join after
+    passing through here — callers joining a known-small checkpointed
+    frame should wrap it in ``F.broadcast`` explicitly (components.py
+    does)."""
     ck = df.localCheckpoint(eager=True)
     try:
         spark = ck.sparkSession
@@ -37,4 +48,11 @@ def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
         new_jdf = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
         return type(ck)(new_jdf, spark)
     except Exception:
+        _log.warning(
+            "checkpoint_reset_stats: JVM stats-reset rebuild failed; "
+            "falling back to plain localCheckpoint. Iterative loops may "
+            "hit the exponential plan-statistics blowup documented in "
+            "this module's docstring.",
+            exc_info=True,
+        )
         return ck

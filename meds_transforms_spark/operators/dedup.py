@@ -356,15 +356,23 @@ def ngram_jaccard_pairs(
     use_lsh_candidates: bool = True,
     num_hashes: int = 32,
     bands: int = 8,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) pairs above threshold (id_a < id_b), exact
     word-n-gram Jaccard computed relationally (see inline notes).
 
     ``use_lsh_candidates`` further restricts output to MinHash-LSH
     bucket-sharing pairs; ``max_gram_df`` caps the document frequency of
-    grams entering the co-occurrence join (the standard hot-gram guard
-    at scale; None = exact).
+    grams entering the co-occurrence join — a gram appearing in d docs
+    contributes d² join rows, so one boilerplate n-gram shared by 1M
+    docs would alone produce 10¹² rows. The guard defaults ON
+    (10,000): grams more common than that carry ~zero discrimination,
+    and both the intersection AND the per-doc gram-set sizes are
+    computed post-filter, so the reported jaccard is over the filtered
+    gram universe (a hot gram present in both docs no longer inflates
+    either side). Recall effect: a pair whose overlap is carried ONLY
+    by ultra-common grams can drop below threshold. Pass ``None`` for
+    the exact quadratic computation.
     """
     if threshold <= 0:
         raise ValueError(

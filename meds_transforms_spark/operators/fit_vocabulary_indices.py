@@ -48,14 +48,33 @@ def fit_vocabulary_indices(
     code_metadata: DataFrame,
     code_modifiers: Sequence[str] = (),
     validate: bool = True,
+    max_rows: int | None = 5_000_000,
 ) -> DataFrame:
     """``validate=False`` skips the uniqueness check — it is an eager
     action that forces an extra computation of the metadata lineage;
     callers that just aggregated by exactly these keys already have
-    uniqueness by construction."""
+    uniqueness by construction.
+
+    The global (unpartitioned) row_number window below is INTENTIONAL:
+    vocab indices are a total order over the code dimension table,
+    which is small by nature (SURVEY A1 — "driver-side is fine"), and
+    Spark will WARN about it. ``max_rows`` turns that assumption into
+    a hard check so the warning can never mask a real global-window
+    regression — if the metadata frame outgrows it, the caller needs a
+    distributed ranking (operators/quantiles.py shows the pattern),
+    not a bigger limit. ``None`` skips the (eager) count.
+    """
     keys = [CODE, *code_modifiers]
     if validate:
         validate_code_metadata(code_metadata, keys)
+    if max_rows is not None:
+        n = code_metadata.count()
+        if n > max_rows:
+            raise ValueError(
+                f"fit_vocabulary_indices: code metadata has {n} rows "
+                f"(> max_rows={max_rows}); a single-partition window over "
+                "it would bottleneck. Use a distributed ranking instead."
+            )
     # nulls first matches the reference's nulls_last=False argsort.
     w = W.orderBy(*[F.col(k).asc_nulls_first() for k in keys])
     return code_metadata.withColumn("code/vocab_index", F.row_number().over(w))

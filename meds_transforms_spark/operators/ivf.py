@@ -53,6 +53,15 @@ def _nearest_cells(
 
 
 def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    # The global row_number window below runs over the LIMIT n_cells
+    # frame — bounded by construction, so the unpartitioned-window WARN
+    # is benign. The assert keeps it that way: centroid tables are
+    # broadcast to every probe join, so a huge n_cells is wrong twice.
+    if n_cells > 1_000_000:
+        raise ValueError(
+            f"ivf_centroids: n_cells={n_cells} is past broadcast/global-"
+            "window territory; IVF cell counts are typically ≤ 65536."
+        )
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
     return (
         c.orderBy("vec_id")

@@ -331,8 +331,13 @@ def remove_boilerplate_lines(
     never shuffles.
     """
     lines = F.split(F.col(text_col), "\n")
+    # Blank / whitespace-only lines appear in nearly every multi-line
+    # document; counting them would strip all paragraph breaks corpus-wide
+    # once a source reaches min_docs, so they are never boilerplate
+    # candidates (and the removal filter below keeps them).
+    candidate_lines = F.filter(lines, lambda x: F.trim(x) != "")
     occurrences = df.select(
-        group_col, id_col, F.explode(lines).alias("__line")
+        group_col, id_col, F.explode(candidate_lines).alias("__line")
     ).dropDuplicates([group_col, id_col, "__line"])
     counts = occurrences.groupBy(group_col, "__line").agg(
         F.count(F.lit(1)).alias("__n_docs")
@@ -355,10 +360,19 @@ def remove_boilerplate_lines(
         df.join(F.broadcast(bl), group_col, "left")
         .withColumn(
             text_col,
-            F.when(F.col("__bl").isNull(), F.col(text_col)).otherwise(
+            # NULL text stays NULL (split(NULL)->NULL would otherwise
+            # collapse to '' via concat_ws's null-skipping).
+            F.when(
+                F.col("__bl").isNull() | F.col(text_col).isNull(),
+                F.col(text_col),
+            ).otherwise(
                 F.concat_ws(
                     "\n",
-                    F.filter(lines, lambda x: ~F.array_contains(F.col("__bl"), x)),
+                    F.filter(
+                        lines,
+                        lambda x: (F.trim(x) == "")
+                        | ~F.array_contains(F.col("__bl"), x),
+                    ),
                 )
             ),
         )

@@ -104,11 +104,37 @@ class Pipeline:
         data: DataFrame,
         code_metadata: DataFrame | None = None,
         train_data: DataFrame | None = None,
+        subject_splits: DataFrame | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
-        """Returns (final data frame, final code metadata frame)."""
+        """Returns (final data frame, final code metadata frame).
+
+        Train-only contract (configs/pipeline.py:415-428): a metadata
+        stage reads the *train split of the current data frame* — not a
+        train frame captured before earlier data stages ran, and never
+        tuning/held-out rows. The train slice is derived fresh at each
+        metadata stage from, in order of preference: a ``split`` column
+        on the data (partition-pruned filter, free), ``subject_splits``
+        (subject_id→split dimension, semi-join), or the distinct
+        subjects of ``train_data`` (split membership is static per
+        subject, so the id set stays valid after row-filtering stages).
+        With no split information at all, the full frame is used —
+        that's the single-split dataset case, not a leak.
+        """
         import inspect
 
-        train = train_data if train_data is not None else data
+        def train_slice(df: DataFrame) -> DataFrame:
+            if "split" in df.columns:
+                return df.filter(F.col("split") == "train")
+            if subject_splits is not None:
+                keep = subject_splits.filter(F.col("split") == "train").select(
+                    SUBJECT_ID
+                )
+                return df.join(keep, SUBJECT_ID, "left_semi")
+            if train_data is not None:
+                keep = train_data.select(SUBJECT_ID).distinct()
+                return df.join(keep, SUBJECT_ID, "left_semi")
+            return df
+
         for i, spec in enumerate(self.config.stages):
             stage = get_stage(spec.name)
             cfg = dict(spec.config)
@@ -131,13 +157,16 @@ class Pipeline:
                     code_metadata = self.spark.read.parquet(done)
                 else:
                     data = self.spark.read.parquet(done)
-                    train = data
                 continue
 
             if stage.is_metadata:
                 # Metadata stages consume train-only data
                 # (configs/pipeline.py:415-428) and produce the codes table.
-                source = code_metadata if spec.name == "fit_vocabulary_indices" else train
+                source = (
+                    code_metadata
+                    if spec.name == "fit_vocabulary_indices"
+                    else train_slice(data)
+                )
                 new_meta = stage(source, **cfg)
                 from meds_transforms_spark.operators.aggregate_code_metadata import (
                     join_and_replace,
@@ -161,7 +190,6 @@ class Pipeline:
                 else:
                     data = stage(data, **cfg)
                 data = self._checkpoint(data, i, spec.name)
-                train = data
         return data, code_metadata
 
     def _checkpoint(self, df: DataFrame, idx: int, name: str) -> DataFrame:

@@ -16,6 +16,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """16g where the host affords it, else ~half of detected RAM
+    (floor 2g). Reads MemTotal from /proc/meminfo; non-Linux hosts
+    without it just get the 16g default."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(16, int(total_gb // 2)))}g"
+    except OSError:
+        pass
+    return "16g"
+
+
 def get_spark(
     app_name: str = "meds_transforms_spark",
     master: str | None = None,
@@ -41,7 +56,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local[N] runs driver+executors in ONE JVM; N concurrent task
         # threads need headroom or full-GC pauses dominate tail latency.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Default is clamped to ~half of host RAM so small CI containers
+        # (and tests that run a second JVM in a subprocess) don't
+        # overcommit; SPARK_DRIVER_MEMORY stays the escape hatch.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

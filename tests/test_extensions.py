@@ -61,6 +61,32 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_hot_gram_guard(spark):
+    """max_gram_df (default ON) bounds the co-occurrence join: an
+    n-gram shared by every doc would contribute n_docs² join rows, so
+    it must be dropped before the self-join — pairs whose only overlap
+    is the hot gram disappear; max_gram_df=None restores exactness."""
+    from meds_transforms_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the cookie banner"  # the one trigram every doc shares
+    rows = [(i, f"{hot} w{i}a w{i}b w{i}c") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Exact: every pair overlaps (on the hot gram, plus its two
+    # boundary grams only within the same doc) → jaccard > 0.
+    exact = ngram_jaccard_pairs(
+        df, n=3, threshold=0.01, use_lsh_candidates=False, max_gram_df=None
+    )
+    assert exact.count() == 15  # all C(6,2) pairs survive
+
+    # Guard at 3 (< 6 docs): the hot gram never enters the join, the
+    # only shared gram is gone, so no pair has overlap at all.
+    guarded = ngram_jaccard_pairs(
+        df, n=3, threshold=0.01, use_lsh_candidates=False, max_gram_df=3
+    )
+    assert guarded.count() == 0
+
+
 def test_brute_force_topk_self_match(spark):
     from meds_transforms_spark.operators.similarity import brute_force_topk
 
@@ -142,6 +168,101 @@ def test_decode_image_real_header_parse(spark):
     assert by_id[3].media_type == "application/octet-stream"
     assert by_id[3].width is None
     assert len(by_id[1].features) == 8  # stub kernel, deterministic
+
+
+def test_decode_image_real_png_pixels(spark):
+    """Round-trip REAL pixel decode: encode known pixels to a valid PNG
+    (testing.png, stdlib zlib), push through the decode_image
+    mapInPandas path, and verify the feature vector equals the true
+    pixel statistics — not the hash-based stub."""
+    import numpy as np
+
+    from meds_transforms_spark.operators.multimodal import (
+        decode_image,
+        decode_png_pixels,
+    )
+    from meds_transforms_spark.testing.png import encode_png
+
+    # 2x2 RGB: red, green, blue, white
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    png = encode_png(px)
+
+    # Pure-python decoder round-trips exactly (RGBA with opaque alpha).
+    back = decode_png_pixels(png)
+    assert back.shape == (2, 2, 4)
+    assert (back[..., :3] == px).all() and (back[..., 3] == 255).all()
+
+    gray = px.astype(np.float64).mean(axis=2) / 255.0
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = decode_image(df).collect()[0]
+    assert (row.media_type, row.width, row.height) == ("image/png", 2, 2)
+    f = row.features
+    assert abs(f[0] - gray.mean()) < 1e-12  # gray mean
+    assert abs(f[1] - gray.std()) < 1e-12  # gray std
+    assert abs(f[4] - (255 + 0 + 0 + 255) / 4 / 255.0) < 1e-12  # R mean
+    assert abs(f[7] - 1.0) < 1e-12  # alpha mean (opaque)
+
+    # Grayscale + alpha path, and a filter-2 (Up) scanline exercised via
+    # a taller image round-trip.
+    ga = np.dstack([np.arange(12, dtype=np.uint8).reshape(3, 4) * 20,
+                    np.full((3, 4), 128, dtype=np.uint8)])
+    back2 = decode_png_pixels(encode_png(ga))
+    assert (back2[..., 0] == ga[..., 0]).all() and (back2[..., 3] == 128).all()
+
+
+def test_decode_png_pixels_all_filters():
+    """The stdlib PNG decoder reverses every scanline filter type —
+    verified by hand-building IDAT streams with filters 1..4."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from meds_transforms_spark.operators.multimodal import decode_png_pixels
+    from meds_transforms_spark.testing.png import _chunk
+
+    h, w = 4, 5
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    # Forward-filter each row with a different type (1=Sub,2=Up,3=Avg,4=Paeth)
+    stride = w * 3
+    flat = px.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y in range(h):
+        ftype = (y % 4) + 1
+        raw.append(ftype)
+        for x in range(stride):
+            cur = flat[y][x]
+            a = flat[y][x - 3] if x >= 3 else 0
+            b = flat[y - 1][x] if y > 0 else 0
+            c = flat[y - 1][x - 3] if (y > 0 and x >= 3) else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = paeth(a, b, c)
+            raw.append((cur - pred) & 0xFF)
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    back = decode_png_pixels(png)
+    assert back is not None and (back[..., :3] == px).all()
 
 
 def test_attach_media_meta_jvm_side(spark):

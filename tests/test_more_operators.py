@@ -186,3 +186,26 @@ def test_remove_boilerplate_lines(spark):
     assert out_frac[7] == "beta\nDUO"
     assert out_frac[8] == "gamma"
     assert out_frac[9] == "delta"
+
+
+def test_remove_boilerplate_blank_lines_and_nulls(spark):
+    """Blank lines are never boilerplate candidates (they'd otherwise be
+    stripped corpus-wide, collapsing paragraph structure), and NULL text
+    stays NULL instead of collapsing to ''."""
+    from meds_transforms_spark.operators.text import remove_boilerplate_lines
+
+    rows = [
+        (1, "siteA", "HEADER\n\npara one\n\npara two\nFOOTER"),
+        (2, "siteA", "HEADER\n\nother text\nFOOTER"),
+        (3, "siteA", "HEADER\n  \nindent blank kept\nFOOTER"),
+        (4, "siteA", None),
+        (5, "siteB", None),  # source with no boilerplate at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r.text for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+    # HEADER/FOOTER stripped; blank (and whitespace-only) lines survive.
+    assert out[1] == "\npara one\n\npara two"
+    assert out[2] == "\nother text"
+    assert out[3] == "  \nindent blank kept"
+    assert out[4] is None
+    assert out[5] is None

@@ -92,3 +92,48 @@ stages:
         meds_df.limit(0)  # poisoned input proves the checkpoint was used
     )
     assert data2.count() == n1 > 0
+
+
+def test_metadata_stage_reads_train_only_after_data_stage(spark, meds_df):
+    """Train-only contract (reference configs/pipeline.py:415-428): a
+    metadata stage after a data stage must aggregate over the train
+    split of the CURRENT frame — tuning/held-out rows leaking into
+    fitted statistics is the classic train/test contamination bug."""
+    from meds_transforms_spark.plans import Pipeline, PipelineConfig
+
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "tuning"), (3, "train")],
+        "subject_id long, split string",
+    )
+    cfg = PipelineConfig.from_yaml(
+        """
+stages:
+  - filter_subjects: {min_events_per_subject: 3}
+  - aggregate_code_metadata: {aggregations: [code/n_subjects, code/n_occurrences]}
+"""
+    )
+    _, meta = Pipeline(spark, cfg).run(meds_df, subject_splits=splits)
+    got = {r.code: r["code/n_subjects"] for r in meta.collect()}
+    # Subject 3 (train, 2 events) falls to filter_subjects; subject 2
+    # (3 events) survives it but is tuning. Only subject 1's rows may
+    # reach the aggregate: HR seen by exactly 1 subject, and
+    # subject-2-only codes absent entirely. A stale pre-filter train
+    # frame would leak subject 3's HR (=2); no split filtering would
+    # leak subject 2's (=2).
+    assert got["HR"] == 1
+    assert "ADMISSION//PULMONARY" not in got
+    assert "EYE_COLOR//BLUE" not in got
+
+    # Same pipeline with a split COLUMN on the data (partitioned-layout
+    # path) must behave identically.
+    with_split = meds_df.join(splits, "subject_id", "left")
+    _, meta2 = Pipeline(spark, cfg).run(with_split)
+    got2 = {r.code: r["code/n_subjects"] for r in meta2.collect()}
+    assert got2["HR"] == 1 and "EYE_COLOR//BLUE" not in got2
+
+    # And via train_data (legacy entry): train subject ids are static,
+    # so the slice is the current frame semi-joined on them.
+    train_frame = meds_df.filter(F.col("subject_id").isin(1, 3))
+    _, meta3 = Pipeline(spark, cfg).run(meds_df, train_data=train_frame)
+    got3 = {r.code: r["code/n_subjects"] for r in meta3.collect()}
+    assert got3["HR"] == 1 and "EYE_COLOR//BLUE" not in got3
