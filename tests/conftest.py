@@ -7,6 +7,9 @@ from pyspark.sql import SparkSession
 
 from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
 
+# pytester: used by test_example_discovery's plugin end-to-end test.
+pytest_plugins = ["pytester"]
+
 
 @pytest.fixture(scope="session")
 def spark():
