@@ -24,6 +24,8 @@ def _cmd_run(args) -> int:
 
     spark = get_spark("meds_transforms_spark.run")
     cfg = PipelineConfig.from_yaml(args.pipeline)
+    if args.override:
+        cfg.apply_overrides(args.override)
     src = MEDSDataset(spark, args.input)
     dst = MEDSDataset(spark, args.output)
 
@@ -54,6 +56,14 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_gen_docs(args) -> int:
+    from meds_transforms_spark.docgen import write_stage_docs
+
+    written = write_stage_docs(args.out_dir, examples_root=args.examples_root)
+    print(f"wrote {len(written)} pages under {args.out_dir}")
+    return 0
+
+
 def _cmd_list_stages(_args) -> int:
     from meds_transforms_spark.operators.base import registered_stages
 
@@ -74,10 +84,27 @@ def main(argv=None) -> int:
     run.add_argument("--checkpoint-dir", default=None)
     run.add_argument("--resume", action="store_true")
     run.add_argument("--code-modifiers", default=None, help="comma-separated")
+    run.add_argument(
+        "--override",
+        "-o",
+        action="append",
+        default=[],
+        help="dotted config override, e.g. -o my_stage.min_events_per_subject=5 "
+        "(repeatable; values parse as YAML)",
+    )
     run.set_defaults(fn=_cmd_run)
 
     ls = sub.add_parser("list-stages", help="list registered stages")
     ls.set_defaults(fn=_cmd_list_stages)
+
+    docs = sub.add_parser("gen-docs", help="generate per-stage Markdown docs")
+    docs.add_argument("out_dir")
+    docs.add_argument(
+        "--examples-root",
+        default=None,
+        help="stages root to scan for golden example scenarios to embed",
+    )
+    docs.set_defaults(fn=_cmd_gen_docs)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -34,10 +34,59 @@ class Stage:
     is_metadata: bool = False
     default_config: dict = field(default_factory=dict)
     output_schema_updates: dict = field(default_factory=dict)
+    #: "kwargs" — this package's native ``fn(df, **params)`` shape;
+    #: "reference" — a reference-style compute fn (UNBOUND/FUNCTOR with
+    #: cfg/stage_cfg/code_metadata DI, compute_modes/compute_fn.py:25-317)
+    #: bound through compute_modes.bind_compute_fn at call time.
+    compute_mode: str = "kwargs"
 
     def __call__(self, df, **cfg) -> Any:
         merged = {**self.default_config, **cfg}
+        if self.compute_mode == "reference":
+            from meds_transforms_spark.compute_modes import bind_compute_fn
+
+            code_metadata = merged.pop("code_metadata", None)
+            global_cfg = merged.pop("cfg", {})
+            if "code_modifiers" in merged and "code_modifiers" not in global_cfg:
+                global_cfg = {
+                    **global_cfg,
+                    "code_modifiers": merged.pop("code_modifiers"),
+                }
+            bound = bind_compute_fn(
+                global_cfg,
+                merged,
+                self.fn,
+                code_metadata=code_metadata,
+                spark=getattr(df, "sparkSession", None),
+            )
+            return bound(df)
         return self.fn(df, **merged)
+
+
+def _detect_compute_mode(fn: Callable) -> str:
+    """Auto-detect reference-style stages at registration: functions
+    whose DI surface the kwargs call convention cannot satisfy — a
+    functor (no df parameter), a ``*dfs`` reducer, or any shape asking
+    for an injected ``cfg``/``stage_cfg``. Plain ``fn(df, **params)``
+    stages (including ones whose explicit params happen to be
+    code_metadata/code_modifiers, like normalization) stay on the
+    native kwargs path."""
+    import inspect
+
+    from meds_transforms_spark.compute_modes import ComputeFnType
+
+    kind = ComputeFnType.from_fn(fn)
+    if kind is None:
+        return "kwargs"
+    params = inspect.signature(fn).parameters
+    if (
+        kind is ComputeFnType.FUNCTOR
+        or "dfs" in params
+        or "cfg" in params
+        or "stage_cfg" in params
+    ):
+        return "reference"
+    return "kwargs"
 
 
 def register_stage(
@@ -47,8 +96,13 @@ def register_stage(
     is_metadata: bool = False,
     default_config: dict | None = None,
     output_schema_updates: dict | None = None,
+    compute_mode: str | None = None,
 ) -> Callable:
-    """Decorator (or direct call) registering a stage transform."""
+    """Decorator (or direct call) registering a stage transform.
+
+    ``compute_mode`` is auto-detected when omitted: reference-style
+    compute functions (functors, ``*dfs`` reducers, cfg/stage_cfg DI —
+    see compute_modes.py) register and run unmodified."""
 
     def deco(fn: Callable) -> Callable:
         stage_name = name or fn.__name__
@@ -61,6 +115,7 @@ def register_stage(
             is_metadata=is_metadata,
             default_config=dict(default_config or {}),
             output_schema_updates=dict(output_schema_updates or {}),
+            compute_mode=compute_mode or _detect_compute_mode(fn),
         )
         fn.stage_name = stage_name
         return fn

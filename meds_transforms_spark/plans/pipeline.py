@@ -38,10 +38,21 @@ from meds_transforms_spark.sources.meds_dataset import write_parquet
 class StageSpec:
     name: str
     config: dict = field(default_factory=dict)
+    #: aliased stage (configs/pipeline.py:440-486 ``_base_stage``): the
+    #: pipeline-local name differs from the registered operator, letting
+    #: one operator appear twice under distinct names/configs (e.g.
+    #: ``count_codes`` + ``count_subjects`` both over
+    #: ``aggregate_code_metadata``).
+    base_stage: str | None = None
     #: match-revise wrapper (compute_modes/match_revise.py): when present,
     #: the stage runs per matched slice with per-slice config overrides.
     match_revise: list | None = None
     match_revise_mode: str = "match_and_revise"
+
+    @property
+    def resolved_name(self) -> str:
+        """The registered operator this spec runs (pipeline.py:440-463)."""
+        return self.base_stage or self.name
 
     @classmethod
     def parse(cls, item: Any) -> "StageSpec":
@@ -54,9 +65,16 @@ class StageSpec:
                 name = item["stage"] if "stage" in item else item["name"]
                 cfg = {k: v for k, v in item.items() if k not in ("stage", "name")}
             cfg = dict(cfg or {})
+            base = cfg.pop("_base_stage", None)
             mr = cfg.pop("_match_revise", None)
             mode = cfg.pop("_match_revise_mode", "match_and_revise")
-            return cls(name=name, config=cfg, match_revise=mr, match_revise_mode=mode)
+            return cls(
+                name=name,
+                config=cfg,
+                base_stage=base,
+                match_revise=mr,
+                match_revise_mode=mode,
+            )
         raise ValueError(f"Unparseable stage spec: {item!r}")
 
 
@@ -67,8 +85,14 @@ class PipelineConfig:
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> "PipelineConfig":
+        """Parse a pipeline from a YAML file path, a ``pkg://`` URI
+        (reference ``utils.py:10-33`` / ``configs/pipeline.py:228``), or
+        inline YAML text."""
         import yaml
 
+        from meds_transforms_spark.utils import resolve_pkg_path
+
+        path_or_text = resolve_pkg_path(path_or_text)
         if os.path.exists(path_or_text):
             with open(path_or_text) as f:
                 raw = yaml.safe_load(f)
@@ -77,6 +101,48 @@ class PipelineConfig:
         stages = [StageSpec.parse(s) for s in raw.get("stages", [])]
         extra = {k: v for k, v in raw.items() if k != "stages"}
         return cls(stages=stages, additional_params=extra)
+
+    def stage_by_name(self, name: str) -> StageSpec:
+        for s in self.stages:
+            if s.name == name:
+                return s
+        raise ValueError(f"Stage {name!r} not in pipeline configuration!")
+
+    def apply_overrides(self, overrides: list[str]) -> "PipelineConfig":
+        """Apply dotted CLI overrides (the Spark stand-in for the
+        reference's Hydra override grammar, runner.py:291-370):
+
+        - ``<stage_name>.<dotted.path>=<yaml value>`` targets that
+          (possibly aliased) stage's config;
+        - ``<key>=<yaml value>`` with no known stage prefix targets
+          ``additional_params``.
+
+        Values parse as YAML (``5`` int, ``[a,b]`` list, ``null`` None).
+        Returns self for chaining.
+        """
+        import yaml
+
+        stage_names = {s.name for s in self.stages}
+        for ov in overrides:
+            if "=" not in ov:
+                raise ValueError(f"Override {ov!r} is not of the form key=value")
+            key, _, raw_val = ov.partition("=")
+            val = yaml.safe_load(raw_val) if raw_val != "" else None
+            parts = key.split(".")
+            if parts[0] in stage_names and len(parts) > 1:
+                target = self.stage_by_name(parts[0]).config
+                path = parts[1:]
+            else:
+                target = self.additional_params
+                path = parts
+            for p in path[:-1]:
+                target = target.setdefault(p, {})
+                if not isinstance(target, dict):
+                    raise ValueError(
+                        f"Override {ov!r} descends through non-dict value at {p!r}"
+                    )
+            target[path[-1]] = val
+        return self
 
 
 class Pipeline:
@@ -136,7 +202,7 @@ class Pipeline:
             return df
 
         for i, spec in enumerate(self.config.stages):
-            stage = get_stage(spec.name)
+            stage = get_stage(spec.resolved_name)
             cfg = dict(spec.config)
             params = list(inspect.signature(stage.fn).parameters)
             if "code_modifiers" in params and self.code_modifiers:
@@ -164,7 +230,7 @@ class Pipeline:
                 # (configs/pipeline.py:415-428) and produce the codes table.
                 source = (
                     code_metadata
-                    if spec.name == "fit_vocabulary_indices"
+                    if spec.resolved_name == "fit_vocabulary_indices"
                     else train_slice(data)
                 )
                 new_meta = stage(source, **cfg)
@@ -175,7 +241,7 @@ class Pipeline:
                 keys = ["code", *self.code_modifiers]
                 code_metadata = (
                     new_meta
-                    if code_metadata is None or spec.name == "fit_vocabulary_indices"
+                    if code_metadata is None or spec.resolved_name == "fit_vocabulary_indices"
                     else join_and_replace(new_meta, code_metadata, keys)
                 )
                 code_metadata = self._checkpoint(code_metadata, i, spec.name)

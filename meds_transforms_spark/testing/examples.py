@@ -51,35 +51,7 @@ def load_yaml(path: str):
         return yaml.safe_load(f)
 
 
-def resolve_pkg_path(uri: str, search_dirs: tuple[str, ...] = ()) -> str:
-    """Resolve a ``pkg://dotted.module.path.file.ext`` URI to a
-    filesystem path (reference ``utils.py:10-33``).
-
-    Resolution order: importlib.resources on the leading package, then a
-    basename lookup through ``search_dirs`` — the fallback that lets
-    reference-authored examples (whose URIs point into the
-    ``MEDS_transforms`` package) resolve against their own example
-    directory when that package is not installed.
-    """
-    if not uri.startswith("pkg://"):
-        return uri
-    dotted = uri[len("pkg://") :]
-    stem, ext = dotted.rsplit(".", 1)
-    parts = stem.split(".")
-    try:
-        import importlib.resources as ir
-
-        cand = ir.files(parts[0]).joinpath("/".join(parts[1:]) + "." + ext)
-        if cand.is_file():
-            return str(cand)
-    except (ImportError, ModuleNotFoundError, TypeError, AttributeError):
-        pass
-    fname = parts[-1] + "." + ext
-    for d in search_dirs:
-        cand = os.path.join(d, fname)
-        if os.path.exists(cand):
-            return cand
-    raise FileNotFoundError(f"Cannot resolve {uri!r} (searched {list(search_dirs)})")
+from meds_transforms_spark.utils import resolve_pkg_path  # noqa: F401  (re-export)
 
 
 def is_example_dir(path: str) -> bool:

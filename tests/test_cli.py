@@ -14,15 +14,23 @@ import os
 import subprocess
 import sys
 
+# fit_normalization_stats is an ALIASED stage (_base_stage) whose
+# aggregations list is deliberately incomplete — the CLI -o override
+# must replace it for normalization to find values/sum & values/sum_sqd.
 PIPELINE_YAML = """
 stages:
   - filter_subjects: {min_events_per_subject: 3}
-  - aggregate_code_metadata:
-      aggregations: ["code/n_subjects", "code/n_occurrences",
-                     "values/n_occurrences", "values/sum", "values/sum_sqd"]
+  - fit_normalization_stats:
+      _base_stage: aggregate_code_metadata
+      aggregations: ["code/n_subjects"]
   - fit_vocabulary_indices: {}
   - normalization: {}
 """
+
+FULL_AGGS = (
+    '["code/n_subjects", "code/n_occurrences", '
+    '"values/n_occurrences", "values/sum", "values/sum_sqd"]'
+)
 
 
 def test_cli_run_pipeline(spark, tmp_path):
@@ -56,6 +64,8 @@ def test_cli_run_pipeline(spark, tmp_path):
             src_dir,
             "--output",
             out_dir,
+            "-o",
+            f"fit_normalization_stats.aggregations={FULL_AGGS}",
         ],
         capture_output=True,
         text=True,

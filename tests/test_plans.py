@@ -94,6 +94,60 @@ stages:
     assert data2.count() == n1 > 0
 
 
+def test_pipeline_base_stage_alias_and_overrides(spark, meds_df):
+    """Reference config fidelity (configs/pipeline.py:440-486): an
+    aliased stage (_base_stage) resolves to its registered operator and
+    may appear twice under different names; dotted CLI overrides patch
+    the aliased stage's config by its pipeline-local name."""
+    from meds_transforms_spark.plans import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig.from_yaml(
+        """
+stages:
+  - keep_busy_subjects:
+      _base_stage: filter_subjects
+      min_events_per_subject: 99
+  - count_codes:
+      _base_stage: aggregate_code_metadata
+      aggregations: [code/n_occurrences]
+"""
+    )
+    assert cfg.stages[0].resolved_name == "filter_subjects"
+    # Override by the ALIAS name, YAML-typed value.
+    cfg.apply_overrides(
+        ["keep_busy_subjects.min_events_per_subject=3", "worker_tag=abc"]
+    )
+    assert cfg.stages[0].config["min_events_per_subject"] == 3
+    assert cfg.additional_params["worker_tag"] == "abc"
+
+    data, meta = Pipeline(spark, cfg).run(meds_df)
+    # min_events=3 keeps subjects 1 (4 events) and 2 (3); drops 3 (2).
+    assert {r.subject_id for r in data.select("subject_id").distinct().collect()} == {1, 2}
+    counts = {r.code: r["code/n_occurrences"] for r in meta.collect()}
+    assert counts["HR"] == 3  # subject 1: 2, subject 2: 1
+
+
+def test_pipeline_config_pkg_uri():
+    """pkg:// pipeline addressing (reference utils.py:10-33): the
+    shipped example pipeline resolves through importlib.resources."""
+    from meds_transforms_spark.plans import PipelineConfig
+
+    cfg = PipelineConfig.from_yaml(
+        "pkg://meds_transforms_spark.pipelines.normalize.yaml"
+    )
+    names = [s.name for s in cfg.stages]
+    assert names == [
+        "filter_subjects",
+        "fit_normalization_stats",
+        "occlude_outliers",
+        "fit_vocabulary_indices",
+        "normalization",
+    ]
+    assert cfg.stage_by_name("fit_normalization_stats").resolved_name == (
+        "aggregate_code_metadata"
+    )
+
+
 def test_metadata_stage_reads_train_only_after_data_stage(spark, meds_df):
     """Train-only contract (reference configs/pipeline.py:415-428): a
     metadata stage after a data stage must aggregate over the train
