@@ -777,6 +777,23 @@ def q_docs_exact_dedup(spark, sf_dir):
     return exact_dedup(docs).select("doc_id")
 
 
+def q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): the
+    doc_id % 97 == 0 slice plays a benchmark whose text leaked into the
+    training corpus (the exact scenario decontamination exists for);
+    every training doc sharing a 13-gram with it — the leaked docs
+    themselves and their near-duplicates — must flag. Overlap is
+    defined on gram STRINGS: Spark joins 64-bit xxhash64 gram keys
+    (text never shuffles), the oracle joins the strings themselves;
+    results agree modulo 64-bit collisions (~1e-11 at this count)."""
+    from meds_transforms_spark.operators.decontaminate import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    out = ngram_decontaminate(docs, eval_df, n=13, mode="flag")
+    return out.select("doc_id", "contaminated")
+
+
 def q_docs_lang_id(spark, sf_dir):
     from meds_transforms_spark.operators.text import language_id
 
@@ -1027,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_cosine_dedup": q_emb_cosine_dedup,
         "events_sessions": q_events_sessions,
+        "docs_decontaminate": q_docs_decontaminate,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1715,6 +1733,30 @@ def oracle_sql() -> dict[str, str]:
                      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
               FROM documents
             ) WHERE doc_id = keeper
+        """,
+        "docs_decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       x -> x <> '') AS w
+              FROM documents
+            ), trg AS (
+              SELECT doc_id,
+                     array_to_string(w[CAST(i AS BIGINT):CAST(i + 12 AS BIGINT)], ' ') AS g
+              FROM toks t,
+                   unnest(range(1, greatest(len(w) - 12, 1) + 1)) AS u(i)
+            ), evg AS (
+              SELECT DISTINCT
+                     array_to_string(w[CAST(i AS BIGINT):CAST(i + 12 AS BIGINT)], ' ') AS g
+              FROM (SELECT * FROM toks WHERE doc_id % 97 = 0) e,
+                   unnest(range(1, greatest(len(w) - 12, 1) + 1)) AS u(i)
+            ), contam AS (
+              SELECT DISTINCT doc_id FROM trg WHERE g IN (SELECT g FROM evg)
+            )
+            SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+            FROM (SELECT doc_id FROM documents) t
+            LEFT JOIN contam c USING (doc_id)
         """,
         "emb_lsh_topk": """
             WITH e AS (

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "events_sessions",
     "docs_token_stats",
     "docs_exact_dedup",
+    "docs_decontaminate",
     "docs_minhash_dedup",
     "emb_topk_cosine",
 ]

@@ -18,6 +18,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     asof,
     bin_numeric_values,
     components,
+    decontaminate,
     dedup,
     extract_values,
     filter_measurements,

@@ -29,9 +29,12 @@ GUARDED = [
     "meds_timeline_deltas",
     "meds_pipeline_e2e",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q11",
     "tpch_q18",
     "tpch_q21",
@@ -45,6 +48,7 @@ GUARDED = [
     "docs_pii_scrub",
     "docs_boilerplate",
     "docs_exact_dedup",
+    "docs_decontaminate",
     "docs_minhash_dedup",
     "emb_topk_cosine",
 ]
