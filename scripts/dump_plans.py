@@ -29,6 +29,10 @@ REVIEW = {
     "docs_group_cap": "two-phase top-k: window on (lang, input-partition) caps locally, second window ranks ≤n·P survivors — a giant group spreads over all reducers",
     "docs_repetition": "array fractions are one codegen projection (zip_with bigrams, no per-element re-eval); only the top-word share shuffles — explode→(doc,word) partial count→(doc) max, counts only, joined back",
     "docs_pii_scrub": "regexp_count + chained regexp_replace: a single codegen projection over the scan — zero shuffle, zero UDF, linear at any scale",
+    "tpch_q2": "min-cost-supplier correlated subquery as a grouped pre-agg joined back on (part, cost); all dims broadcast, part table scanned once",
+    "tpch_q7": "two-nation volume: lineitem joined to broadcast supplier/customer/nation pair filter, one agg on (nations, year)",
+    "tpch_q9": "profit rollup: part filter broadcast into lineitem, orders join for the year, agg on (nation, year) — the biggest input scans once",
+    "docs_decontaminate": "train grams explode→hash in codegen; eval gram-hash set dedup'd + broadcast; LEFT SEMI map-side probe → contaminated ids → one id join back; document text never shuffles",
 }
 
 
