@@ -656,6 +656,18 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """view → click → purchase funnel (operators/funnel.py): earliest-
+    match step times + furthest stage per user. One exchange on
+    user_id; the three dependent step minimums chain as consecutive
+    Window operators reusing that partitioning."""
+    from meds_transforms_spark.operators.funnel import funnel_steps
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, steps=["view", "click", "purchase"])
+
+
 def q_docs_token_stats(spark, sf_dir):
     from meds_transforms_spark.operators.text import text_stats
 
@@ -1045,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_dedup": q_emb_cosine_dedup,
         "events_sessions": q_events_sessions,
         "docs_decontaminate": q_docs_decontaminate,
+        "events_funnel": q_events_funnel,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1733,6 +1746,31 @@ def oracle_sql() -> dict[str, str]:
                      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
               FROM documents
             ) WHERE doc_id = keeper
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id,
+                     min(ts) FILTER (WHERE event_type = 'view') AS step_1
+              FROM events GROUP BY user_id
+            ), s2 AS (
+              SELECT s1.user_id, s1.step_1, min(e.ts) AS step_2
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+               AND e.ts > s1.step_1
+              GROUP BY s1.user_id, s1.step_1
+            ), s3 AS (
+              SELECT s2.user_id, s2.step_1, s2.step_2, min(e.ts) AS step_3
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+               AND e.ts > s2.step_2
+              GROUP BY s2.user_id, s2.step_1, s2.step_2
+            )
+            SELECT user_id, step_1, step_2, step_3,
+                   CASE WHEN step_1 IS NULL THEN 0
+                        WHEN step_2 IS NULL THEN 1
+                        WHEN step_3 IS NULL THEN 2
+                        ELSE 3 END AS funnel_stage
+            FROM s3
         """,
         "docs_decontaminate": r"""
             WITH toks AS (

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "events_asof",
     "events_interval_join",
     "events_sessions",
+    "events_funnel",
     "docs_token_stats",
     "docs_exact_dedup",
     "docs_decontaminate",

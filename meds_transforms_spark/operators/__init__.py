@@ -24,6 +24,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     filter_measurements,
     filter_subjects,
     fit_vocabulary_indices,
+    funnel,
     interval,
     ivf,
     match_revise,

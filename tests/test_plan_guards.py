@@ -43,6 +43,7 @@ GUARDED = [
     "events_asof",
     "events_interval_join",
     "events_sessions",
+    "events_funnel",
     "docs_token_stats",
     "docs_repetition",
     "docs_pii_scrub",
