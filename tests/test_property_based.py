@@ -194,3 +194,56 @@ def test_repetition_stats_match_python_reference(spark, texts):
         assert r.dup_word_fraction == round((len(ws) - len(set(ws))) / max(len(ws), 1), 6)
         assert r.dup_bigram_fraction == round((len(bg) - len(set(bg))) / max(len(bg), 1), 6)
         assert r.top_word_fraction == round(top / max(len(ws), 1), 6)
+
+
+@st.composite
+def funnel_events(draw):
+    n_users = draw(st.integers(1, 4))
+    rows = []
+    for u in range(n_users):
+        n_ev = draw(st.integers(0, 12))
+        for _ in range(n_ev):
+            minute = draw(st.integers(0, 30))
+            ev = draw(st.sampled_from(["view", "click", "purchase", "error"]))
+            rows.append((u, minute, ev))
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=funnel_events())
+def test_funnel_matches_python_reference(spark, rows):
+    import datetime as dt
+
+    from meds_transforms_spark.operators.funnel import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    data = [
+        (u, dt.datetime(2024, 1, 1, 0, m), ev) for u, m, ev in rows
+    ]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r for r in funnel_steps(df, steps).collect()}
+
+    # Pure-python earliest-match reference.
+    by_user: dict[int, list] = {}
+    for u, t, ev in data:
+        by_user.setdefault(u, []).append((t, ev))
+    for u, evs in by_user.items():
+        prev = None
+        expect = []
+        for s in steps:
+            cands = [
+                t for t, ev in evs if ev == s and (prev is None or t > prev)
+            ]
+            cur = min(cands) if cands else None
+            if prev is None and cur is None:
+                pass  # stage 0: all subsequent steps null too
+            expect.append(cur)
+            if cur is None:
+                expect.extend([None] * (len(steps) - len(expect)))
+                break
+            prev = cur
+        r = got[u]
+        assert [r.step_1, r.step_2, r.step_3] == expect, (u, sorted(evs))
+        assert r.funnel_stage == sum(e is not None for e in expect)
