@@ -42,15 +42,19 @@ def _cmd_run(args) -> int:
         code_modifiers=args.code_modifiers.split(",") if args.code_modifiers else None,
         resume=args.resume,
     )
+    splits = src.subject_splits()
     out_data, out_meta = pipe.run(
         data,
         code_metadata=src.code_metadata(),
         train_data=train,
-        subject_splits=src.subject_splits(),
+        subject_splits=splits,
     )
     dst.write_data(canonical_sort(out_data))
     if out_meta is not None:
         dst.write_code_metadata(out_meta)
+    if splits is not None:
+        dst.write_subject_splits(splits)
+        dst.write_shards_json(splits)  # reference-tooling interop
     dst.write_dataset_metadata(src.dataset_metadata())
     print(f"wrote {args.output}")
     return 0

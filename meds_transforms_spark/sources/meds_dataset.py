@@ -121,6 +121,54 @@ class MEDSDataset:
     def write_subject_splits(self, df: DataFrame) -> None:
         write_parquet(df, os.path.join(self.metadata_dir, "subject_splits.parquet"))
 
+    def shards_json(self) -> dict[str, list[int]] | None:
+        """The reference's ``metadata/.shards.json`` shard map
+        (``{"train/0": [subject_ids...]}`` — tests/test_generic_input.py:28),
+        when present."""
+        p = os.path.join(self.metadata_dir, ".shards.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def write_shards_json(
+        self,
+        subject_splits: DataFrame,
+        n_subjects_per_shard: int = 25_000,
+    ) -> dict[str, list[int]]:
+        """Write a reference-compatible ``metadata/.shards.json``.
+
+        Spark's layout doesn't need shard files (the split partition
+        column + subject repartitioning carry the same guarantees), but
+        reference tooling reads this map — so emit it for interop:
+        per split, sorted subject ids chunked into
+        ``ceil(n/n_subjects_per_shard)`` near-equal shards, mirroring
+        the reference's ``np.array_split`` sizing
+        (stages/reshard_to_split/reshard_to_split.py:171-185). Shard
+        COMPOSITION is deterministic-by-id here rather than
+        permutation-ordered — a layout detail; split membership is the
+        semantic contract and matches ``assign_splits`` exactly.
+        """
+        rows = subject_splits.select(SUBJECT_ID, "split").collect()
+        by_split: dict[str, list[int]] = {}
+        for r in rows:
+            by_split.setdefault(r["split"], []).append(int(r[SUBJECT_ID]))
+        shards: dict[str, list[int]] = {}
+        for split, ids in sorted(by_split.items()):
+            ids.sort()
+            n_shards = max(1, -(-len(ids) // int(n_subjects_per_shard)))  # ceil
+            # np.array_split sizing: first (len % n) chunks get one extra.
+            base, extra = divmod(len(ids), n_shards)
+            start = 0
+            for i in range(n_shards):
+                size = base + (1 if i < extra else 0)
+                shards[f"{split}/{i}"] = ids[start : start + size]
+                start += size
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        with open(os.path.join(self.metadata_dir, ".shards.json"), "w") as f:
+            json.dump(shards, f)
+        return shards
+
     def dataset_metadata(self) -> dict:
         p = os.path.join(self.metadata_dir, "dataset.json")
         if not os.path.exists(p):

@@ -90,6 +90,46 @@ def streaming_exact_dedup(
     )
 
 
+def attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — e.g. attribute each
+    purchase (right) to the click (left) that preceded it within
+    ``within``.
+
+    This is the Structured Streaming capability with no batch
+    counterpart shortcut: BOTH sides are unbounded, so Spark buffers
+    each in the state store and the event-time range condition plus the
+    two watermarks bound how long a row waits for its match — state is
+    provably droppable once ``right_time`` can no longer land in
+    ``[left_time, left_time + within]``. Outer variants additionally
+    need both watermarks to emit their NULL-padded rows.
+
+    At scale: state is keyed by the join key, partitioned by the normal
+    exchange; RocksDB backend for large key cardinality. The range
+    condition MUST be on event-time columns (not computed epochs) for
+    the state-cleanup planner to see it.
+    """
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        left.withWatermark(left_time, watermark)
+        .alias("l")
+        .join(right.withWatermark(right_time, watermark).alias("r"), cond, join_type)
+    )
+
+
 def stream_to_meds_sink(
     stream: DataFrame,
     out_path: str,

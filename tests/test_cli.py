@@ -83,3 +83,7 @@ def test_cli_run_pipeline(spark, tmp_path):
     assert meta is not None and "code/vocab_index" in meta.columns
     with open(os.path.join(out_dir, "metadata", "dataset.json")) as f:
         assert json.load(f)["dataset_name"] == "cli_test"
+    # Reference-tooling interop artifacts travel with the output dataset.
+    shards = out.shards_json()
+    assert shards and all("/" in k for k in shards)
+    assert out.subject_splits() is not None

@@ -28,6 +28,26 @@ def test_meds_dataset_roundtrip_and_split_pruning(spark, meds_df, tmp_path):
     assert ds.dataset_metadata()["dataset_name"] == "t"
 
 
+def test_shards_json_roundtrip(spark, meds_df, tmp_path):
+    """Reference-tooling interop: metadata/.shards.json maps
+    '{split}/{idx}' -> subject id lists (reference
+    tests/test_generic_input.py:28), with np.array_split chunk sizing."""
+    from meds_transforms_spark.sources.meds_dataset import MEDSDataset
+
+    ds = MEDSDataset(spark, str(tmp_path / "meds"))
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "tuning")],
+        "subject_id long, split string",
+    )
+    written = ds.write_shards_json(splits, n_subjects_per_shard=1)
+    assert written == {"train/0": [1], "train/1": [2], "tuning/0": [3]}
+    assert ds.shards_json() == written
+
+    # One shard per split when the cap is large; ids sorted.
+    written = ds.write_shards_json(splits, n_subjects_per_shard=100)
+    assert written == {"train/0": [1, 2], "tuning/0": [3]}
+
+
 def test_assign_splits_deterministic(spark, meds_df):
     from meds_transforms_spark.operators.reshard_to_split import assign_splits
 
@@ -133,6 +153,56 @@ def test_streaming_windowed_counts(spark, meds_df, tmp_path):
     # assertions are that the stream planned, ran, and committed.
     assert q.lastProgress is not None
     spark.sql("SELECT * FROM codes_stream").collect()
+
+
+def test_streaming_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases attribute to a
+    prior click within the horizon; a purchase 2h after the click (past
+    `within`) must NOT join."""
+    import datetime as dt
+
+    from meds_transforms_spark.streaming.events import attribution_join
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+
+    def minutes(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    spark.createDataFrame(
+        [(1, minutes(0), "ad_A"), (2, minutes(5), "ad_B"), (3, minutes(0), "ad_C")],
+        "user_id long, ts timestamp, ad string",
+    ).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        # user 1 buys 30min after click (inside 1h); user 3 buys 2h later
+        [(1, minutes(30), 9.99), (3, minutes(120), 5.0)],
+        "user_id long, ts timestamp, amount double",
+    ).write.parquet(buys_dir)
+
+    clicks = (
+        spark.readStream.schema("user_id long, ts timestamp, ad string")
+        .parquet(clicks_dir)
+    )
+    buys = (
+        spark.readStream.schema("user_id long, ts timestamp, amount double")
+        .parquet(buys_dir)
+    )
+    joined = attribution_join(
+        clicks, buys, within="1 hour", watermark="4 hours"
+    ).selectExpr("l.user_id AS user_id", "l.ad AS ad", "r.amount AS amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attributed").collect()
+    got = {(r.user_id, r.ad, r.amount) for r in rows}
+    assert got == {(1, "ad_A", 9.99)}  # inner within-horizon match only
 
 
 def test_streaming_exact_dedup(spark, tmp_path):
