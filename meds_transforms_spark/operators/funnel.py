@@ -7,14 +7,25 @@ earliest-match, the standard funnel semantics), and report the furthest
 stage reached. The reference has no counterpart; this extends the
 relational suite alongside sessionization and as-of joins.
 
-Plan shape at 100 TB: ONE exchange. Step k's completion time depends on
-step k-1's, so the steps chain as k consecutive Window operators over
-the same ``partitionBy(entity)`` — Catalyst inserts a single hash
-exchange for the first and the rest reuse its partitioning (no sort is
-required; each window is an unordered MIN over the full partition).
-The final per-entity reduction is a groupBy on the already-partitioned
-key. Heavy entities spread by AQE skew handling inside the window
-exchange like any other keyed op.
+Two physical strategies, selected by ``strategy`` (both produce
+identical results — tested):
+
+- ``"agg_join"`` (default): step k is a full hash aggregation of the
+  fact table with map-side partial combine — the shuffle carries one
+  partial row per (entity, partition), never the events — and the
+  accumulated per-entity step table (|entities| rows) broadcast-joins
+  back into the next scan. k scans, ZERO full-data shuffles, no sort.
+  Single-node at 10M events / 100k users the two strategies tie
+  (~2 s warm — SCALING.md); the advantage is structural: at cluster
+  scale k cheap rescans replace one full-data shuffle+sort. Right
+  whenever the entity dimension fits broadcast (≲ tens of millions
+  of entities).
+- ``"window"``: the k dependent step minimums chain as k unordered
+  Window operators sharing ONE hash exchange on the entity key.
+  One full-data shuffle + sort, but no broadcast requirement — the
+  scale path when entities are too many to broadcast (billions of
+  users), where agg_join's join-back would itself become a full-data
+  shuffle join per step.
 
 ``within`` bounds the whole funnel: later steps only count inside
 ``[t1, t1 + within]`` seconds of the first step's completion.
@@ -39,6 +50,7 @@ def funnel_steps(
     ts_col: str = "ts",
     event_col: str = "event_type",
     within: float | None = None,
+    strategy: str = "agg_join",
 ) -> DataFrame:
     """Per-entity funnel: one row per entity with ``step_1..step_k``
     completion timestamps (NULL once the funnel stalls) and
@@ -47,27 +59,56 @@ def funnel_steps(
     Earliest-match semantics: step 1 completes at the entity's earliest
     ``steps[0]`` event; step k at the earliest ``steps[k-1]`` event
     strictly after step k-1's completion (and within the ``within``
-    horizon of step 1, when given).
+    horizon of step 1, when given). See the module docstring for the
+    two physical strategies.
     """
     if not steps:
         raise ValueError("steps must be a non-empty sequence of event values")
-    per_entity = W.partitionBy(entity_col)
-    out = df
-    prev_t = None
-    first_t = None
-    for i, step in enumerate(steps, start=1):
+    if strategy not in ("agg_join", "window"):
+        raise ValueError(f"strategy must be 'agg_join' or 'window', got {strategy!r}")
+
+    def step_cond(step: str, prev_t, first_t):
         cond = F.col(event_col) == step
         if prev_t is not None:
             cond = cond & (F.col(ts_col) > prev_t)
             if within is not None:
                 horizon = first_t + F.expr(f"INTERVAL {float(within)} SECONDS")
                 cond = cond & (F.col(ts_col) <= horizon)
-        t = F.min(F.when(cond, F.col(ts_col))).over(per_entity)
+        return cond
+
+    step_cols = [f"step_{i}" for i in range(1, len(steps) + 1)]
+
+    if strategy == "agg_join":
+        cur = None
+        for i, step in enumerate(steps, start=1):
+            if cur is None:
+                src = df
+                prev_t = first_t = None
+            else:
+                src = df.join(F.broadcast(cur), entity_col, "inner")
+                prev_t = F.col(step_cols[i - 2])
+                first_t = F.col(step_cols[0])
+            t = F.min(F.when(step_cond(step, prev_t, first_t), F.col(ts_col)))
+            carried = [F.first(c).alias(c) for c in step_cols[: i - 1]]
+            cur = src.groupBy(entity_col).agg(*carried, t.alias(step_cols[i - 1]))
+        out = cur
+        stage = sum(
+            (F.col(c).isNotNull().cast("int") for c in step_cols), F.lit(0)
+        )
+        return out.select(entity_col, *step_cols, stage.alias("funnel_stage"))
+
+    per_entity = W.partitionBy(entity_col)
+    out = df
+    prev_t = None
+    first_t = None
+    for i, step in enumerate(steps, start=1):
+        t = F.min(F.when(step_cond(step, prev_t, first_t), F.col(ts_col))).over(
+            per_entity
+        )
         out = out.withColumn(f"step_{i}", t)
         prev_t = F.col(f"step_{i}")
         if first_t is None:
             first_t = prev_t
-    step_cols = [f"step_{i}" for i in range(1, len(steps) + 1)]
     stage = sum(
         (F.max(c).isNotNull().cast("int") for c in step_cols),
         F.lit(0),

@@ -33,6 +33,7 @@ REVIEW = {
     "tpch_q7": "two-nation volume: lineitem joined to broadcast supplier/customer/nation pair filter, one agg on (nations, year)",
     "tpch_q9": "profit rollup: part filter broadcast into lineitem, orders join for the year, agg on (nation, year) — the biggest input scans once",
     "docs_decontaminate": "train grams explode→hash in codegen; eval gram-hash set dedup'd + broadcast; LEFT SEMI map-side probe → contaminated ids → one id join back; document text never shuffles",
+    "events_funnel": "agg_join strategy: per-step full hash agg with map-side combine (shuffle carries one partial row per entity-partition), per-entity step table broadcast back into the next scan — zero full-data shuffles, no sort; window strategy available for unbroadcastable entity dims",
 }
 
 

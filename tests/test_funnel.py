@@ -29,12 +29,15 @@ def events(spark):
     return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
 
 
-def test_funnel_stages_and_greedy_earliest_match(events):
+@pytest.mark.parametrize("strategy", ["agg_join", "window"])
+def test_funnel_stages_and_greedy_earliest_match(events, strategy):
     from meds_transforms_spark.operators.funnel import funnel_steps
 
     out = {
         r.user_id: r
-        for r in funnel_steps(events, ["view", "click", "purchase"]).collect()
+        for r in funnel_steps(
+            events, ["view", "click", "purchase"], strategy=strategy
+        ).collect()
     }
     assert out[1].funnel_stage == 3
     assert (out[1].step_1, out[1].step_2, out[1].step_3) == (ts(0), ts(5), ts(9))
@@ -51,29 +54,43 @@ def test_funnel_within_horizon(events):
 
     # 6-minute horizon from step 1: user 1's purchase at +9min now stalls,
     # click at +5 still lands.
-    out = {
-        r.user_id: r
-        for r in funnel_steps(
-            events, ["view", "click", "purchase"], within=360
-        ).collect()
-    }
-    assert out[1].funnel_stage == 2
-    # user 2's second click is +5min after its view at ts(2) — inside.
-    assert out[2].funnel_stage == 2
+    for strategy in ("agg_join", "window"):
+        out = {
+            r.user_id: r
+            for r in funnel_steps(
+                events, ["view", "click", "purchase"], within=360, strategy=strategy
+            ).collect()
+        }
+        assert out[1].funnel_stage == 2
+        # user 2's second click is +5min after its view at ts(2) — inside.
+        assert out[2].funnel_stage == 2
 
 
-def test_funnel_single_exchange(events):
+def test_funnel_plan_shapes(events):
     from meds_transforms_spark.operators.funnel import funnel_steps
 
+    # window strategy: the three dependent step windows + final groupBy
+    # all ride ONE hash exchange on the entity key.
     plan = (
-        funnel_steps(events, ["view", "click", "purchase"])
+        funnel_steps(events, ["view", "click", "purchase"], strategy="window")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    # The three dependent step windows + final groupBy all ride ONE
-    # hash exchange on the entity key.
     assert plan.count("Exchange hashpartitioning") == 1
+
+    # agg_join strategy: the per-entity step table joins back as a
+    # BROADCAST (no full-data shuffle join), no window/sort of events.
+    plan = (
+        funnel_steps(events, ["view", "click", "purchase"], strategy="agg_join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
 
     with pytest.raises(ValueError, match="non-empty"):
         funnel_steps(events, [])
+    with pytest.raises(ValueError, match="strategy"):
+        funnel_steps(events, ["view"], strategy="nope")

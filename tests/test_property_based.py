@@ -209,9 +209,10 @@ def funnel_events(draw):
     return rows
 
 
+@pytest.mark.parametrize("strategy", ["agg_join", "window"])
 @settings(max_examples=15, deadline=None)
 @given(rows=funnel_events())
-def test_funnel_matches_python_reference(spark, rows):
+def test_funnel_matches_python_reference(spark, strategy, rows):
     import datetime as dt
 
     from meds_transforms_spark.operators.funnel import funnel_steps
@@ -223,7 +224,7 @@ def test_funnel_matches_python_reference(spark, rows):
     if not data:
         return
     df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
-    got = {r.user_id: r for r in funnel_steps(df, steps).collect()}
+    got = {r.user_id: r for r in funnel_steps(df, steps, strategy=strategy).collect()}
 
     # Pure-python earliest-match reference.
     by_user: dict[int, list] = {}
