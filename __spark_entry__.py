@@ -656,6 +656,27 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_docs_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.py): whitespace token counts
+    → deterministic md5-order streaming-fill packs of 512 tokens, via
+    the distributed two-phase prefix sum. The oracle recomputes the
+    identical cumulative sum with one global window (fine at sf0.01;
+    the Spark side never creates a single-partition window)."""
+    from meds_transforms_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    out = pack_sequences(
+        toks, budget=512, order="hash", hash_fn="md5_60", num_partitions=8
+    )
+    return out.select("doc_id", "n_tokens", "pack_id", "pack_pos", "pack_offset")
+
+
 def q_events_funnel(spark, sf_dir):
     """view → click → purchase funnel (operators/funnel.py): earliest-
     match step times + furthest stage per user. One exchange on
@@ -1058,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "docs_decontaminate": q_docs_decontaminate,
         "events_funnel": q_events_funnel,
+        "docs_pack": q_docs_pack,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1746,6 +1768,31 @@ def oracle_sql() -> dict[str, str]:
                      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
               FROM documents
             ) WHERE doc_id = keeper
+        """,
+        "docs_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ordkey
+              FROM t WHERE n_tokens > 0
+            ), c AS (
+              SELECT doc_id, n_tokens, ordkey,
+                     sum(n_tokens) OVER (ORDER BY ordkey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM o
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
+                   CAST(row_number() OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT)
+                                           ORDER BY ordkey, doc_id) AS INT) AS pack_pos,
+                   (cum - n_tokens)
+                     - min(cum - n_tokens) OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT))
+                     AS pack_offset
+            FROM c
         """,
         "events_funnel": """
             WITH s1 AS (

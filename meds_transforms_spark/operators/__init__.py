@@ -32,6 +32,7 @@ from meds_transforms_spark.operators import (  # noqa: F401  (registration side 
     multimodal,
     normalization,
     occlude_outliers,
+    packing,
     quantiles,
     reorder_measurements,
     reshard_to_split,
