@@ -656,6 +656,21 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_emb_cluster_balance(spark, sf_dir):
+    """Cluster-balanced curation (operators/sampling.
+    cluster_balanced_sample): nearest of 16 deterministic seed
+    centroids, then ≤10 vectors per cluster in md5-hash order — both
+    halves reproduced verbatim by the oracle (the assignment CTE
+    matches emb_ivf_topk's; the cap CTE matches docs_group_cap's)."""
+    from meds_transforms_spark.operators.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_balanced_sample(
+        emb, n_cells=16, cap_per_cluster=10, seed=42, hash_fn="md5_60"
+    )
+    return out.select("vec_id", "cluster_id")
+
+
 def q_docs_pack(spark, sf_dir):
     """Sequence packing (operators/packing.py): whitespace token counts
     → deterministic md5-order streaming-fill packs of 512 tokens, via
@@ -1080,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_docs_decontaminate,
         "events_funnel": q_events_funnel,
         "docs_pack": q_docs_pack,
+        "emb_cluster_balance": q_emb_cluster_balance,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1768,6 +1784,34 @@ def oracle_sql() -> dict[str, str]:
                      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
               FROM documents
             ) WHERE doc_id = keeper
+        """,
+        "emb_cluster_balance": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            c_assign AS (
+              SELECT vec_id, cell AS cluster_id FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cell
+                       ) AS rn
+                FROM embeddings e, cent c
+              ) WHERE rn = 1
+            ),
+            h AS (
+              SELECT vec_id, cluster_id,
+                     CAST('0x' || substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 1000000 AS b
+              FROM c_assign
+            )
+            SELECT vec_id, cluster_id FROM (
+              SELECT vec_id, cluster_id,
+                     row_number() OVER (PARTITION BY cluster_id ORDER BY b, vec_id) AS rn
+              FROM h
+            ) WHERE rn <= 10
         """,
         "docs_pack": r"""
             WITH t AS (

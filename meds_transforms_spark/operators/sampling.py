@@ -146,3 +146,48 @@ def group_cap(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+@register_stage("cluster_balanced_sample")
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    cap_per_cluster: int = 100,
+    centroids: DataFrame | None = None,
+    iters: int = 0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Embedding-space balanced curation: nearest-centroid cluster
+    assignment + a per-cluster hard cap in deterministic hash order —
+    the embedding analog of per-domain caps, downweighting
+    over-represented semantic modes of a corpus before training.
+
+    Assignment reuses the IVF machinery (:func:`ivf.build_ivf_index`:
+    deterministic seed centroids, broadcast to a map-side scoring join,
+    optional ``iters`` Lloyd refinements via :func:`ivf.kmeans_refine`);
+    the cap reuses :func:`group_cap`'s two-phase per-key top-k, so a
+    corpus collapsed into one giant cluster still spreads over all
+    reducers. Returns ``(id, cluster_id)`` for the kept rows —
+    broadcast-join back to the corpus for payloads.
+    """
+    from meds_transforms_spark.operators.ivf import build_ivf_index, kmeans_refine
+
+    if centroids is None and iters:
+        centroids = kmeans_refine(df, n_cells, iters, id_col, vec_col)
+    idx = build_ivf_index(df, n_cells, id_col, vec_col, centroids=centroids)
+    assigned = idx.select(
+        F.col("vec_id").alias(id_col), F.col("__cell").alias("cluster_id")
+    )
+    return group_cap(
+        assigned,
+        "cluster_id",
+        cap_per_cluster,
+        on=id_col,
+        seed=seed,
+        hash_fn=hash_fn,
+        two_phase=two_phase,
+    )

@@ -138,3 +138,50 @@ def test_deterministic_sample_on_stream(spark, tmp_path):
     got = {r.doc_id for r in spark.sql("select doc_id from sample_out").collect()}
     want = {r.doc_id for r in deterministic_sample(df, 0.3, on="doc_id", seed=7).collect()}
     assert got == want
+
+
+def test_cluster_balanced_sample(spark):
+    """Cluster cap: three tight embedding clusters with very different
+    sizes come back balanced; assignment is deterministic and refined
+    centroids (iters>0) still produce a valid capped partition."""
+    import numpy as np
+
+    from meds_transforms_spark.operators.sampling import cluster_balanced_sample
+
+    rng = np.random.RandomState(3)
+    centers = {0: [10.0, 0.0], 1: [0.0, 10.0], 2: [-10.0, -10.0]}
+    sizes = {0: 40, 1: 12, 2: 3}
+    # Round-robin ids across clusters so the deterministic seed
+    # centroids (first n_cells by vec_id) span all three modes.
+    schedule = []
+    remaining = dict(sizes)
+    while any(remaining.values()):
+        for c in centers:
+            if remaining[c]:
+                schedule.append(c)
+                remaining[c] -= 1
+    rows = []
+    for vid, c in enumerate(schedule):
+        vec = (np.array(centers[c]) + rng.normal(0, 0.2, 2)).tolist()
+        rows.append((vid, vec, c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, true_cluster int")
+
+    out = cluster_balanced_sample(
+        emb, n_cells=3, cap_per_cluster=5, seed=1
+    ).collect()
+    per_cluster: dict[int, int] = {}
+    for r in out:
+        per_cluster[r.cluster_id] = per_cluster.get(r.cluster_id, 0) + 1
+    # every cluster capped at 5; the 3-vector cluster keeps all 3
+    assert all(v <= 5 for v in per_cluster.values())
+    assert sum(per_cluster.values()) == 5 + 5 + 3
+    # deterministic
+    again = cluster_balanced_sample(emb, n_cells=3, cap_per_cluster=5, seed=1).collect()
+    assert {(r.vec_id, r.cluster_id) for r in again} == {
+        (r.vec_id, r.cluster_id) for r in out
+    }
+
+    refined = cluster_balanced_sample(
+        emb, n_cells=3, cap_per_cluster=5, seed=1, iters=2
+    ).collect()
+    assert len(refined) <= 13 and len({r.vec_id for r in refined}) == len(refined)
