@@ -34,6 +34,8 @@ REVIEW = {
     "tpch_q9": "profit rollup: part filter broadcast into lineitem, orders join for the year, agg on (nation, year) — the biggest input scans once",
     "docs_decontaminate": "train grams explode→hash in codegen; eval gram-hash set dedup'd + broadcast; LEFT SEMI map-side probe → contaminated ids → one id join back; document text never shuffles",
     "events_funnel": "agg_join strategy: per-step full hash agg with map-side combine (shuffle carries one partial row per entity-partition), per-entity step table broadcast back into the next scan — zero full-data shuffles, no sort; window strategy available for unbroadcastable entity dims",
+    "docs_pack": "two-phase prefix sum: range exchange on the order key, per-partition running sums, #partitions offset rows broadcast back — no SinglePartition exchange anywhere (the naive global-window cumsum is the anti-pattern this operator replaces)",
+    "emb_cluster_balance": "centroids broadcast into a map-side scoring join (corpus never shuffles for assignment); the cap is group_cap's two-phase per-key top-k — phase 1 caps within (cluster, input-partition), phase 2 ranks only survivors",
 }
 
 

@@ -109,3 +109,31 @@ def test_empty_text_documents(spark):
     # never onto the real doc.
     survivors = {r.doc_id for r in minhash_lsh_dedup(docs).collect()}
     assert 3 in survivors
+
+
+def test_round2_operators_on_empty(spark):
+    from meds_transforms_spark.operators.decontaminate import ngram_decontaminate
+    from meds_transforms_spark.operators.funnel import funnel_steps
+    from meds_transforms_spark.operators.packing import pack_sequences
+    from meds_transforms_spark.operators.sampling import cluster_balanced_sample
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    some_docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    # empty train / empty eval both degenerate cleanly
+    assert ngram_decontaminate(empty_docs, some_docs).count() == 0
+    out = ngram_decontaminate(some_docs, empty_docs).collect()
+    assert len(out) == 1 and out[0].contaminated is False
+
+    empty_events = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    assert funnel_steps(empty_events, ["view", "click"]).count() == 0
+    assert (
+        funnel_steps(empty_events, ["view", "click"], strategy="window").count() == 0
+    )
+
+    empty_lengths = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(empty_lengths, budget=64).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cluster_balanced_sample(empty_emb, n_cells=4, cap_per_cluster=2).count() == 0
