@@ -8,7 +8,9 @@ from pyspark.sql import SparkSession
 from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
 
 # pytester: used by test_example_discovery's plugin end-to-end test.
-pytest_plugins = ["pytester"]
+# The golden-example plugin runs the shipped stage_examples/ scenarios
+# (configured via meds_spark_stage_examples_dirs in pyproject.toml).
+pytest_plugins = ["pytester", "meds_transforms_spark.pytest_plugin"]
 
 
 @pytest.fixture(scope="session")
