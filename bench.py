@@ -89,6 +89,9 @@ def main():
                 # visible across rounds.
                 "raw_timings": raw,
                 "runs_per_query": runs,
+                # Headline-set size — totals are only comparable across
+                # rounds at equal n_queries (r01: 19, r02: 24).
+                "n_queries": len(BENCH_QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -60,6 +60,21 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_merge(args) -> int:
+    from meds_transforms_spark import get_spark
+    from meds_transforms_spark.sources.meds_dataset import merge_meds_datasets
+
+    spark = get_spark("meds_transforms_spark.merge")
+    merge_meds_datasets(
+        spark,
+        args.inputs.split(","),
+        args.output,
+        refit_metadata=not args.no_refit_metadata,
+    )
+    print(f"merged {args.inputs} -> {args.output}")
+    return 0
+
+
 def _cmd_gen_docs(args) -> int:
     from meds_transforms_spark.docgen import write_stage_docs
 
@@ -100,6 +115,12 @@ def main(argv=None) -> int:
 
     ls = sub.add_parser("list-stages", help="list registered stages")
     ls.set_defaults(fn=_cmd_list_stages)
+
+    merge = sub.add_parser("merge", help="union multiple MEDS dataset roots")
+    merge.add_argument("--inputs", required=True, help="comma-separated dataset roots")
+    merge.add_argument("--output", required=True)
+    merge.add_argument("--no-refit-metadata", action="store_true")
+    merge.set_defaults(fn=_cmd_merge)
 
     docs = sub.add_parser("gen-docs", help="generate per-stage Markdown docs")
     docs.add_argument("out_dir")

@@ -203,6 +203,97 @@ def _exists(path: str) -> bool:
     return os.path.exists(path)
 
 
+def merge_meds_datasets(
+    spark: SparkSession,
+    roots: Iterable[str],
+    out_root: str,
+    refit_metadata: bool = True,
+    aggregations: Iterable[str] = (
+        "code/n_subjects",
+        "code/n_occurrences",
+        "values/n_occurrences",
+        "values/sum",
+        "values/sum_sqd",
+    ),
+) -> "MEDSDataset":
+    """Union several MEDS dataset roots into one (multi-site merges).
+
+    - Event tables union by name (missing optional columns null-padded);
+      subject id spaces must already be disjoint — overlapping ids
+      across inputs raise, because silently fusing two subjects is the
+      worst possible corruption.
+    - subject_splits concatenate (disjointness makes this safe).
+    - Code metadata is REFIT from the merged train data by default
+      (counts/sums from different cohorts cannot be max'd or unioned
+      meaningfully); ``refit_metadata=False`` skips the metadata plane
+      entirely for caller-managed stats.
+
+    Scale shape: the union is metadata-only planning; the disjointness
+    check is one distinct-count aggregate per input pair level —
+    implemented as a single groupBy over ids with a source bitmask, one
+    shuffle of (subject_id, int).
+    """
+    from meds_transforms_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+
+    roots = list(roots)
+    if len(roots) < 2:
+        raise ValueError("merge_meds_datasets needs at least two inputs")
+    sources = [MEDSDataset(spark, r) for r in roots]
+
+    datas = []
+    for i, src in enumerate(sources):
+        datas.append(src.data().withColumn("__src", F.lit(i)))
+    merged = datas[0]
+    for d in datas[1:]:
+        merged = merged.unionByName(d, allowMissingColumns=True)
+
+    overlap = (
+        merged.groupBy(SUBJECT_ID)
+        .agg(F.countDistinct("__src").alias("__n_src"))
+        .filter(F.col("__n_src") > 1)
+        .limit(5)
+        .collect()
+    )
+    if overlap:
+        ids = [r[SUBJECT_ID] for r in overlap]
+        raise ValueError(
+            f"subject_id spaces overlap across inputs (examples: {ids}); "
+            "remap ids before merging — fusing distinct subjects is data "
+            "corruption"
+        )
+    merged = merged.drop("__src")
+
+    out = MEDSDataset(spark, out_root)
+    out.write_data(merged)
+
+    splits = [s.subject_splits() for s in sources]
+    splits = [s for s in splits if s is not None]
+    if splits:
+        all_splits = splits[0]
+        for s in splits[1:]:
+            all_splits = all_splits.unionByName(s)
+        out.write_subject_splits(all_splits)
+
+    if refit_metadata:
+        train = merged
+        if splits:
+            keep = all_splits.filter(F.col("split") == TRAIN_SPLIT).select(SUBJECT_ID)
+            train = merged.join(F.broadcast(keep), SUBJECT_ID, "left_semi")
+        elif "split" in merged.columns:
+            train = merged.filter(F.col("split") == TRAIN_SPLIT)
+        out.write_code_metadata(
+            aggregate_code_metadata(train, aggregations=list(aggregations))
+        )
+
+    names = [s.dataset_metadata().get("dataset_name", "?") for s in sources]
+    out.write_dataset_metadata(
+        {"dataset_name": "+".join(names), "merged_from": names}
+    )
+    return out
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

@@ -259,3 +259,53 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     a = spark.read.parquet(src).groupBy("k").count().collect()
     b = spark.read.parquet(dst).groupBy("k").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_merge_meds_datasets(spark, meds_df, tmp_path):
+    """Multi-site merge: disjoint subject spaces union cleanly, splits
+    concatenate, metadata refits train-only; overlapping ids raise."""
+    from meds_transforms_spark.sources.meds_dataset import (
+        MEDSDataset,
+        merge_meds_datasets,
+    )
+
+    a_dir, b_dir = str(tmp_path / "site_a"), str(tmp_path / "site_b")
+    a = MEDSDataset(spark, a_dir)
+    a.write_data(meds_df)
+    a.write_subject_splits(
+        spark.createDataFrame(
+            [(1, "train"), (2, "tuning"), (3, "train")],
+            "subject_id long, split string",
+        )
+    )
+    a.write_dataset_metadata({"dataset_name": "site_a", "dataset_version": "1"})
+
+    shifted = meds_df.withColumn("subject_id", F.col("subject_id") + 100)
+    b = MEDSDataset(spark, b_dir)
+    b.write_data(shifted)
+    b.write_subject_splits(
+        spark.createDataFrame(
+            [(101, "train"), (102, "train"), (103, "held_out")],
+            "subject_id long, split string",
+        )
+    )
+    b.write_dataset_metadata({"dataset_name": "site_b", "dataset_version": "1"})
+
+    out = merge_meds_datasets(spark, [a_dir, b_dir], str(tmp_path / "merged"))
+    data = out.data()
+    assert data.count() == 2 * meds_df.count()
+    assert out.subject_splits().count() == 6
+    meta = out.code_metadata()
+    counts = {r.code: r["code/n_subjects"] for r in meta.collect()}
+    # Metadata refits train-only over the union: HR is observed for
+    # subjects 1,2,3 per site; the train subjects among them are {1,3}
+    # at site_a and {101,102} at site_b — tuning/held-out subjects must
+    # not count.
+    assert counts["HR"] == 4
+    assert out.dataset_metadata()["dataset_name"] == "site_a+site_b"
+
+    # Overlapping subject ids must refuse.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        merge_meds_datasets(spark, [a_dir, a_dir], str(tmp_path / "bad"))
