@@ -248,3 +248,31 @@ def test_funnel_matches_python_reference(spark, strategy, rows):
         r = got[u]
         assert [r.step_1, r.step_2, r.step_3] == expect, (u, sorted(evs))
         assert r.funnel_stage == sum(e is not None for e in expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lengths=st.lists(st.integers(1, 500), min_size=1, max_size=60),
+    budget=st.sampled_from([64, 256, 1024]),
+)
+def test_packing_matches_python_cumsum(spark, lengths, budget):
+    from meds_transforms_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        list(enumerate(lengths)), "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, budget=budget, order="id", num_partitions=3).collect()
+    got = {r.doc_id: (r.pack_id, r.pack_pos, r.pack_offset) for r in out}
+
+    cum = 0
+    expect = {}
+    pack_counts: dict[int, int] = {}
+    pack_start: dict[int, int] = {}
+    for i, t in enumerate(lengths):  # order="id" == doc_id order
+        start = cum
+        cum += t
+        pid = (cum - 1) // budget
+        pack_counts[pid] = pack_counts.get(pid, 0) + 1
+        pack_start.setdefault(pid, start)
+        expect[i] = (pid, pack_counts[pid], start - pack_start[pid])
+    assert got == expect
