@@ -656,6 +656,25 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_docs_line_dedup(spark, sf_dir):
+    """Within-document repeated-line removal (operators/text.
+    dedupe_doc_lines). The corpus is single-line, so the query wraps
+    each doc in repeated nav/footer lines; the operator must keep only
+    each line's first occurrence (blanks preserved) — checked
+    line-for-line by the oracle."""
+    from meds_transforms_spark.operators.text import dedupe_doc_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("MENU\n"), F.col("text"),
+            F.lit("\nMENU\n\ncontact us\n\ncontact us"),
+        ).alias("text"),
+    )
+    return dedupe_doc_lines(wrapped).select("doc_id", "text")
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1096,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "docs_pack": q_docs_pack,
         "emb_cluster_balance": q_emb_cluster_balance,
+        "docs_line_dedup": q_docs_line_dedup,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1784,6 +1804,23 @@ def oracle_sql() -> dict[str, str]:
                      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
               FROM documents
             ) WHERE doc_id = keeper
+        """,
+        "docs_line_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'MENU' || chr(10) || text || chr(10) || 'MENU' || chr(10)
+                       || chr(10) || 'contact us' || chr(10) || chr(10) || 'contact us' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE array_to_string(
+                               list_filter(string_split(text, chr(10)),
+                                           (x, i) -> trim(x) = ''
+                                             OR list_position(string_split(text, chr(10)), x) = i),
+                               chr(10))
+                   END AS text
+            FROM t
         """,
         "emb_cluster_balance": """
             WITH cent AS (

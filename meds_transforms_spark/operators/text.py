@@ -305,6 +305,38 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+@register_stage("dedupe_doc_lines")
+def dedupe_doc_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_blank: bool = True,
+) -> DataFrame:
+    """Drop repeated lines WITHIN each document, keeping the first
+    occurrence — the intra-page half of the C4/Gopher cleanup
+    (nav-menu/footer lines repeated inside one page), complementing
+    :func:`remove_boilerplate_lines` which removes lines repeated
+    ACROSS documents.
+
+    Implementation is a single codegen-free-of-shuffle projection:
+    keep line i iff ``array_position(lines, line)`` equals its own
+    index (first occurrence). The per-document cost is O(L²) in line
+    count through the interpreted HOF path — bounded by page length,
+    independent of corpus size, and embarrassingly parallel, so the
+    operator has NO shuffle and no scale coupling at all. Blank lines
+    are kept by default (paragraph structure); NULL text stays NULL.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keep = lambda x, i: F.array_position(lines, x) == i + F.lit(1)  # noqa: E731
+    if keep_blank:
+        inner = keep
+        keep = lambda x, i: (F.trim(x) == "") | inner(x, i)  # noqa: E731
+    deduped = F.concat_ws("\n", F.filter(lines, keep))
+    return df.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(deduped),
+    )
+
+
 @register_stage("remove_boilerplate_lines")
 def remove_boilerplate_lines(
     df: DataFrame,

@@ -209,3 +209,26 @@ def test_remove_boilerplate_blank_lines_and_nulls(spark):
     assert out[3] == "  \nindent blank kept"
     assert out[4] is None
     assert out[5] is None
+
+
+def test_dedupe_doc_lines(spark):
+    """Within-doc repeated lines collapse to the first occurrence;
+    blank lines and NULL text survive; cross-doc repeats untouched."""
+    from meds_transforms_spark.operators.text import dedupe_doc_lines
+
+    rows = [
+        (1, "MENU\nintro text\n\nMENU\nbody\n\nbody\nMENU"),
+        (2, "MENU\nother page"),  # same line in another doc: kept there
+        (3, None),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in dedupe_doc_lines(df).collect()}
+    assert out[1] == "MENU\nintro text\n\nbody\n"
+    assert out[2] == "MENU\nother page"
+    assert out[3] is None
+    assert out[4] == "single"
+
+    # keep_blank=False also collapses repeated blanks
+    out2 = {r.doc_id: r.text for r in dedupe_doc_lines(df, keep_blank=False).collect()}
+    assert out2[1] == "MENU\nintro text\n\nbody"
