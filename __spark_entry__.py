@@ -675,6 +675,19 @@ def q_docs_line_dedup(spark, sf_dir):
     return dedupe_doc_lines(wrapped).select("doc_id", "text")
 
 
+def q_docs_substring_dedup(spark, sf_dir):
+    """Duplicated-substring coverage (operators/substring.
+    duplicated_span_stats): positional 20-grams sampled at stride 4,
+    corpus document frequency per md5-hashed gram, per-doc duplicated
+    position fraction. The oracle recomputes the full pipeline — the
+    same md5-derived 60-bit hashes, DF counts and rollup — in SQL."""
+    from meds_transforms_spark.operators.substring import duplicated_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = duplicated_span_stats(docs, k=20, stride=4, min_df=2, hash_fn="md5_60")
+    return out.select("doc_id", "n_positions", "n_dup_positions", "dup_fraction")
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1116,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack": q_docs_pack,
         "emb_cluster_balance": q_emb_cluster_balance,
         "docs_line_dedup": q_docs_line_dedup,
+        "docs_substring_dedup": q_docs_substring_dedup,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1821,6 +1835,37 @@ def oracle_sql() -> dict[str, str]:
                                chr(10))
                    END AS text
             FROM t
+        """,
+        "docs_substring_dedup": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, txt,
+                     unnest(range(1, greatest(len(txt) - 19, 0) + 1, 4)) AS i
+              FROM norm
+            ), g AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(substr(txt, CAST(i AS BIGINT), 20)), 1, 15) AS BIGINT) AS h
+              FROM pos
+            ), per_doc AS (
+              SELECT doc_id, h, count(*) AS n_local FROM g GROUP BY doc_id, h
+            ), dup AS (
+              SELECT h FROM per_doc GROUP BY h HAVING count(*) >= 2
+            ), dup_doc AS (
+              SELECT doc_id, sum(n_local) AS n_dup FROM per_doc JOIN dup USING (h) GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_positions FROM g GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(t.n_positions, 0) AS BIGINT) AS n_positions,
+                   CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_positions,
+                   CASE WHEN t.n_positions IS NULL THEN NULL
+                        ELSE CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / t.n_positions
+                   END AS dup_fraction
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN dup_doc dd USING (doc_id)
         """,
         "emb_cluster_balance": """
             WITH cent AS (

@@ -1,0 +1,159 @@
+"""Duplicated-substring coverage — the exact-substring dedup signal.
+
+Suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better") finds verbatim spans shared across
+documents. A literal distributed suffix array is a poor fit for Spark's
+shuffle model; the relational formulation below computes the same
+*signal* — which character positions of each document sit inside a
+substring that also occurs elsewhere in the corpus — as three
+hash-keyed aggregations:
+
+1. positional char k-grams at a configurable ``stride`` (stride=1 is
+   exact position coverage; stride=k//2 guarantees every duplicated
+   span of length >= 1.5k still hits a sampled gram, at 1/stride the
+   row volume);
+2. corpus-wide document frequency per gram hash (two map-side-combined
+   aggregations: (doc, hash) then hash — never a count-distinct
+   expand);
+3. join the duplicated hash set back and roll up per document.
+
+Shuffled rows carry ``(long, long[, int])`` only — text bytes never
+leave the scan stage. At 100 TB the dominant cost is the positional
+explode, which is why ``stride`` exists; the hash-side tables are a
+few percent of corpus size.
+
+Reference has no such operator (its dedup plane is
+``/root/reference/src/MEDS_transforms/__init__.py`` — none); this is
+part of the training-data-pipeline extension layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.operators.dedup import _h64, _normalized
+
+
+def positional_gram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    stride: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One row per sampled gram position: (id, pos, gram hash).
+
+    Positions are 1-based over the *normalized* text (lowercased,
+    whitespace collapsed) so trivial formatting differences don't hide
+    duplication. Documents shorter than ``k`` produce no rows.
+    """
+    norm = _normalized(F.col(text_col))
+    n_pos = F.length(norm) - F.lit(k - 1)
+    positions = F.when(
+        n_pos >= 1, F.sequence(F.lit(1), n_pos, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col).alias("__id"), norm.alias("__norm"), positions.alias("__pos"))
+        .select("__id", "__norm", F.explode("__pos").alias("pos"))
+        .select(
+            F.col("__id").alias(id_col),
+            "pos",
+            _h64(hash_fn, F.col("__norm").substr(F.col("pos"), F.lit(k))).alias("gram_hash"),
+        )
+    )
+
+
+@register_stage("duplicated_span_stats")
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    stride: int = 1,
+    min_df: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Annotate each document with its duplicated-substring coverage.
+
+    Output columns (added to ``df``):
+
+    - ``n_positions``      sampled gram positions in the doc (0 if len < k)
+    - ``n_dup_positions``  positions whose k-gram occurs in >= ``min_df``
+                           distinct documents
+    - ``dup_fraction``     ratio (NULL when ``n_positions`` is 0)
+
+    Plan shape: explode → groupBy(id, hash) → groupBy(hash) →
+    shuffle-join back on hash → groupBy(id) → broadcast-free left join
+    onto ``df`` by id. All shuffle keys are 64-bit longs.
+    """
+    grams = positional_gram_hashes(
+        df, text_col=text_col, id_col=id_col, k=k, stride=stride, hash_fn=hash_fn
+    )
+    # (doc, hash) local occurrence counts — collapses repeated grams
+    # within a doc before the global aggregation (map-side combine
+    # makes this the cheap half of the pair of shuffles).
+    per_doc = grams.groupBy(id_col, "gram_hash").agg(
+        F.count("*").alias("n_local")
+    )
+    # corpus document frequency per hash, WITHOUT count-distinct: the
+    # (doc, hash) pre-aggregation already made rows unique per doc.
+    dup_hashes = (
+        per_doc.groupBy("gram_hash")
+        .agg(F.count("*").alias("df_docs"))
+        .filter(F.col("df_docs") >= min_df)
+        .select("gram_hash")
+    )
+    dup_per_doc = (
+        per_doc.join(dup_hashes, "gram_hash", "inner")
+        .groupBy(id_col)
+        .agg(F.sum("n_local").alias("n_dup_positions"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_positions"))
+    stats = (
+        totals.join(dup_per_doc, id_col, "left")
+        .withColumn(
+            "n_dup_positions", F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long")
+        )
+        .withColumn("n_positions", F.col("n_positions").cast("long"))
+        .withColumn(
+            "dup_fraction", F.col("n_dup_positions") / F.col("n_positions")
+        )
+    )
+    return (
+        df.join(stats, id_col, "left")
+        .withColumn("n_positions", F.coalesce(F.col("n_positions"), F.lit(0)).cast("long"))
+        .withColumn(
+            "n_dup_positions", F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long")
+        )
+    )
+
+
+@register_stage("filter_duplicated_spans")
+def filter_duplicated_spans(
+    df: DataFrame,
+    max_dup_fraction: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    stride: int = 1,
+    min_df: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Drop documents whose duplicated-substring coverage exceeds
+    ``max_dup_fraction`` (docs too short to sample any gram are kept)."""
+    stats = duplicated_span_stats(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        stride=stride,
+        min_df=min_df,
+        hash_fn=hash_fn,
+    )
+    keep = (F.col("dup_fraction").isNull()) | (
+        F.col("dup_fraction") <= F.lit(max_dup_fraction)
+    )
+    return stats.filter(keep).drop("n_positions", "n_dup_positions", "dup_fraction")
