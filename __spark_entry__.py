@@ -688,6 +688,28 @@ def q_docs_substring_dedup(spark, sf_dir):
     return out.select("doc_id", "n_positions", "n_dup_positions", "dup_fraction")
 
 
+def q_docs_domain_mix(spark, sf_dir):
+    """Training-mix composition (operators/sampling.domain_mix):
+    per-source token quotas out of a 2000-token budget, documents taken
+    in md5-hash order until the quota is exhausted, via an exact
+    distributed prefix sum over monotone hash-range buckets. The oracle
+    replays the identical order + running-sum semantics as one SQL
+    window (small data needs no bucketing — the prefix sums agree by
+    construction)."""
+    from meds_transforms_spark.operators.sampling import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = domain_mix(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2},
+        token_budget=2000,
+        default_weight=0.02,
+        hash_fn="md5_60",
+        num_buckets=8,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1130,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_balance": q_emb_cluster_balance,
         "docs_line_dedup": q_docs_line_dedup,
         "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_domain_mix": q_docs_domain_mix,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1866,6 +1889,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN dup_doc dd USING (doc_id)
+        """,
+        "docs_domain_mix": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                              x -> x != '')), 0) AS ntok,
+                     CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                     CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+                                 WHEN 'src2' THEN 400 ELSE 40 END AS quota
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, quota,
+                     sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+              FROM t
+            )
+            SELECT doc_id, source FROM c WHERE csum <= quota
         """,
         "emb_cluster_balance": """
             WITH cent AS (

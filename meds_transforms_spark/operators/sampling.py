@@ -191,3 +191,112 @@ def cluster_balanced_sample(
         hash_fn=hash_fn,
         two_phase=two_phase,
     )
+
+
+def _order_bucket(ord_col, hash_fn: str, n_buckets: int):
+    """Monotone (order-preserving) bucket of a hash-order key: every
+    row in bucket i precedes every row in bucket i+1, so per-bucket
+    running sums compose into an exact global prefix sum. Deterministic
+    — unlike ``repartitionByRange`` there is no sampled partitioner to
+    pin, so lineage recomputation can never re-draw boundaries."""
+    if hash_fn == "md5_60":
+        width = (1 << 60) // n_buckets + 1
+        return (ord_col / F.lit(width)).cast("long")
+    # xxhash64: full signed-64 range, mapped via double (monotone
+    # non-decreasing is sufficient; boundary ties share a bucket).
+    b = F.floor((ord_col / F.lit(float(1 << 63)) / 2.0 + 0.5) * n_buckets)
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+
+
+@register_stage("domain_mix")
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    on: list[str] | str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 0.0,
+    hash_fn: str = "xxhash64",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Compose a training mix: per-source TOKEN quotas out of a global
+    budget (the "domain weights" step of corpus curation — Pile /
+    DoReMi-style source mixing, with hash determinism in place of RNG).
+
+    Source ``s`` gets ``round(weights[s] * token_budget)`` tokens
+    (unlisted sources get ``default_weight``); its documents are taken
+    in deterministic hash order while the cumulative token count stays
+    within quota (a doc that would cross the quota is dropped, as is
+    everything after it). Weights are independent shares of the budget
+    — they need not sum to 1, so one source can be re-weighed without
+    recomputing the rest. Token counts come from ``token_col`` when
+    given, else a whitespace token count of ``text_col`` computed in
+    the same projection.
+
+    The running sum is the scale hazard: ``Window.partitionBy(source)``
+    funnels each source through ONE reducer — a petabyte crawl source
+    with a tiny quota would still single-task-sort. Instead, an exact
+    distributed prefix sum over monotone hash-range buckets:
+
+    1. bucket = order-preserving slice of the hash key (deterministic,
+       no sampling); local running sums window on (source, bucket) —
+       a giant source spreads over ``num_buckets`` reducer tasks;
+    2. per-(source, bucket) totals (map-side-combined agg over (string,
+       long, long) rows) → exclusive bucket offsets via a window over
+       that tiny table;
+    3. broadcast the offsets back: global cumsum = local + offset.
+
+    Sources with quota 0 are pruned BEFORE the shuffle. NULL token
+    counts (NULL text / NULL token_col) count as 0 tokens — the doc
+    occupies a slot but no budget.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    quota = None
+    for value, w in weights.items():
+        cond = F.col(source_col) == F.lit(value)
+        q = F.lit(int(round(w * token_budget)))
+        quota = F.when(cond, q) if quota is None else quota.when(cond, q)
+    default_q = F.lit(int(round(default_weight * token_budget)))
+    quota = default_q if quota is None else quota.otherwise(default_q)
+
+    if token_col is None:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        n_tok = F.size(toks).cast("long")
+    else:
+        n_tok = F.col(token_col).cast("long")
+    spark = df.sparkSession
+    n_buckets = int(
+        num_buckets or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    work = (
+        df.withColumn("__quota", quota)
+        .filter(F.col("__quota") > 0)
+        .withColumn("__ntok", F.coalesce(n_tok, F.lit(0)))
+        .withColumn("__ord", _h64(hash_fn, F.lit(int(seed)).cast("string"), *[F.col(c) for c in on]))
+        .withColumn("__bkt", _order_bucket(F.col("__ord"), hash_fn, n_buckets))
+    )
+    local_w = (
+        W.partitionBy(source_col, "__bkt")
+        .orderBy("__ord", *on)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = work.withColumn("__lsum", F.sum("__ntok").over(local_w))
+
+    totals = work.groupBy(source_col, "__bkt").agg(F.sum("__ntok").alias("__tot"))
+    off_w = (
+        W.partitionBy(source_col)
+        .orderBy("__bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0))).drop(
+        "__tot"
+    )
+
+    return (
+        local.join(F.broadcast(offsets), [source_col, "__bkt"])
+        .filter((F.col("__lsum") + F.col("__off")) <= F.col("__quota"))
+        .select(*df.columns)
+    )

@@ -49,6 +49,8 @@ GUARDED = [
     "docs_pii_scrub",
     "docs_boilerplate",
     "docs_exact_dedup",
+    "docs_substring_dedup",
+    "docs_domain_mix",
     "docs_decontaminate",
     "docs_minhash_dedup",
     "emb_topk_cosine",
