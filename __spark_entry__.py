@@ -710,6 +710,18 @@ def q_docs_domain_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_docs_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (operators/text.unigram_logprob):
+    fit token frequencies on the corpus itself, score each doc by its
+    mean token log-probability. Rounded to 6 so both engines' ln()
+    agree (the docs_tfidf convention). The oracle replays the full
+    fit + weighted-mean pipeline in SQL."""
+    from meds_transforms_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs, round_to=6).select("doc_id", "avg_logprob")
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1153,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": q_docs_line_dedup,
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_domain_mix": q_docs_domain_mix,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1906,6 +1919,27 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, source FROM c WHERE csum <= quota
+        """,
+        "docs_unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x != '')) AS tok
+              FROM documents
+            ), lm AS (
+              SELECT tok, count(*) AS n FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS nn FROM lm
+            ), per AS (
+              SELECT doc_id, tok, count(*) AS nl FROM toks GROUP BY doc_id, tok
+            ), sc AS (
+              SELECT p.doc_id,
+                     sum(p.nl * ln(lm.n / tot.nn)) / sum(p.nl) AS lp
+              FROM per p JOIN lm USING (tok), tot
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id, round(sc.lp, 6) AS avg_logprob
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "emb_cluster_balance": """
             WITH cent AS (

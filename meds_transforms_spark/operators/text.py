@@ -410,3 +410,77 @@ def remove_boilerplate_lines(
         )
         .drop("__bl")
     )
+
+
+@register_stage("fit_unigram_lm")
+def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram language model: ``(tok, n)`` counts over
+    lowercased whitespace tokens. Explode + map-side-combined hash
+    count — shuffles carry (token, partial_count) only. Feed the result
+    to :func:`unigram_logprob` (self-corpus or held-out scoring)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register_stage("unigram_logprob")
+def unigram_logprob(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.0,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM —
+    the CCNet-style "LM quality" signal with a unigram model: typical
+    prose scores high, rare-token gibberish scores very negative.
+
+    ``lm`` is a ``(tok, n)`` frame (from :func:`fit_unigram_lm`, over
+    this corpus or a trusted reference corpus); omitted, the model is
+    fit on ``df`` itself. ``alpha`` is add-alpha smoothing —
+    ``p(tok) = (n + alpha) / (N + alpha·V)`` — required when scoring
+    against an external LM (out-of-vocabulary tokens have n = 0; with
+    ``alpha = 0`` they'd score -inf).
+
+    Plan: per-doc token counts ((id, tok) groupBy — collapses repeats
+    BEFORE the vocab join), shuffle-join with the LM on the token
+    (AQE broadcasts it when it fits), weighted mean per doc. The LM's
+    scalar totals (N, V) ride in as a broadcast single-row cross join,
+    keeping the whole plan lazy — no driver materialization.
+
+    Adds ``avg_logprob`` (NULL for token-less docs); ``round_to``
+    rounds it (engine-agnostic comparisons — ln() differs in the last
+    ULP across engines).
+    """
+    if lm is None:
+        lm = fit_unigram_lm(df, text_col=text_col)
+    elif alpha <= 0:
+        raise ValueError(
+            "scoring against an external lm requires alpha > 0 "
+            "(out-of-vocabulary tokens have zero probability)"
+        )
+    totals = lm.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+    per_doc = (
+        df.select(F.col(id_col), F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__n_local"))
+    )
+    joined = per_doc.join(lm, "tok", "left").join(F.broadcast(totals))
+    p = (F.coalesce(F.col("n"), F.lit(0)) + F.lit(float(alpha))) / (
+        F.col("__N") + F.lit(float(alpha)) * F.col("__V")
+    )
+    scored = joined.groupBy(id_col).agg(
+        (
+            F.sum(F.col("__n_local") * F.log(p)) / F.sum("__n_local")
+        ).alias("avg_logprob")
+    )
+    if round_to is not None:
+        scored = scored.withColumn("avg_logprob", F.round("avg_logprob", int(round_to)))
+    return df.join(scored, id_col, "left")

@@ -1,0 +1,69 @@
+"""fit_unigram_lm / unigram_logprob unit tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_fit_unigram_lm_counts(spark):
+    from meds_transforms_spark.operators.text import fit_unigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "B c")], "doc_id long, text string"
+    )
+    counts = {r.tok: r.n for r in fit_unigram_lm(df).collect()}
+    assert counts == {"a": 2, "b": 2, "c": 1}  # lowercased
+
+
+def test_unigram_logprob_self_fit_exact(spark):
+    from meds_transforms_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, None)], "doc_id long, text string"
+    )
+    # corpus counts: a=2, b=2, c=1, N=5
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[1] == pytest.approx(exp1)
+    assert out[2] == pytest.approx(exp2)
+    assert out[3] is None
+
+
+def test_unigram_logprob_external_lm_with_smoothing(spark):
+    from meds_transforms_spark.operators.text import unigram_logprob
+
+    lm = spark.createDataFrame([("the", 9), ("cat", 1)], "tok string, n long")
+    df = spark.createDataFrame(
+        [(1, "the the"), (2, "zebra")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.avg_logprob
+        for r in unigram_logprob(df, lm=lm, alpha=1.0).collect()
+    }
+    # N=10, V=2: p(the) = 10/12, p(zebra OOV) = 1/12
+    assert out[1] == pytest.approx(math.log(10 / 12))
+    assert out[2] == pytest.approx(math.log(1 / 12))
+
+
+def test_unigram_logprob_external_lm_requires_smoothing(spark):
+    from meds_transforms_spark.operators.text import unigram_logprob
+
+    lm = spark.createDataFrame([("a", 1)], "tok string, n long")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_logprob(df, lm=lm)
+
+
+def test_unigram_logprob_gibberish_scores_below_prose(spark):
+    from meds_transforms_spark.operators.text import unigram_logprob
+
+    prose = "the cat sat on the mat and the dog sat on the rug"
+    df = spark.createDataFrame(
+        [(i, prose) for i in range(5)] + [(99, "xq zv qqj wqx plk")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert out[99] < out[0]
