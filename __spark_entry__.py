@@ -722,6 +722,31 @@ def q_docs_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs, round_to=6).select("doc_id", "avg_logprob")
 
 
+def q_docs_domain_stats(spark, sf_dir):
+    """URL/domain curation (operators/urls.domain_stats): the corpus
+    has no URLs, so the query appends deterministic ones (mixed-case
+    hosts, a www. + trailing-punctuation spam link every 5th doc) and
+    aggregates the per-domain footprint; the oracle replays extraction,
+    normalization, and both counts in SQL."""
+    from meds_transforms_spark.operators.urls import domain_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" http://www.spam.net/x.")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return domain_stats(injected)
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1166,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
+        "docs_domain_stats": q_docs_domain_stats,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1940,6 +1966,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, round(sc.lp, 6) AS avg_logprob
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "docs_domain_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' https://Site' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.Example.com/p/' || CAST(doc_id AS VARCHAR)
+                          || CASE WHEN doc_id % 5 = 0
+                                  THEN ' http://www.spam.net/x.' ELSE '' END AS text
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+              FROM t
+            ), d AS (
+              SELECT doc_id,
+                     lower(regexp_extract(regexp_replace(url, '[.,;:!?)\]]+$', ''),
+                                          'https?://(?:www\.)?([^/:?#\s]+)', 1)) AS domain
+              FROM u
+            ), per AS (
+              SELECT doc_id, domain, count(*) AS n FROM d GROUP BY doc_id, domain
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_urls
+            FROM per GROUP BY domain
         """,
         "emb_cluster_balance": """
             WITH cent AS (
