@@ -747,6 +747,27 @@ def q_docs_domain_stats(spark, sf_dir):
     return domain_stats(injected)
 
 
+def q_docs_quality_classifier(spark, sf_dir):
+    """fastText-shaped serving path (operators/classifier.
+    hashed_linear_score): hashed bag-of-token buckets, broadcast
+    (bucket, weight) model join, averaged-bag sigmoid. Weights are the
+    deterministic md5-derived demo table so the oracle can rebuild the
+    ENTIRE forward pass — bucketing, weight lookup, weighted mean,
+    sigmoid — in SQL (a fitted MLlib model serves through the identical
+    plan; see tests/test_classifier.py::test_fit_then_score)."""
+    from meds_transforms_spark.operators.classifier import (
+        demo_weights,
+        hashed_linear_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = demo_weights(spark, n_buckets=4096)
+    out = hashed_linear_score(
+        docs, weights, n_buckets=4096, hash_fn="md5_60", round_to=6
+    )
+    return out.select("doc_id", "quality_prob")
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1192,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "docs_domain_stats": q_docs_domain_stats,
+        "docs_quality_classifier": q_docs_quality_classifier,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -1990,6 +2012,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n) AS BIGINT) AS n_urls
             FROM per GROUP BY domain
+        """,
+        "docs_quality_classifier": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x != '')) AS tok
+              FROM documents
+            ), tb AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS bucket
+              FROM toks
+            ), per AS (
+              SELECT doc_id, bucket, count(*) AS n FROM tb GROUP BY doc_id, bucket
+            ), w AS (
+              SELECT doc_id, n,
+                     (CAST(CAST('0x' || substr(md5(CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT)
+                           AS DOUBLE) / 1152921504606846976.0 - 0.5) * 4.0 AS wt
+              FROM per
+            ), sc AS (
+              SELECT doc_id, sum(n * wt) / sum(n) AS z FROM w GROUP BY doc_id
+            )
+            SELECT d.doc_id, round(1.0 / (1.0 + exp(-sc.z)), 6) AS quality_prob
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "emb_cluster_balance": """
             WITH cent AS (
