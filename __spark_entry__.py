@@ -675,6 +675,19 @@ def q_docs_line_dedup(spark, sf_dir):
     return dedupe_doc_lines(wrapped).select("doc_id", "text")
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/retention.cohort_retention):
+    cohort = week of first activity (window-min on user, no self-join),
+    offset = whole weeks since, distinct-user cells, rate against the
+    offset-0 cell. Integer week arithmetic keeps both engines exact;
+    the rate is an exact binary division."""
+    from meds_transforms_spark.operators.retention import cohort_retention
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
 def q_docs_substring_dedup(spark, sf_dir):
     """Duplicated-substring coverage (operators/substring.
     duplicated_span_stats): positional 20-grams sampled at stride 4,
@@ -1210,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_balance": q_emb_cluster_balance,
         "docs_line_dedup": q_docs_line_dedup,
         "docs_substring_dedup": q_docs_substring_dedup,
+        "events_retention": q_events_retention,
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "docs_domain_stats": q_docs_domain_stats,
@@ -1919,6 +1933,27 @@ def oracle_sql() -> dict[str, str]:
                                chr(10))
                    END AS text
             FROM t
+        """,
+        "events_retention": """
+            WITH f AS (
+              SELECT user_id, ts,
+                     min(ts) OVER (PARTITION BY user_id) AS first_ts
+              FROM events
+            ), cells AS (
+              SELECT DISTINCT
+                     CAST(date_trunc('week', first_ts) AS DATE) AS cohort,
+                     CAST(date_diff('day', date_trunc('week', first_ts),
+                                    date_trunc('week', ts)) / 7 AS BIGINT) AS "offset",
+                     user_id
+              FROM f
+            ), m AS (
+              SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS n_users
+              FROM cells GROUP BY cohort, "offset"
+            )
+            SELECT cohort, "offset", n_users,
+                   CAST(n_users AS DOUBLE) /
+                   first(n_users) OVER (PARTITION BY cohort ORDER BY "offset") AS retention_rate
+            FROM m
         """,
         "docs_substring_dedup": r"""
             WITH norm AS (
