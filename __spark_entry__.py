@@ -781,6 +781,19 @@ def q_docs_quality_classifier(spark, sf_dir):
     return out.select("doc_id", "quality_prob")
 
 
+def q_emb_covariance(spark, sf_dir):
+    """Distributed embedding moments (operators/linalg.
+    embedding_covariance): per-Arrow-batch BLAS partial Gram matrices
+    (one 4 KB row per batch — the corpus is never shuffled), summed and
+    assembled into the (i, j, cov) population covariance relationally.
+    The oracle recomputes the full covariance from scratch in SQL;
+    rounded to 6 to absorb summation-order ULPs."""
+    from meds_transforms_spark.operators.linalg import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(emb, upper_only=True, round_to=6)
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1228,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "docs_domain_stats": q_docs_domain_stats,
         "docs_quality_classifier": q_docs_quality_classifier,
+        "emb_covariance": q_emb_covariance,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2070,6 +2084,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, round(1.0 / (1.0 + exp(-sc.z)), 6) AS quality_prob
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "emb_covariance": """
+            WITH e AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nn FROM e
+            ), p AS (
+              SELECT CAST(i.range AS INT) - 1 AS i, CAST(j.range AS INT) - 1 AS j,
+                     sum(e.v[CAST(i.range AS INT)] * e.v[CAST(j.range AS INT)]) AS sxy
+              FROM e, range(1, 65) i, range(1, 65) j
+              WHERE i.range <= j.range
+              GROUP BY 1, 2
+            ), m AS (
+              SELECT CAST(i.range AS INT) - 1 AS k, sum(e.v[CAST(i.range AS INT)]) AS sx
+              FROM e, range(1, 65) i GROUP BY 1
+            )
+            SELECT p.i, p.j,
+                   round(p.sxy / n.nn - (mi.sx / n.nn) * (mj.sx / n.nn), 6) AS cov
+            FROM p, n
+            JOIN m mi ON mi.k = p.i
+            JOIN m mj ON mj.k = p.j
         """,
         "emb_cluster_balance": """
             WITH cent AS (

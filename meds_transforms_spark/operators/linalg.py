@@ -1,0 +1,179 @@
+"""Distributed linear algebra over embedding columns: moments + PCA.
+
+Corpus-level embedding geometry (mean vector, covariance, principal
+components) drives curation decisions — whitening before ANN,
+dimensionality reduction for cheap near-dup passes, drift monitoring
+between crawl snapshots. The split mirrors the classic distributed
+PCA recipe:
+
+- **Moments** are a map-side partial aggregation: each Arrow batch of
+  vectors becomes ONE row carrying ``(n, Σx, vec(ΣxxT))`` computed by
+  BLAS — the corpus is scanned once and never shuffled; the reduce
+  side sums a few-hundred tiny rows. For d = 64 that is 4 KB per
+  batch, vs. the 4096×-row explode a purely relational outer product
+  would need.
+- **Eigendecomposition** happens on the driver over the d×d matrix
+  (d ≤ a few thousand — the matrix is microscopic next to the data;
+  this is the documented "driver-side is fine" regime, same as IVF
+  centroid seeding).
+- **Projection** back over the corpus is pure codegen: one
+  ``aggregate(zip_with(vec, component, *))`` dot product per
+  component, components inlined as literals — no Python, no shuffle.
+
+The reference engine has no linear-algebra plane; this extends the
+embedding suite (similarity.py, ivf.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+def moments_rows(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-Arrow-batch partial moments: one row ``(n, sum_vec,
+    sum_outer)`` per batch; ``sum_outer`` is the row-major flattened
+    ΣxxT. Sum the rows to get exact corpus moments."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = "n long, sum_vec array<double>, sum_outer array<double>"
+
+    def partials(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = rb.column(0)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            dim = len(arr[0])
+            X = flat.reshape(rb.num_rows, dim).astype(np.float64, copy=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([rb.num_rows], type=pa.int64()),
+                    pa.array([X.sum(axis=0)]),
+                    pa.array([(X.T @ X).reshape(-1)]),
+                ],
+                names=["n", "sum_vec", "sum_outer"],
+            )
+
+    v = df.select(F.col(vec_col).cast("array<double>").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    return v.mapInArrow(partials, schema=out_schema)
+
+
+@register_stage("embedding_covariance")
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    upper_only: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Population covariance as a relational matrix ``(i, j, cov)``.
+
+    The partial-moments rows are summed with a posexplode + groupBy
+    (the summed table is #batches × (d + d²) tiny rows, nothing like
+    corpus scale), then ``cov_ij = Σxy/n − mean_i·mean_j`` is assembled
+    relationally — the result stays a DataFrame, joinable/writable like
+    any other, with no driver materialization at all.
+    """
+    parts = moments_rows(df, vec_col)
+    sums = parts.select(
+        F.col("n"),
+        F.posexplode(
+            F.concat(F.col("sum_vec"), F.col("sum_outer"))
+        ).alias("pos", "val"),
+    )
+    tot_n = parts.agg(F.sum("n").alias("N"))
+    summed = sums.groupBy("pos").agg(F.sum("val").alias("s"))
+    # recover d from the combined length: d + d² entries, pos < d are Σx
+    d_row = summed.agg(F.count(F.lit(1)).alias("cnt"))
+    # d from cnt = d + d*d  →  d = (−1 + sqrt(1+4cnt)) / 2
+    d_col = ((F.sqrt(F.lit(4.0) * F.col("cnt") + 1) - 1) / 2).cast("int")
+    dims = d_row.select(d_col.alias("d"))
+    lab = summed.join(F.broadcast(dims)).join(F.broadcast(tot_n))
+    means = lab.filter(F.col("pos") < F.col("d")).select(
+        F.col("pos").alias("k"), (F.col("s") / F.col("N")).alias("mean")
+    )
+    outer = lab.filter(F.col("pos") >= F.col("d")).select(
+        ((F.col("pos") - F.col("d")) / F.col("d")).cast("int").alias("i"),
+        F.pmod(F.col("pos") - F.col("d"), F.col("d")).cast("int").alias("j"),
+        (F.col("s") / F.col("N")).alias("exy"),
+    )
+    cov = (
+        outer.join(F.broadcast(means.withColumnRenamed("k", "i").withColumnRenamed("mean", "mi")), "i")
+        .join(F.broadcast(means.withColumnRenamed("k", "j").withColumnRenamed("mean", "mj")), "j")
+        .select("i", "j", (F.col("exy") - F.col("mi") * F.col("mj")).alias("cov"))
+    )
+    if upper_only:
+        cov = cov.filter(F.col("i") <= F.col("j"))
+    if round_to is not None:
+        cov = cov.withColumn("cov", F.round("cov", int(round_to)))
+    return cov
+
+
+def pca_fit(
+    df: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Fit PCA: returns ``(components, explained_variance, mean)``.
+
+    One distributed pass for the moments (see :func:`moments_rows`),
+    then a driver-side ``numpy.linalg.eigh`` on the d×d covariance —
+    d² doubles, microscopic next to the corpus. Component signs are
+    fixed (largest-|entry| coordinate positive) so the fit is
+    deterministic.
+    """
+    import numpy as np
+
+    rows = moments_rows(df, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_fit: no vectors")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["sum_vec"])
+    s1 = np.zeros(d)
+    s2 = np.zeros((d, d))
+    for r in rows:
+        s1 += np.asarray(r["sum_vec"])
+        s2 += np.asarray(r["sum_outer"]).reshape(d, d)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: int(k)]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(evals[i]) for i in order], [float(m) for m in mean]
+
+
+@register_stage("pca_transform")
+def pca_transform(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float] | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted components — pure codegen: the
+    (small) component matrix rides as literals; each coordinate is one
+    ``aggregate(zip_with(x−μ, c, *))`` dot product. No Python, no
+    shuffle, no model table to join."""
+    x = F.col(vec_col).cast("array<double>")
+    if mean is not None:
+        mu = F.array(*[F.lit(float(m)) for m in mean])
+        x = F.zip_with(x, mu, lambda a, b: a - b)
+    coords = []
+    for comp in components:
+        c = F.array(*[F.lit(float(v)) for v in comp])
+        dot = F.aggregate(
+            F.zip_with(x, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        coords.append(dot)
+    return df.withColumn(out_col, F.array(*coords))
