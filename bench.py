@@ -44,7 +44,11 @@ BENCH_QUERIES = [
     "docs_exact_dedup",
     "docs_decontaminate",
     "docs_minhash_dedup",
+    "docs_substring_dedup",
+    "docs_domain_mix",
+    "docs_unigram_logprob",
     "emb_topk_cosine",
+    "emb_covariance",
 ]
 
 

