@@ -87,7 +87,11 @@ def duplicated_span_stats(
 
     Plan shape: explode → groupBy(id, hash) → groupBy(hash) →
     shuffle-join back on hash → groupBy(id) → broadcast-free left join
-    onto ``df`` by id. All shuffle keys are 64-bit longs.
+    onto ``df`` by id. All shuffle keys are 64-bit longs. The gram
+    stream is generated ONCE — both the duplicated and total position
+    counts roll up from the same (id, hash, n_local) aggregate, so the
+    text scan isn't repeated (matters when ``df`` is an expensive
+    upstream rather than a parquet scan).
     """
     grams = positional_gram_hashes(
         df, text_col=text_col, id_col=id_col, k=k, stride=stride, hash_fn=hash_fn
@@ -111,7 +115,7 @@ def duplicated_span_stats(
         .groupBy(id_col)
         .agg(F.sum("n_local").alias("n_dup_positions"))
     )
-    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_positions"))
+    totals = per_doc.groupBy(id_col).agg(F.sum("n_local").alias("n_positions"))
     stats = (
         totals.join(dup_per_doc, id_col, "left")
         .withColumn(

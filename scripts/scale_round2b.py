@@ -44,11 +44,14 @@ def main():
             ),
         ),
     )
+    # persist: the md5-heavy generator must not be re-evaluated on
+    # each operator scan — the timing is the operator, not synthesis.
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", words).alias("text"),
         F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
-    )
+    ).persist()
+    docs.count()
 
     from meds_transforms_spark.operators.substring import duplicated_span_stats
 
@@ -87,7 +90,8 @@ def main():
             F.sequence(F.lit(1), F.lit(64)),
             lambda i: F.sin(F.col("id") * i.cast("double") * 0.7),
         ).alias("embedding"),
-    )
+    ).persist()
+    emb.count()
     from meds_transforms_spark.operators.linalg import embedding_covariance, pca_fit
 
     timed(f"embedding_covariance over {n_vec:,} × 64-dim", embedding_covariance(emb))
