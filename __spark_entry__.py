@@ -794,6 +794,25 @@ def q_emb_covariance(spark, sf_dir):
     return embedding_covariance(emb, upper_only=True, round_to=6)
 
 
+def q_docs_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup_index): even-id docs
+    play the already-indexed corpus, odd-id docs the incoming batch;
+    a batch doc is flagged iff it shares an LSH band bucket with the
+    index. md5_60 mode lets the oracle rebuild the identical bucket
+    table (shared _minhash_bands_sql CTE) and replay the semi-join."""
+    from meds_transforms_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = build_minhash_index(corpus, hash_fn="md5_60")
+    out = dedup_against_index(batch, index, hash_fn="md5_60")
+    return out.select("doc_id", "dup_of_corpus")
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1242,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_stats": q_docs_domain_stats,
         "docs_quality_classifier": q_docs_quality_classifier,
         "emb_covariance": q_emb_covariance,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2257,6 +2277,17 @@ def oracle_sql() -> dict[str, str]:
         )
         + r""" AS simhash
             FROM hs GROUP BY doc_id
+        """,
+        "docs_incremental_dedup": r"""
+            WITH """ + _minhash_bands_sql() + r""", hits AS (
+              SELECT DISTINCT nb.doc_id
+              FROM bands nb
+              JOIN bands cb ON nb.bucket = cb.bucket AND cb.doc_id % 2 = 0
+              WHERE nb.doc_id % 2 = 1
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS dup_of_corpus
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 2 = 1
         """,
         "docs_minhash_dedup": r"""
             WITH """ + _minhash_bands_sql() + r""", reps AS (
