@@ -36,6 +36,13 @@ REVIEW = {
     "events_funnel": "agg_join strategy: per-step full hash agg with map-side combine (shuffle carries one partial row per entity-partition), per-entity step table broadcast back into the next scan — zero full-data shuffles, no sort; window strategy available for unbroadcastable entity dims",
     "docs_pack": "two-phase prefix sum: range exchange on the order key, per-partition running sums, #partitions offset rows broadcast back — no SinglePartition exchange anywhere (the naive global-window cumsum is the anti-pattern this operator replaces)",
     "emb_cluster_balance": "centroids broadcast into a map-side scoring join (corpus never shuffles for assignment); the cap is group_cap's two-phase per-key top-k — phase 1 caps within (cluster, input-partition), phase 2 ranks only survivors",
+    "docs_substring_dedup": "ONE gram stream (explode over stride-sampled positions) feeds both the (id,hash) and hash-DF aggs; dup set joins back on the 64-bit hash; text never shuffles — total/dup counts both roll up from the same pre-agg",
+    "docs_domain_mix": "running sums window on (source, monotone hash bucket) — a giant source spreads over all buckets; per-bucket totals agg to a tiny offsets table that re-enters via BroadcastHashJoin; quota-0 sources pruned at the scan",
+    "docs_unigram_logprob": "(id,tok) pre-agg collapses repeats before the vocab join (AQE broadcasts the LM when small); scalar totals ride as a broadcast 1-row join — plan stays fully lazy",
+    "docs_quality_classifier": "token explode → pmod bucket (codegen) → (id,bucket) partial counts → BroadcastHashJoin with the 4096-row model → per-id agg + sigmoid projection; serving has no Python operator anywhere",
+    "emb_covariance": "mapInArrow emits ONE (n, Σx, ΣxxT) row per batch (BLAS); downstream posexplode/groupBy/joins all run over #batches tiny rows — the corpus is scanned once and never shuffled",
+    "events_retention": "window-min on user (one exchange) → (cohort, offset, user) dedup agg → matrix agg; the rate window runs over the cohort×offset matrix, not events",
+    "docs_incremental_dedup": "batch band buckets (codegen hash chain) semi-join the index's distinct buckets on a 64-bit key — AQE broadcasts the batch side so the standing index is probed map-side; one id join back to the batch",
 }
 
 
