@@ -137,3 +137,46 @@ def test_round2_operators_on_empty(spark):
 
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert cluster_balanced_sample(empty_emb, n_cells=4, cap_per_cluster=2).count() == 0
+
+
+def test_round2b_operators_on_empty_docs(spark):
+    from meds_transforms_spark.operators.classifier import (
+        demo_weights,
+        hashed_linear_score,
+    )
+    from meds_transforms_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        ingest_batch,
+    )
+    from meds_transforms_spark.operators.sampling import domain_mix
+    from meds_transforms_spark.operators.substring import duplicated_span_stats
+    from meds_transforms_spark.operators.text import unigram_logprob
+    from meds_transforms_spark.operators.urls import domain_stats, extract_urls
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert duplicated_span_stats(empty).count() == 0
+    assert domain_mix(empty, {"a": 1.0}, 100).count() == 0
+    assert unigram_logprob(empty).count() == 0
+    assert extract_urls(empty).count() == 0
+    assert domain_stats(empty).count() == 0
+    assert hashed_linear_score(empty, demo_weights(spark, 64)).count() == 0
+    idx = build_minhash_index(empty)
+    assert idx.count() == 0
+    one = spark.createDataFrame([(1, "some text", "s")], "doc_id long, text string, source string")
+    flagged = dedup_against_index(one, idx)
+    assert [r.dup_of_corpus for r in flagged.collect()] == [False]
+    clean, delta = ingest_batch(one, idx)
+    assert clean.count() == 1 and delta.count() > 0
+
+
+def test_round2b_operators_on_empty_events_and_vectors(spark):
+    import pytest as _pytest
+
+    from meds_transforms_spark.operators.linalg import embedding_covariance
+    from meds_transforms_spark.operators.retention import cohort_retention
+
+    empty_ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert cohort_retention(empty_ev).count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_covariance(empty_emb).count() == 0

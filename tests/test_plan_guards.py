@@ -51,12 +51,26 @@ GUARDED = [
     "docs_exact_dedup",
     "docs_substring_dedup",
     "docs_domain_mix",
+    "docs_incremental_dedup",
+    "docs_quality_classifier",
+    "events_retention",
     "docs_decontaminate",
     "docs_minhash_dedup",
     "emb_topk_cosine",
+    "docs_unigram_logprob",
+    "emb_covariance",
 ]
 
-BNLJ_OK = {"emb_topk_cosine", "tpch_q11", "tpch_q22"}
+# docs_unigram_logprob / emb_covariance: scalar totals (1-row aggs)
+# cross-joined in as broadcasts — the lazy alternative to a driver
+# round-trip; build side is literally one row.
+BNLJ_OK = {
+    "emb_topk_cosine",
+    "tpch_q11",
+    "tpch_q22",
+    "docs_unigram_logprob",
+    "emb_covariance",
+}
 
 
 @pytest.mark.parametrize("name", GUARDED)
