@@ -1,0 +1,70 @@
+"""Streaming ingest-dedup (foreachBatch + durable MinHash index)."""
+
+from __future__ import annotations
+
+import os
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a long and winding tune about distributed systems and parquet files"
+)
+FRESH = (
+    "completely different content about cooking pasta with garlic "
+    "butter and a generous handful of freshly grated parmesan cheese"
+)
+
+
+def _write_batch(spark, src_dir, rows, name):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+
+def test_stream_dedups_across_batches(spark, tmp_path):
+    from meds_transforms_spark.streaming.ingest_dedup import (
+        start_ingest_dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: a fresh doc + an in-batch near-dup pair
+    _write_batch(
+        spark, src, [(1, BASE), (2, BASE + " v2"), (3, FRESH)], "b1"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = start_ingest_dedup_stream(stream, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == {1, 3}  # 2 lost the in-batch election to 1
+
+        # batch 2: a re-crawl of doc 1 + genuinely new content
+        _write_batch(
+            spark,
+            src,
+            [(10, BASE + " refreshed"), (11, "novel text about sailing knots and rigging practice")],
+            "b2",
+        )
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == {1, 3, 11}  # 10 collided with the index
+    finally:
+        q.stop()
+
+    # the index survives restarts: a NEW query over a new source sees it
+    src2 = str(tmp_path / "src2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    _write_batch(spark, src2, [(20, FRESH + " appended words")], "b3")
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src2)
+    q2 = start_ingest_dedup_stream(stream2, idx, out, ckpt2)
+    try:
+        q2.processAllAvailable()
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == {1, 3, 11}  # 20 is a near-dup of indexed doc 3
+    finally:
+        q2.stop()
+    assert os.path.exists(os.path.join(idx, "state.json"))
