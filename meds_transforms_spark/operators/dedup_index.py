@@ -19,9 +19,11 @@ a durable INDEX and dedup each incoming batch against it:
    batch dedups against corpus + this batch.
 
 Index parameters (num_hashes/bands/shingle_k/hash_fn) are stored next
-to the saved index and validated on load: mixing parameters silently
-produces disjoint bucket spaces, i.e. no matches — the classic
-operational footgun this module exists to prevent.
+to the saved index; pass the loaded dict as ``index_params=`` and the
+probe operators adopt it AND refuse explicit overrides that disagree —
+mixing parameters silently produces disjoint bucket spaces, i.e. no
+matches, the classic operational footgun this module exists to
+prevent.
 
 The reference engine has no incremental plane; this extends the dedup
 suite (dedup.py, components.py).
@@ -76,6 +78,25 @@ def load_minhash_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]
     return spark.read.parquet(os.path.join(path, "buckets")), params
 
 
+def _effective_params(index_params: dict | None, overrides: dict) -> dict:
+    """Resolve probe parameters: defaults ← index sidecar ← explicit
+    overrides, refusing overrides that contradict the sidecar."""
+    if index_params:
+        clash = {
+            k: (index_params[k], overrides[k])
+            for k in overrides
+            if k in index_params and index_params[k] != overrides[k]
+        }
+        if clash:
+            raise ValueError(
+                f"parameters disagree with the index's build parameters "
+                f"(stored, given): {clash} — probing with mismatched "
+                f"MinHash parameters yields a disjoint bucket space "
+                f"and silently matches nothing"
+            )
+    return {**_DEFAULT_PARAMS, **(index_params or {}), **overrides}
+
+
 @register_stage("dedup_against_index")
 def dedup_against_index(
     df: DataFrame,
@@ -83,14 +104,18 @@ def dedup_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "flag",
+    index_params: dict | None = None,
     **params,
 ) -> DataFrame:
     """Mark (``mode="flag"``: boolean ``dup_of_corpus``) or remove
     (``mode="drop"``) new-batch docs sharing any LSH band bucket with
     the index. Parameters MUST match the index's build parameters —
-    pass the dict returned by :func:`load_minhash_index`."""
+    pass the dict returned by :func:`load_minhash_index` as
+    ``index_params`` (adopted automatically; explicit overrides that
+    disagree with it raise)."""
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    params = _effective_params(index_params, params)
     new_buckets = build_minhash_index(df, text_col, id_col, **params)
     hit_ids = (
         new_buckets.join(
@@ -113,6 +138,8 @@ def ingest_batch(
     index: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_params: dict | None = None,
+    new_buckets: DataFrame | None = None,
     **params,
 ) -> tuple[DataFrame, DataFrame]:
     """Full incremental-ingest step: returns ``(clean_batch,
@@ -123,10 +150,17 @@ def ingest_batch(
     exactly like the batch ``minhash_lsh_dedup``); ``index_delta`` is
     the survivors' bucket rows — union it onto the index for the next
     batch.
+
+    ``clean_batch`` and ``index_delta`` share the banding lineage; a
+    caller materializing BOTH should pre-compute and persist the
+    bucket table and pass it as ``new_buckets`` so the shingle
+    explode + index probe run once (the streaming ingest sink does).
     """
     from pyspark.sql import Window as W
 
-    new_buckets = build_minhash_index(df, text_col, id_col, **params)
+    params = _effective_params(index_params, params)
+    if new_buckets is None:
+        new_buckets = build_minhash_index(df, text_col, id_col, **params)
     corpus_hits = (
         new_buckets.join(
             index.select("__bucket").distinct(), "__bucket", "left_semi"

@@ -81,26 +81,40 @@ def embedding_covariance(
     any other, with no driver materialization at all.
     """
     parts = moments_rows(df, vec_col)
+    # n rides as element 0 of the exploded stream so the mapInArrow
+    # scan feeds ONE aggregation — a separate parts.agg(sum(n)) would
+    # be a second full corpus scan (ReuseExchange can't merge the two
+    # different subtrees).
     sums = parts.select(
-        F.col("n"),
         F.posexplode(
-            F.concat(F.col("sum_vec"), F.col("sum_outer"))
+            F.concat(
+                F.array(F.col("n").cast("double")),
+                F.col("sum_vec"),
+                F.col("sum_outer"),
+            )
         ).alias("pos", "val"),
     )
-    tot_n = parts.agg(F.sum("n").alias("N"))
     summed = sums.groupBy("pos").agg(F.sum("val").alias("s"))
-    # recover d from the combined length: d + d² entries, pos < d are Σx
+    # four downstream branches (dims, N, means, outer) reference this
+    # frame; cache it so the corpus scan runs exactly once no matter
+    # how the reuse heuristics treat the duplicated subtrees. The
+    # cached table is 1 + d + d² rows — bytes, not data.
+    summed = summed.persist()
+    # recover d from the combined length: 1 + d + d² entries
     d_row = summed.agg(F.count(F.lit(1)).alias("cnt"))
-    # d from cnt = d + d*d  →  d = (−1 + sqrt(1+4cnt)) / 2
-    d_col = ((F.sqrt(F.lit(4.0) * F.col("cnt") + 1) - 1) / 2).cast("int")
+    # cnt = 1 + d + d²  →  d = (−1 + sqrt(4(cnt−1)+1)) / 2
+    d_col = ((F.sqrt(F.lit(4.0) * (F.col("cnt") - 1) + 1) - 1) / 2).cast("int")
     dims = d_row.select(d_col.alias("d"))
-    lab = summed.join(F.broadcast(dims)).join(F.broadcast(tot_n))
-    means = lab.filter(F.col("pos") < F.col("d")).select(
-        F.col("pos").alias("k"), (F.col("s") / F.col("N")).alias("mean")
+    tot_n = summed.filter(F.col("pos") == 0).select(F.col("s").alias("N"))
+    lab = summed.filter(F.col("pos") > 0).join(F.broadcast(dims)).join(
+        F.broadcast(tot_n)
     )
-    outer = lab.filter(F.col("pos") >= F.col("d")).select(
-        ((F.col("pos") - F.col("d")) / F.col("d")).cast("int").alias("i"),
-        F.pmod(F.col("pos") - F.col("d"), F.col("d")).cast("int").alias("j"),
+    means = lab.filter(F.col("pos") <= F.col("d")).select(
+        (F.col("pos") - 1).alias("k"), (F.col("s") / F.col("N")).alias("mean")
+    )
+    outer = lab.filter(F.col("pos") > F.col("d")).select(
+        ((F.col("pos") - 1 - F.col("d")) / F.col("d")).cast("int").alias("i"),
+        F.pmod(F.col("pos") - 1 - F.col("d"), F.col("d")).cast("int").alias("j"),
         (F.col("s") / F.col("N")).alias("exy"),
     )
     cov = (

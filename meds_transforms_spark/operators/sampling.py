@@ -263,8 +263,9 @@ def domain_mix(
     quota = default_q if quota is None else quota.otherwise(default_q)
 
     if token_col is None:
-        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-        n_tok = F.size(toks).cast("long")
+        from meds_transforms_spark.operators.text import _tokens
+
+        n_tok = F.size(_tokens(F.col(text_col))).cast("long")
     else:
         n_tok = F.col(token_col).cast("long")
     spark = df.sparkSession

@@ -58,8 +58,9 @@ def write_corpus_shards(
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     if token_col is None:
-        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-        n_tok = F.coalesce(F.size(toks).cast("long"), F.lit(0))
+        from meds_transforms_spark.operators.text import _tokens
+
+        n_tok = F.coalesce(F.size(_tokens(F.col(text_col))).cast("long"), F.lit(0))
     else:
         n_tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
 

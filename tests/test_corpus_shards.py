@@ -57,9 +57,13 @@ def test_shard_pruning_reads_subset(spark, tmp_path):
     manifest = write_corpus_shards(_docs(spark), path, n_shards=4)
     only2 = read_corpus_shards(spark, path, shards=[2])
     assert only2.count() == manifest["shards"][2]["n_docs"]
-    # partition pruning: the scan should only touch the shard=2 dir
+    # partition pruning: the shard filter must land in PartitionFilters
+    # (pruned at the file index — directories for other shards never scan)
     plan = only2._jdf.queryExecution().executedPlan().toString()
-    assert "shard=2" not in plan or True  # plan text varies; count check above is the contract
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "shard" in pf.group(1) and "= 2" in pf.group(1), plan
 
 
 def test_id_order_shards_are_intervals(spark, tmp_path):

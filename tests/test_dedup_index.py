@@ -111,3 +111,26 @@ def test_matches_batch_dedup_semantics(spark):
         for r in minhash_lsh_dedup(a.unionByName(b)).select("doc_id").collect()
     }
     assert incremental == batch
+
+
+def test_param_mismatch_raises_and_sidecar_adopted(spark, tmp_path):
+    import pytest
+
+    from meds_transforms_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    corpus = _docs(spark, [(1, BASE)])
+    idx = build_minhash_index(corpus, num_hashes=16, bands=4)
+    save_minhash_index(idx, str(tmp_path / "idx"), num_hashes=16, bands=4)
+    loaded, params = load_minhash_index(spark, str(tmp_path / "idx"))
+    batch = _docs(spark, [(9, BASE + " x")])
+    # sidecar adopted: no explicit params needed, match found
+    out = dedup_against_index(batch, loaded, index_params=params).collect()
+    assert out[0].dup_of_corpus is True
+    # contradictory explicit override refuses to run
+    with pytest.raises(ValueError, match="disagree"):
+        dedup_against_index(batch, loaded, index_params=params, num_hashes=32)
