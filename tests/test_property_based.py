@@ -276,3 +276,50 @@ def test_packing_matches_python_cumsum(spark, lengths, budget):
         pack_start.setdefault(pid, start)
         expect[i] = (pid, pack_counts[pid], start - pack_start[pid])
     assert got == expect
+
+
+@st.composite
+def small_corpus(draw):
+    """A few short docs over a tiny alphabet — duplication is likely."""
+    n = draw(st.integers(2, 6))
+    docs = []
+    for i in range(n):
+        words = draw(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12)
+        )
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+def _span_stats_python(docs, k, stride, min_df):
+    """Pure-python duplicated_span_stats (normalized text, positional
+    k-grams at stride, DF over distinct docs)."""
+    import re
+
+    norm = {i: re.sub(r"\s+", " ", t.lower().strip()) for i, t in docs}
+    pos = {
+        i: list(range(0, max(len(t) - k + 1, 0), stride)) for i, t in norm.items()
+    }
+    df_docs = {}
+    for i, t in norm.items():
+        for g in {t[p : p + k] for p in pos[i]}:
+            df_docs[g] = df_docs.get(g, 0) + 1
+    out = {}
+    for i, t in norm.items():
+        total = len(pos[i])
+        dup = sum(1 for p in pos[i] if df_docs[t[p : p + k]] >= min_df)
+        out[i] = (total, dup)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=small_corpus(), k=st.sampled_from([3, 5, 8]), stride=st.sampled_from([1, 2, 4]))
+def test_duplicated_span_stats_matches_python(spark, docs, k, stride):
+    from meds_transforms_spark.operators.substring import duplicated_span_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_positions, r.n_dup_positions)
+        for r in duplicated_span_stats(df, k=k, stride=stride).collect()
+    }
+    assert got == _span_stats_python(docs, k, stride, 2)
