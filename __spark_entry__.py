@@ -813,6 +813,18 @@ def q_docs_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "dup_of_corpus")
 
 
+def q_docs_chunk(spark, sf_dir):
+    """Long-document chunking (operators/text.chunk_documents):
+    16-token windows, 4-token overlap, rebuilt from the whitespace
+    token stream; the oracle replays the chunk-count arithmetic,
+    slicing, and re-join in SQL (list_slice is 1-based inclusive on
+    both engines' semantics here)."""
+    from meds_transforms_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
 def q_emb_cluster_balance(spark, sf_dir):
     """Cluster-balanced curation (operators/sampling.
     cluster_balanced_sample): nearest of 16 deterministic seed
@@ -1262,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": q_docs_quality_classifier,
         "emb_covariance": q_emb_covariance,
         "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_chunk": q_docs_chunk,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2277,6 +2290,29 @@ def oracle_sql() -> dict[str, str]:
         )
         + r""" AS simhash
             FROM hs GROUP BY doc_id
+        """,
+        "docs_chunk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks,
+                     coalesce(CASE WHEN len(toks) <= 16 THEN 1
+                                   ELSE CAST(ceil((len(toks) - 16) / 12.0) AS INT) + 1
+                              END, 1) AS n_chunks
+              FROM t
+            ), e AS (
+              SELECT doc_id, toks, unnest(range(0, n_chunks)) AS cid FROM c
+            ), s AS (
+              SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+                     list_slice(toks, CAST(cid*12 + 1 AS BIGINT), CAST(cid*12 + 16 AS BIGINT)) AS w
+              FROM e
+            )
+            SELECT doc_id, chunk_id,
+                   CASE WHEN len(w) > 0 THEN array_to_string(w, ' ') END AS chunk_text,
+                   CAST(coalesce(len(w), 0) AS INT) AS chunk_tokens
+            FROM s
         """,
         "docs_incremental_dedup": r"""
             WITH """ + _minhash_bands_sql() + r""", hits AS (

@@ -484,3 +484,61 @@ def unigram_logprob(
     if round_to is not None:
         scored = scored.withColumn("avg_logprob", F.round("avg_logprob", int(round_to)))
     return df.join(scored, id_col, "left")
+
+
+@register_stage("chunk_documents")
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into (overlapping) token-window chunks — the
+    long-document preprocessing step for context-window-bounded
+    training and retrieval corpora.
+
+    Emits one row per chunk: ``(id, chunk_id, chunk_text, chunk_tokens)``
+    with ``chunk_id`` 0-based in document order. Chunks start every
+    ``max_tokens - overlap`` tokens; the last chunk may be shorter, and
+    every token belongs to at least one chunk. ``chunk_text`` is
+    rebuilt from whitespace tokens joined by single spaces (original
+    inter-token whitespace is NOT preserved — chunking is defined on
+    the token stream, which keeps the operator a deterministic pure
+    function of the tokens in any engine).
+
+    Plan: tokens materialize into a column (one projection — the HOF
+    CSE rule), chunk indices explode from a sequence, each output row
+    slices only ITS window — rows never carry the full document, so
+    generate-output bytes are O(len · (1 + overlap/step)), not
+    O(len · chunks). Zero shuffles; NULL/token-less docs yield one
+    empty chunk row (chunk_id 0, NULL text) so no document silently
+    disappears.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    step = max_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size("__toks")
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(max_tokens)) / F.lit(step)).cast("int") + 1
+    )
+    chunk = F.slice("__toks", F.col("__c") * step + 1, max_tokens)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(n_chunks, F.lit(1)) - 1)
+            ).alias("__c"),
+        )
+        .select(
+            id_col,
+            F.col("__c").alias("chunk_id"),
+            F.when(F.size(chunk) > 0, F.concat_ws(" ", chunk)).alias("chunk_text"),
+            F.coalesce(F.size(chunk), F.lit(0)).alias("chunk_tokens"),
+        )
+    )
