@@ -68,3 +68,34 @@ def test_stream_dedups_across_batches(spark, tmp_path):
     finally:
         q2.stop()
     assert os.path.exists(os.path.join(idx, "state.json"))
+
+
+def test_stateless_text_operators_compose_on_streams(spark, tmp_path):
+    """The projection-only operators (text stats, quality, URLs,
+    classifier serving prep) are stream-compatible by construction —
+    prove it by running a few through readStream."""
+    from meds_transforms_spark.operators.text import text_stats, token_count
+    from meds_transforms_spark.operators.urls import extract_urls
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "hello world see https://a.com/x"), (2, "two tokens")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = extract_urls(token_count(text_stats(stream)))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateless_text")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM stateless_text").collect()}
+        assert rows[1].n_tokens == 4
+        assert rows[1].domains == ["a.com"]
+        assert rows[2].urls == []
+    finally:
+        q.stop()
