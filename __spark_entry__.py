@@ -813,6 +813,18 @@ def q_docs_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "dup_of_corpus")
 
 
+def q_events_keep_latest(spark, sf_dir):
+    """Version dedup (operators/dedup.keep_latest): freshest event per
+    (user, event_type), event_id as the deterministic tiebreak — the
+    re-crawl/CDC curation primitive; oracle = the same ROW_NUMBER."""
+    from meds_transforms_spark.operators.dedup import keep_latest
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = keep_latest(ev, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"])
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
 def q_docs_chunk(spark, sf_dir):
     """Long-document chunking (operators/text.chunk_documents):
     16-token windows, 4-token overlap, rebuilt from the whitespace
@@ -1275,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": q_emb_covariance,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_chunk": q_docs_chunk,
+        "events_keep_latest": q_events_keep_latest,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2290,6 +2303,16 @@ def oracle_sql() -> dict[str, str]:
         )
         + r""" AS simhash
             FROM hs GROUP BY doc_id
+        """,
+        "events_keep_latest": """
+            SELECT event_id, user_id, event_type, ts FROM (
+              SELECT event_id, user_id, event_type, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC NULLS LAST, event_id DESC
+                     ) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "docs_chunk": r"""
             WITH t AS (

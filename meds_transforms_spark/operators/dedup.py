@@ -541,3 +541,34 @@ def embedding_cosine_dedup(
     # Collapse: every id_b similar to a smaller id_a is dropped.
     dropped = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(dropped, id_col, "left_anti")
+
+
+@register_stage("keep_latest")
+def keep_latest(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Version dedup: one row per key — the freshest by ``ts_col``.
+
+    The re-crawl/CDC curation primitive (a URL fetched monthly, a
+    record upserted repeatedly): ``row_number`` over the key partition
+    ordered by (ts DESC, tiebreaks DESC) — ONE shuffle on the key, no
+    join-back. NULL timestamps sort last (a dated version always beats
+    an undated one). Supply ``tiebreak_cols`` for a total order when
+    timestamps can tie; without them ties resolve arbitrarily (but
+    deterministically within a fixed partitioning only).
+    """
+    from pyspark.sql import Window as W
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col).desc_nulls_last()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -232,3 +232,23 @@ def test_dedupe_doc_lines(spark):
     # keep_blank=False also collapses repeated blanks
     out2 = {r.doc_id: r.text for r in dedupe_doc_lines(df, keep_blank=False).collect()}
     assert out2[1] == "MENU\nintro text\n\nbody"
+
+
+def test_keep_latest_versions(spark):
+    from meds_transforms_spark.operators.dedup import keep_latest
+
+    rows = [
+        ("u1", 1, 100, "old"),
+        ("u1", 2, 200, "new"),
+        ("u2", 3, 50, "only"),
+        ("u3", 4, None, "undated"),
+        ("u3", 5, 10, "dated"),
+        ("u4", 6, 10, "tie-a"),
+        ("u4", 7, 10, "tie-b"),  # ts tie → higher version id wins
+    ]
+    df = spark.createDataFrame(rows, "url string, version long, fetched long, body string")
+    out = {
+        r.url: r.body
+        for r in keep_latest(df, "url", "fetched", tiebreak_cols=["version"]).collect()
+    }
+    assert out == {"u1": "new", "u2": "only", "u3": "dated", "u4": "tie-b"}
