@@ -825,6 +825,42 @@ def q_events_keep_latest(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "ts")
 
 
+def q_events_transitions(spark, sf_dir):
+    """Markov transition matrix (operators/retention.event_transitions):
+    consecutive event-type pairs per user (event_id tiebreak), counted
+    — one user-partition lag window + one pair count."""
+    from meds_transforms_spark.operators.retention import event_transitions
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev, tiebreak_col="event_id")
+
+
+def q_docs_pmi(spark, sf_dir):
+    """Token-pair PMI (operators/text.token_pmi): document-level
+    co-occurrence self-join on the doc id (only real pairs
+    materialize), DF joins, ln ratio rounded to 6. Oracle replays the
+    identical distinct-token, pair-count, and PMI arithmetic."""
+    from meds_transforms_spark.operators.text import token_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_pmi(docs, min_pair_docs=50, round_to=6)
+
+
+def q_emb_quantize(spark, sf_dir):
+    """int8 symmetric quantization (operators/linalg.
+    quantize_embeddings): per-vector abs-max scale, rounded codes,
+    exploded to (vec_id, pos, qval, qscale) rows so the comparator
+    sees scalars. Oracle replays scale + round + clamp in SQL."""
+    from meds_transforms_spark.operators.linalg import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "qscale", F.posexplode("qvec").alias("pos", "qval")
+    )
+
+
 def q_docs_chunk(spark, sf_dir):
     """Long-document chunking (operators/text.chunk_documents):
     16-token windows, 4-token overlap, rebuilt from the whitespace
@@ -1259,10 +1295,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks a
-    # capped prefix of this dict, so queries without a green row from a
-    # prior round are registered FIRST (r01 verified the first 50; the
-    # 25 below had no row). events_sessions follows to prove its BIGINT
-    # cast fix; the remaining r01-green queries fill the tail.
+    # capped prefix of this dict, so queries without a green driver row
+    # from a prior round are registered FIRST: the 25 unchecked in r01
+    # (tpch_q2-q22, minhash/simhash/LSH family), events_sessions (r01
+    # hash artifact, BIGINT cast fix), then every query ADDED in round 2
+    # — all inside the 50-query window, locally verified by
+    # scripts/check_oracles.py. r01-green queries fill the tail.
     return {
         **_tpch_suite.QUERIES,
         "docs_tfidf": q_docs_tfidf,
@@ -1288,6 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_chunk": q_docs_chunk,
         "events_keep_latest": q_events_keep_latest,
+        "events_transitions": q_events_transitions,
+        "docs_pmi": q_docs_pmi,
+        "emb_quantize": q_emb_quantize,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2303,6 +2344,63 @@ def oracle_sql() -> dict[str, str]:
         )
         + r""" AS simhash
             FROM hs GROUP BY doc_id
+        """,
+        "emb_quantize": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), s AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+              FROM e
+            )
+            SELECT vec_id,
+                   coalesce(sc, 0.0) AS qscale,
+                   CAST(i.range - 1 AS INT) AS pos,
+                   CAST(CASE WHEN sc > 0
+                             THEN least(greatest(round(v[CAST(i.range AS BIGINT)] / sc),
+                                                 -128.0), 127.0)
+                             ELSE 0 END AS INT) AS qval
+            FROM s, range(1, 65) i
+            WHERE v IS NOT NULL
+        """,
+        "docs_pmi": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                          x -> x != '')) AS tok
+                FROM documents
+              )
+            ), n AS (
+              SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nn FROM documents
+            ), d AS (
+              SELECT tok, count(*) AS df FROM toks GROUP BY tok
+            ), p AS (
+              SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2 HAVING count(*) >= 50
+            )
+            SELECT p.tok_a, p.tok_b,
+                   CAST(p.n_ab AS BIGINT) AS n_ab,
+                   CAST(da.df AS BIGINT) AS df_a,
+                   CAST(db.df AS BIGINT) AS df_b,
+                   round(ln(p.n_ab * n.nn / (da.df * CAST(db.df AS DOUBLE))), 6) AS pmi
+            FROM p, n
+            JOIN d da ON da.tok = p.tok_a
+            JOIN d db ON db.tok = p.tok_b
+        """,
+        "events_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
         """,
         "events_keep_latest": """
             SELECT event_id, user_id, event_type, ts FROM (

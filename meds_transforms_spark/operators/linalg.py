@@ -191,3 +191,51 @@ def pca_transform(
         )
         coords.append(dot)
     return df.withColumn(out_col, F.array(*coords))
+
+
+@register_stage("quantize_embeddings")
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization: ``q = round(x /
+    scale)`` with ``scale = max|x| / (2^(bits-1) - 1)`` — the 4× (int8)
+    storage/bandwidth cut ANN serving applies before shipping vectors.
+
+    Pure codegen array transforms (abs-max, scaled round, clamp) — no
+    Python, no shuffle; all-zero vectors get scale 0 and zero codes.
+    Reconstruction is ``q · scale`` (:func:`dequantize_embeddings`);
+    max abs error ≤ scale/2 per coordinate.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    x = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = mx / F.lit(float(qmax))
+    q = F.when(mx > 0, F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.least(
+            F.greatest(F.round(v / F.col(scale_col)), F.lit(-qmax - 1.0)),
+            F.lit(float(qmax)),
+        ).cast("int"),
+    )).otherwise(F.transform(x, lambda v: F.lit(0)))
+    return (
+        df.withColumn(scale_col, F.coalesce(scale, F.lit(0.0)))
+        .withColumn(out_col, q)
+    )
+
+
+@register_stage("dequantize_embeddings")
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ≈ q · scale``."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)),
+    )

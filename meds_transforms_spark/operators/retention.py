@@ -76,3 +76,30 @@ def cohort_retention(
     return cells.withColumn(
         "retention_rate", F.col("n_users") / base
     )
+
+
+@register_stage("event_transitions")
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order journey transition matrix: ``(from_type, to_type,
+    n)`` over consecutive events per user — the Sankey/Markov-chain
+    rollup of product analytics.
+
+    One shuffle on the user partition for the lag window, then a
+    map-side-combined count on the (from, to) pair — the matrix is
+    |types|² rows regardless of event volume. Ties in ``ts_col``
+    order deterministically only with a ``tiebreak_col``.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = W.partitionBy(user_col).orderBy(*order)
+    return (
+        df.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -542,3 +542,65 @@ def chunk_documents(
             F.coalesce(F.size(chunk), F.lit(0)).alias("chunk_tokens"),
         )
     )
+
+
+@register_stage("token_pmi")
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 5,
+    max_doc_tokens: int | None = 10_000,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Document-level pointwise mutual information of token pairs:
+    ``pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )`` with probabilities =
+    document frequencies / N — the collocation / topic-drift signal of
+    corpus analytics (ordered pairs ``tok_a < tok_b``).
+
+    Relational co-occurrence (same discipline as ngram_jaccard_pairs):
+    per-doc DISTINCT tokens self-join on the doc id, so only pairs that
+    actually co-occur materialize — never a vocab² cross join. The
+    per-doc quadratic term is the hazard at scale: ``max_doc_tokens``
+    drops pathological docs (a 10⁶-distinct-token doc alone would emit
+    5·10¹¹ pairs); ``min_pair_docs`` prunes the long tail before the
+    DF join. Outputs ``(tok_a, tok_b, n_ab, df_a, df_b, pmi)``.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(_tokens(F.lower(F.col(text_col))))).alias("tok"))
+        .dropDuplicates([id_col, "tok"])
+    )
+    if max_doc_tokens is not None:
+        from pyspark.sql import Window as W
+
+        toks = (
+            toks.withColumn("__n", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+            .filter(F.col("__n") <= int(max_doc_tokens))
+            .drop("__n")
+        )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = toks.select(F.col(id_col), F.col("tok").alias("tok_a"))
+    b = toks.select(F.col(id_col), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_docs))
+    )
+    da = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = F.log(
+        (F.col("n_ab") * F.lit(float(n_docs)))
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    out = (
+        pairs.join(da, "tok_a")
+        .join(db, "tok_b")
+        .withColumn("pmi", pmi)
+        .select("tok_a", "tok_b", "n_ab", "df_a", "df_b", "pmi")
+    )
+    if round_to is not None:
+        out = out.withColumn("pmi", F.round("pmi", int(round_to)))
+    return out

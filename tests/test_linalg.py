@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 
@@ -77,3 +78,62 @@ def test_pca_fit_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no vectors"):
         pca_fit(df)
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from meds_transforms_spark.operators.linalg import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(50, 8)) * 3
+    q = quantize_embeddings(_emb(spark, X))
+    back = dequantize_embeddings(q, out_col="recon")
+    rows = back.collect()
+    for r in rows:
+        x = np.asarray(r.embedding)
+        rec = np.asarray(r.recon)
+        scale = r.qscale
+        assert np.all(np.abs(x - rec) <= scale / 2 + 1e-12)
+        assert max(abs(v) for v in r.qvec) <= 127
+
+
+def test_quantize_zero_and_null_vectors(spark):
+    from meds_transforms_spark.operators.linalg import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[1].qscale == 0.0 and out[1].qvec == [0, 0]
+    assert out[2].qscale == 0.0 and out[2].qvec is None
+
+
+def test_quantized_topk_recall(spark):
+    """int8 cosine top-10 should recover ~all of the exact top-10."""
+    from meds_transforms_spark.operators.linalg import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from meds_transforms_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(300, 16))
+    corpus = _emb(spark, X)
+    queries = corpus.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    qcorpus = dequantize_embeddings(
+        quantize_embeddings(corpus), out_col="embedding"
+    ).select("vec_id", "embedding")
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(qcorpus, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9

@@ -73,3 +73,21 @@ def test_invalid_period_raises(spark):
 
     with pytest.raises(ValueError, match="period"):
         cohort_retention(_ev(spark, []), period="year")
+
+
+def test_event_transitions_matrix(spark):
+    from meds_transforms_spark.operators.retention import event_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, "view"), (1, t0 + dt.timedelta(minutes=1), "click"),
+        (1, t0 + dt.timedelta(minutes=2), "buy"),
+        (2, t0, "view"), (2, t0 + dt.timedelta(minutes=3), "click"),
+        (3, t0, "view"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r.from_type, r.to_type): r.n
+        for r in event_transitions(df).collect()
+    }
+    assert out == {("view", "click"): 2, ("click", "buy"): 1}

@@ -67,3 +67,37 @@ def test_unigram_logprob_gibberish_scores_below_prose(spark):
     )
     out = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
     assert out[99] < out[0]
+
+
+def test_token_pmi_exact(spark):
+    import math
+
+    from meds_transforms_spark.operators.text import token_pmi
+
+    # 4 docs: (a,b) always together -> strong positive PMI;
+    # (a,c) never together -> pair absent entirely.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b x"), (3, "c x"), (4, "c y")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.tok_a, r.tok_b): r
+        for r in token_pmi(df, min_pair_docs=1, round_to=None).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab.n_ab, ab.df_a, ab.df_b) == (2, 2, 2)
+    assert ab.pmi == pytest.approx(math.log(2 * 4 / (2 * 2)))
+    assert ("a", "c") not in out
+    cx = out[("c", "x")]
+    assert cx.pmi == pytest.approx(math.log(1 * 4 / (2 * 2)))
+
+
+def test_token_pmi_doc_token_guard(spark):
+    from meds_transforms_spark.operators.text import token_pmi
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b")], "doc_id long, text string"
+    )
+    out = token_pmi(df, min_pair_docs=1, max_doc_tokens=3).collect()
+    # doc 1 (6 distinct tokens) dropped by the guard; only doc 2's pair left
+    assert {(r.tok_a, r.tok_b) for r in out} == {("a", "b")}
