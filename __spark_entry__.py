@@ -861,6 +861,20 @@ def q_emb_quantize(spark, sf_dir):
     )
 
 
+def q_docs_corpus_report(spark, sf_dir):
+    """Per-source curation dashboard (operators/text.corpus_report):
+    volume, token/char mass, exact-duplicate rate (normalized
+    fingerprint), dominant language — one rollup per source. The
+    oracle groups on the normalized text itself in place of the
+    xxhash64 fingerprint (equal-normalized-text ⇔ equal fingerprint,
+    modulo 64-bit collisions) and replays the docs_lang_id mode
+    election with the same tie order."""
+    from meds_transforms_spark.operators.text import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs)
+
+
 def q_docs_chunk(spark, sf_dir):
     """Long-document chunking (operators/text.chunk_documents):
     16-token windows, 4-token overlap, rebuilt from the whitespace
@@ -1329,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "docs_pmi": q_docs_pmi,
         "emb_quantize": q_emb_quantize,
+        "docs_corpus_report": q_docs_corpus_report,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2344,6 +2359,56 @@ def oracle_sql() -> dict[str, str]:
         )
         + r""" AS simhash
             FROM hs GROUP BY doc_id
+        """,
+        "docs_corpus_report": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x != '')) AS ntok,
+                     len(text) AS nchar,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+                     list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                               x -> x <> '')) AS toks
+              FROM documents
+            ), l AS (
+              SELECT source,
+                     CASE WHEN fr_h > 0 AND fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
+                          WHEN es_h > 0 AND es_h >= en_h AND es_h >= de_h THEN 'es'
+                          WHEN en_h > 0 AND en_h >= de_h THEN 'en'
+                          WHEN de_h > 0 THEN 'de'
+                          ELSE 'und' END AS lang_pred
+              FROM (
+                SELECT source,
+                       len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','was'])) AS en_h,
+                       len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit','für','von'])) AS de_h,
+                       len(list_intersect(toks, ['le','la','et','les','des','est','pas','pour','que','une'])) AS fr_h,
+                       len(list_intersect(toks, ['el','la','de','que','los','las','una','por','con','para'])) AS es_h
+                FROM t
+              )
+            ), g AS (
+              SELECT source, norm, count(*) AS n, sum(ntok) AS tok, sum(nchar) AS ch
+              FROM t GROUP BY source, norm
+            ), pg AS (
+              SELECT source,
+                     CAST(sum(n) AS BIGINT) AS n_docs,
+                     CAST(sum(tok) AS BIGINT) AS n_tokens,
+                     CAST(sum(ch) AS BIGINT) AS n_chars,
+                     CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dups
+              FROM g GROUP BY source
+            ), lc AS (
+              SELECT source, lang_pred, count(*) AS ln FROM l GROUP BY 1, 2
+            ), top AS (
+              SELECT source, lang_pred AS top_lang FROM (
+                SELECT source, lang_pred,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY ln DESC, lang_pred DESC) AS rn
+                FROM lc
+              ) WHERE rn = 1
+            )
+            SELECT pg.source, pg.n_docs, pg.n_tokens, pg.n_chars, pg.n_exact_dups,
+                   CAST(pg.n_exact_dups AS DOUBLE) / pg.n_docs AS dup_rate,
+                   top.top_lang
+            FROM pg JOIN top USING (source)
         """,
         "emb_quantize": """
             WITH e AS (

@@ -11,6 +11,16 @@ Operators:
 - ``quality_score``    heuristic document quality in [0,1]
 - ``language_id``      stopword-hit n-gram heuristic language guess
 - ``fingerprint``      64-bit document fingerprint (normalized xxhash)
+- ``top_k_tokens``     corpus token vocabulary (two-phase hash count)
+- ``tf_idf``           smoothed TF-IDF, fully relational
+- ``scrub_pii``        typed redaction + per-category audit counts
+- ``repetition_stats`` Gopher-style duplication fractions
+- ``dedupe_doc_lines`` within-doc repeated-line removal
+- ``remove_boilerplate_lines`` per-source frequent-line removal
+- ``fit_unigram_lm`` / ``unigram_logprob``  LM quality scoring
+- ``chunk_documents``  overlapping token-window splitting
+- ``token_pmi``        document-level collocation PMI
+- ``corpus_report``    per-source curation dashboard rollup
 """
 
 from __future__ import annotations
@@ -604,3 +614,67 @@ def token_pmi(
     if round_to is not None:
         out = out.withColumn("pmi", F.round("pmi", int(round_to)))
     return out
+
+
+@register_stage("corpus_report")
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source curation dashboard: one row per ``group_col`` with
+    the signals a mix designer reads before weighting — volume, token
+    mass, length spread, exact-duplicate rate, dominant language.
+
+    Composes the existing projections (token counts, normalized
+    fingerprint, language_id) into ONE aggregation over the group key;
+    the only extra shuffle beyond the groupBy is the fingerprint
+    duplicate count, which is computed from a (fingerprint-within-
+    group) count window folded into the same pass via a pre-agg on
+    (group, fingerprint). Dominant language = mode of the per-doc
+    stopword guess (ties lexicographic via max on (count, lang)).
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    fp = F.xxhash64(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    base = language_id(
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(text_col),
+            F.size(toks).alias("__ntok"),
+            F.length(F.col(text_col)).alias("__nchar"),
+            fp.alias("__fp"),
+        ),
+        text_col=text_col,
+    ).drop(text_col)
+    # exact-dup mass per group: groupBy (group, fingerprint) first —
+    # map-side combined, shuffle rows are (group, long, count)
+    per_fp = base.groupBy("__g", "__fp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__ntok").alias("__tok"),
+        F.sum("__nchar").alias("__chr"),
+    )
+    per_group = per_fp.groupBy("__g").agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.sum("__chr").alias("n_chars"),
+        (F.sum("__n") - F.count(F.lit(1))).alias("n_exact_dups"),
+    )
+    lang_counts = base.groupBy("__g", "lang_pred").agg(
+        F.count(F.lit(1)).alias("__ln")
+    )
+    top_lang = lang_counts.groupBy("__g").agg(
+        F.max(F.struct(F.col("__ln"), F.col("lang_pred"))).alias("__top")
+    ).select("__g", F.col("__top.lang_pred").alias("top_lang"))
+    return (
+        per_group.join(top_lang, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_exact_dups",
+            (F.col("n_exact_dups") / F.col("n_docs")).alias("dup_rate"),
+            "top_lang",
+        )
+    )

@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime bloom-filter join pruning: for selective joins (e.g.
+        # decontamination's gram semi-join, index probes) the optimizer
+        # injects a bloom filter built from the small side into the big
+        # side's SCAN — rows that can't match never reach the shuffle.
+        # The 100 TB analog of the manual "broadcast a filter first"
+        # pattern, for free on every eligible join.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # Read INT64 TIMESTAMP(NANOS) parquet columns as long (epoch
         # nanos) instead of erroring; sources.testdata converts to µs
         # TimestampType at the boundary.

@@ -101,3 +101,23 @@ def test_token_pmi_doc_token_guard(spark):
     out = token_pmi(df, min_pair_docs=1, max_doc_tokens=3).collect()
     # doc 1 (6 distinct tokens) dropped by the guard; only doc 2's pair left
     assert {(r.tok_a, r.tok_b) for r in out} == {("a", "b")}
+
+
+def test_corpus_report_per_source(spark):
+    from meds_transforms_spark.operators.text import corpus_report
+
+    rows = [
+        (1, "srcA", "the cat and the dog"),     # en
+        (2, "srcA", "the cat and the dog"),     # exact dup of 1
+        (3, "srcA", "der hund ist nicht da"),   # de
+        (4, "srcB", "le chat est pour la vie"), # fr
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in corpus_report(df).collect()}
+    a = out["srcA"]
+    assert (a.n_docs, a.n_exact_dups) == (3, 1)
+    assert a.dup_rate == pytest.approx(1 / 3)
+    assert a.n_tokens == 5 + 5 + 5
+    assert a.top_lang == "en"
+    b = out["srcB"]
+    assert (b.n_docs, b.n_exact_dups, b.top_lang) == (1, 0, "fr")
