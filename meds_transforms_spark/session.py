@@ -55,8 +55,10 @@ def get_spark(
         # side's SCAN — rows that can't match never reach the shuffle.
         # The 100 TB analog of the manual "broadcast a filter first"
         # pattern, for free on every eligible join.
+        # (semiJoinReduction runtime filters are deliberately NOT
+        # enabled: measured on this Spark 4.1.2 build they stall even
+        # trivial queries — the bloom-filter variant alone is safe.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # Read INT64 TIMESTAMP(NANOS) parquet columns as long (epoch
         # nanos) instead of erroring; sources.testdata converts to µs
         # TimestampType at the boundary.
