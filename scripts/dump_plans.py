@@ -43,6 +43,12 @@ REVIEW = {
     "emb_covariance": "mapInArrow emits ONE (n, Σx, ΣxxT) row per batch (BLAS); downstream posexplode/groupBy/joins all run over #batches tiny rows — the corpus is scanned once and never shuffled",
     "events_retention": "window-min on user (one exchange) → (cohort, offset, user) dedup agg → matrix agg; the rate window runs over the cohort×offset matrix, not events",
     "docs_incremental_dedup": "batch band buckets (codegen hash chain) semi-join the index's distinct buckets on a 64-bit key — AQE broadcasts the batch side so the standing index is probed map-side; one id join back to the batch",
+    "docs_chunk": "tokens materialize once (HOF CSE rule), chunk ids explode from a sequence, each row slices only ITS window — generate output is O(len·(1+overlap/step)), zero shuffle",
+    "events_keep_latest": "one exchange on the (user, type) key feeding a row_number window with (ts, id) tiebreak — no join-back, no second scan",
+    "events_transitions": "lag window on the user partition (one exchange) then a map-side-combined (from, to) count — the output is |types|² rows regardless of volume",
+    "docs_pmi": "per-doc distinct tokens self-join on the doc id (only real co-occurrences materialize), two DF joins — never a vocab² product; max_doc_tokens bounds the per-doc quadratic",
+    "emb_quantize": "pure codegen array transforms (abs-max, scaled round, clamp) + posexplode — no shuffle at all before the sink",
+    "docs_corpus_report": "one (source, fingerprint) pre-agg (map-side combined) folds dup counting into the volume pass; language mode elected from the tiny (source, lang) table — no per-doc shuffle beyond the two group keys",
 }
 
 
