@@ -861,6 +861,54 @@ def q_emb_quantize(spark, sf_dir):
     )
 
 
+def q_docs_gopher_filter(spark, sf_dir):
+    """Published Gopher quality rules (operators/text.
+    gopher_quality_filter; Rae et al. 2021 Appendix A1.1) as one
+    shuffle-free codegen projection, rule-per-column + combined flag.
+    Thresholds are loosened to the synthetic corpus's register
+    (single-line docs, 25–90 words, only 'the' from the required
+    stopword list) so both pass and every individual rule have
+    variance; the oracle replays tokenization, line splitting, and all
+    seven rules with DuckDB list lambdas."""
+    from meds_transforms_spark.operators.text import gopher_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_quality_filter(docs, min_words=40, min_required_stopwords=1)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "gopher_pass",
+    )
+
+
+def q_docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.dsir_weights; Xie et
+    al. NeurIPS 2023): hashed unigram+bigram bag features, two unigram
+    models fit in ONE aggregation pass (raw pool vs target = sources
+    src0-2), add-1-smoothed log-ratio broadcast back, per-doc summed.
+    md5_60 feature hashing + round-6 let the oracle replay the ENTIRE
+    fit + score pipeline — bucketing, both models, smoothing, log
+    ratio, per-doc reduction — in SQL."""
+    from meds_transforms_spark.operators.dsir import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_weights(
+        docs,
+        "source IN ('src0','src1','src2')",
+        n_buckets=8192,
+        hash_fn="md5_60",
+        round_to=6,
+    )
+    return out.select("doc_id", "dsir_logweight")
+
+
 def q_docs_corpus_report(spark, sf_dir):
     """Per-source curation dashboard (operators/text.corpus_report):
     volume, token/char mass, exact-duplicate rate (normalized
@@ -1344,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pmi": q_docs_pmi,
         "emb_quantize": q_emb_quantize,
         "docs_corpus_report": q_docs_corpus_report,
+        "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_dsir_weights": q_docs_dsir_weights,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2359,6 +2409,96 @@ def oracle_sql() -> dict[str, str]:
         )
         + r""" AS simhash
             FROM hs GROUP BY doc_id
+        """,
+        "docs_gopher_filter": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     text IS NOT NULL AS nn,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                 x -> x != '') AS toks,
+                     string_split(coalesce(text, ''), chr(10)) AS lines,
+                     len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS n_sym
+              FROM documents
+            ), m AS (
+              SELECT doc_id, nn, toks, lines, n_sym,
+                     len(toks) AS n_words,
+                     greatest(len(lines), 1) AS n_lines,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                               / len(toks)
+                          ELSE 0.0 END AS mean_len
+              FROM base
+            ), r AS (
+              SELECT doc_id,
+                     CAST(n_words AS BIGINT) AS n_words,
+                     nn AND n_words >= 40 AND n_words <= 100000 AS rule_word_count,
+                     nn AND mean_len >= 3.0 AND mean_len <= 10.0 AS rule_mean_word_len,
+                     nn AND CASE WHEN n_words > 0
+                          THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                          ELSE FALSE END AS rule_symbol_ratio,
+                     nn AND CAST(len(list_filter(lines,
+                         l -> regexp_matches(l, '^\s*[•*-]\s'))) AS DOUBLE)
+                       / n_lines < 0.9 AS rule_bullet_lines,
+                     nn AND CAST(len(list_filter(lines,
+                         l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                       / n_lines <= 0.3 AS rule_ellipsis_lines,
+                     nn AND CASE WHEN n_words > 0
+                          THEN CAST(len(list_filter(toks,
+                                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                                 / n_words >= 0.8
+                          ELSE FALSE END AS rule_alpha_words,
+                     nn AND len(list_intersect(list_transform(toks, t -> lower(t)),
+                         ['the','be','to','of','and','that','have','with']))
+                       >= 1 AS rule_stopwords
+              FROM m
+            )
+            SELECT doc_id, n_words, rule_word_count, rule_mean_word_len,
+                   rule_symbol_ratio, rule_bullet_lines, rule_ellipsis_lines,
+                   rule_alpha_words, rule_stopwords,
+                   rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                     AND rule_bullet_lines AND rule_ellipsis_lines
+                     AND rule_alpha_words AND rule_stopwords AS gopher_pass
+            FROM r
+        """,
+        "docs_dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, source IN ('src0','src1','src2') AS t,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x != '') AS l
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, t,
+                     unnest(list_concat(l,
+                       list_filter(
+                         list_transform(list_zip(l, l[2:]),
+                           p -> CASE WHEN p[2] IS NULL THEN NULL
+                                     ELSE p[1] || ' ' || p[2] END),
+                         g -> g IS NOT NULL))) AS f
+              FROM toks
+            ), fb AS (
+              SELECT doc_id, t,
+                     CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 8192 AS b
+              FROM feats
+            ), model AS (
+              SELECT b, count(*) AS n_raw,
+                     sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
+              FROM fb GROUP BY b
+            ), tot AS (
+              SELECT CAST(sum(n_raw) AS DOUBLE) AS traw,
+                     CAST(sum(n_tgt) AS DOUBLE) AS ttgt
+              FROM model
+            ), lr AS (
+              SELECT b, ln((n_tgt + 1) / (ttgt + 8192))
+                        - ln((n_raw + 1) / (traw + 8192)) AS lr
+              FROM model, tot
+            ), per AS (
+              SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b
+            ), w AS (
+              SELECT per.doc_id, sum(per.n * lr.lr) AS w
+              FROM per JOIN lr USING (b) GROUP BY per.doc_id
+            )
+            SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) AS dsir_logweight
+            FROM documents d LEFT JOIN w USING (doc_id)
         """,
         "docs_corpus_report": r"""
             WITH t AS (

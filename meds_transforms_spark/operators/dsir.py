@@ -1,0 +1,122 @@
+"""Data Selection via Importance Resampling (DSIR) weights.
+
+Public method: Xie et al., "Data Selection for Language Models via
+Importance Resampling" (NeurIPS 2023). Fit two bag-of-hashed-n-gram
+unigram models — one on a small TARGET domain (the data you want more
+of), one on the RAW pool — and score every raw document by its
+importance log-weight
+
+    log w(x) = sum_{feature f in x} [ log p_target(f) - log p_raw(f) ]
+
+with add-1 smoothing over ``n_buckets`` hashed feature buckets.
+Selecting the top-weighted (or Gumbel-resampled) documents then shifts
+the training mix toward the target domain.
+
+Plan shape (100 TB discipline):
+
+- ONE text scan: tokens + bigrams are exploded once into
+  ``(id, is_target, bucket)`` rows — after the hash the shuffle rows
+  carry two longs and a boolean, never text.
+- Both models come from the SAME aggregation: ``groupBy(bucket)`` with
+  a conditional sum, so the target model costs no extra pass.
+- The fitted model is a ``n_buckets``-row table (8k rows by default),
+  explicitly broadcast back onto the per-doc feature stream.
+- Per-doc reduction pre-aggregates on ``(id, bucket)`` (map-side
+  combine collapses repeated features) before the model join.
+
+Total: two shuffles of (long, long) tuples plus one broadcast — no
+all-pairs anything, linear in corpus bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.operators.dedup import _h64
+
+
+def _features(text: Column, use_bigrams: bool) -> Column:
+    """Lowercased whitespace unigrams (+ adjacent-pair bigrams)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    if not use_bigrams:
+        return toks
+    # Pair each token with its successor via zip_with over a slice —
+    # both operate on the SAME array expression so Catalyst CSEs the
+    # tokenization (recomputing it per-element is the O(n²) HOF
+    # pitfall documented in SCALING.md).
+    tail = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            tail,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return F.concat(toks, bigrams)
+
+
+@register_stage("dsir_weights")
+def dsir_weights(
+    df: DataFrame,
+    target: Column | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    use_bigrams: bool = True,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Attach ``dsir_logweight`` to every document of ``df``.
+
+    ``target`` is a boolean Column (or SQL string) marking the
+    target-domain documents INSIDE ``df`` — e.g. a trusted source
+    (``"source = 'wiki'"``) or a quality flag from
+    :func:`~meds_transforms_spark.operators.text.gopher_quality_filter`.
+    Both unigram models are fit in one aggregation pass; documents with
+    no tokens get weight 0.0. ``hash_fn="md5_60"`` makes the feature
+    hashing engine-independent so a SQL oracle can replay the whole
+    fit + score pipeline; ``round_to`` absorbs cross-engine ``ln``
+    ULPs the same way the tf_idf/unigram oracles do.
+    """
+    if isinstance(target, str):
+        target = F.expr(target)
+    b = int(n_buckets)
+    feats = df.select(
+        F.col(id_col),
+        target.alias("__t"),
+        F.explode(_features(F.col(text_col), use_bigrams)).alias("__f"),
+    ).select(
+        id_col, "__t", F.pmod(_h64(hash_fn, F.col("__f")), F.lit(b)).alias("__b")
+    )
+    model = feats.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n_raw"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__n_tgt"),
+    )
+    totals = model.agg(
+        F.sum("__n_raw").alias("__tot_raw"), F.sum("__n_tgt").alias("__tot_tgt")
+    )
+    # Lazy 1-row broadcast cross join — no driver round-trip.
+    scored = model.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__n_tgt") + 1) / (F.col("__tot_tgt") + b))
+            - F.log((F.col("__n_raw") + 1) / (F.col("__tot_raw") + b))
+        ).alias("__lr"),
+    )
+    per_doc = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    weights = (
+        per_doc.join(F.broadcast(scored), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n") * F.col("__lr")).alias("__w"))
+    )
+    w = F.coalesce(F.col("__w"), F.lit(0.0))
+    if round_to is not None:
+        w = F.round(w, int(round_to))
+    return (
+        df.join(weights, id_col, "left")
+        .withColumn("dsir_logweight", w.cast("double"))
+        .drop("__w")
+    )

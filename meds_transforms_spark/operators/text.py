@@ -678,3 +678,90 @@ def corpus_report(
             "top_lang",
         )
     )
+
+
+#: The Gopher quality-rule required-stopword list (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", Appendix A1.1).
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register_stage("gopher_quality_filter")
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A1.1) as explicit boolean rule columns plus a combined
+    ``gopher_pass`` flag — the standard pre-training corpus filter,
+    kept rule-per-column so curation dashboards can report WHICH rule
+    rejected each document, not just that one did.
+
+    Rules (each True = document passes that rule):
+
+    - ``rule_word_count``     ``min_words <= n <= max_words``
+    - ``rule_mean_word_len``  mean token length in [min, max]
+    - ``rule_symbol_ratio``   (#'#' + #'...') / words <= threshold
+    - ``rule_bullet_lines``   < max fraction of lines start with a bullet
+    - ``rule_ellipsis_lines`` <= max fraction of lines end with ellipsis
+    - ``rule_alpha_words``    >= min fraction of words contain a letter
+    - ``rule_stopwords``      >= N distinct required stopwords present
+
+    Plan: ONE shuffle-free codegen projection — tokens and lines are
+    each computed once into intermediate columns (HOF re-computation is
+    the O(n²) CSE pitfall documented in SCALING.md), every rule is an
+    array aggregate over them, and NULL text fails closed (all rules
+    False). Linear in bytes, embarrassingly parallel at 100 TB.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    with_arrays = df.withColumn(
+        "__toks", F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    ).withColumn("__lines", F.split(c, "\n"))
+    toks, lines = F.col("__toks"), F.col("__lines")
+    n_words = F.size(toks)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•*-]\s"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    required = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.transform(toks, F.lower), required))
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "rule_symbol_ratio": F.when(n_words > 0, n_symbols / n_words <= max_symbol_word_ratio).otherwise(F.lit(False)),
+        "rule_bullet_lines": bullet_frac < max_bullet_line_frac,
+        "rule_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": n_stop >= min_required_stopwords,
+    }
+    out = with_arrays.withColumn("n_words", n_words.cast("long"))
+    passed = F.lit(True)
+    not_null = F.col(text_col).isNotNull()
+    for name, rule in rules.items():
+        # NULL text fails EVERY rule, including the trivially-true line
+        # rules — dashboards counting per-rule failures see null docs.
+        out = out.withColumn(name, not_null & rule)
+        passed = passed & F.col(name)
+    return out.withColumn("gopher_pass", passed).drop("__toks", "__lines")

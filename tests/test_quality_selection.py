@@ -1,0 +1,147 @@
+"""Unit tests for gopher_quality_filter and dsir_weights."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back home "
+    "to be with all of that good company it would have kept with joy "
+    "because every word here is ordinary prose of sensible length today"
+)
+
+
+def test_gopher_passes_ordinary_prose(spark):
+    from meds_transforms_spark.operators.text import gopher_quality_filter
+
+    out = gopher_quality_filter(
+        _docs(spark, [(1, "a", GOOD)]), min_words=30
+    ).collect()[0]
+    assert out.gopher_pass
+    assert all(
+        out[r]
+        for r in (
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_bullet_lines",
+            "rule_ellipsis_lines",
+            "rule_alpha_words",
+            "rule_stopwords",
+        )
+    )
+
+
+def test_gopher_individual_rules(spark):
+    from meds_transforms_spark.operators.text import gopher_quality_filter
+
+    rows = [
+        (1, "a", "too short"),                                   # word count
+        (2, "a", " ".join(["ab"] * 60)),                          # mean word len < 3
+        (3, "a", " ".join(["the#"] * 30 + ["of..."] * 30)),       # symbol ratio
+        (4, "a", "\n".join(["- item one of the list"] * 10)),     # bullet lines
+        (5, "a", "\n".join(["the thing trails off..."] * 10)),    # ellipsis lines
+        (6, "a", " ".join(["1234"] * 50 + ["the", "of"] * 5)),    # alpha words
+        (7, "a", " ".join(["zebra", "yonder", "quartz"] * 20)),   # stopwords
+        (8, "a", None),                                           # null fails closed
+    ]
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_filter(
+            _docs(spark, rows), min_words=8, min_mean_word_len=3.0
+        ).collect()
+    }
+    assert not out[1].rule_word_count
+    assert not out[2].rule_mean_word_len
+    assert not out[3].rule_symbol_ratio
+    assert not out[4].rule_bullet_lines
+    assert not out[5].rule_ellipsis_lines
+    assert not out[6].rule_alpha_words
+    assert not out[7].rule_stopwords
+    assert not any(out[i].gopher_pass for i in out)
+    # the null doc fails every rule, not just one
+    assert not any(
+        out[8][r] for r in out[8].asDict() if r.startswith("rule_")
+    )
+
+
+def test_dsir_weights_prefer_target_vocabulary(spark):
+    from meds_transforms_spark.operators.dsir import dsir_weights
+
+    # Target docs use vocabulary A; pool docs vocabulary B. A held-out
+    # pool doc written in vocabulary A must outweigh every true pool doc.
+    rows = (
+        [(i, "tgt", "alpha beta gamma delta alpha beta") for i in range(10)]
+        + [(100 + i, "raw", "omega sigma tau rho omega sigma") for i in range(10)]
+        + [(999, "raw", "alpha beta gamma delta beta gamma")]
+    )
+    out = dsir_weights(_docs(spark, rows), "source = 'tgt'")
+    w = {r.doc_id: r.dsir_logweight for r in out.collect()}
+    assert w[999] > max(w[100 + i] for i in range(10))
+    # target-vocab docs score above pool-vocab docs on average
+    assert (sum(w[i] for i in range(10)) / 10) > (
+        sum(w[100 + i] for i in range(10)) / 10
+    )
+
+
+def test_dsir_matches_pure_python_model(spark):
+    """Replay the full hashed-bigram fit+score in plain python (md5_60
+    hashing so both sides agree) and require exact bucket/count parity."""
+    import hashlib
+
+    from meds_transforms_spark.operators.dsir import dsir_weights
+
+    rows = [
+        (1, "tgt", "a b a c"),
+        (2, "tgt", "b c d"),
+        (3, "raw", "x y z x"),
+        (4, "raw", "a x b y"),
+        (5, "raw", ""),
+    ]
+    B = 64
+
+    def h(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B
+
+    def feats(text):
+        toks = [t for t in text.lower().split() if t]
+        return [h(f) for f in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]]
+
+    raw, tgt = {}, {}
+    is_tgt = {1: True, 2: True, 3: False, 4: False, 5: False}
+    for did, src, text in rows:
+        for b in feats(text):
+            raw[b] = raw.get(b, 0) + 1
+            if is_tgt[did]:
+                tgt[b] = tgt.get(b, 0) + 1
+    traw, ttgt = sum(raw.values()), sum(tgt.values())
+    expected = {}
+    for did, src, text in rows:
+        s = 0.0
+        for b in feats(text):
+            s += math.log((tgt.get(b, 0) + 1) / (ttgt + B)) - math.log(
+                (raw.get(b, 0) + 1) / (traw + B)
+            )
+        expected[did] = s
+    out = dsir_weights(
+        _docs(spark, rows), "source = 'tgt'", n_buckets=B, hash_fn="md5_60"
+    )
+    got = {r.doc_id: r.dsir_logweight for r in out.collect()}
+    for did in expected:
+        assert abs(got[did] - expected[did]) < 1e-9, did
+
+
+def test_dsir_no_token_doc_gets_zero(spark):
+    from meds_transforms_spark.operators.dsir import dsir_weights
+
+    rows = [(1, "tgt", "a b"), (2, "raw", "   "), (3, "raw", None)]
+    out = dsir_weights(_docs(spark, rows), "source = 'tgt'")
+    w = {r.doc_id: r.dsir_logweight for r in out.collect()}
+    assert w[2] == 0.0 and w[3] == 0.0
