@@ -909,6 +909,42 @@ def q_docs_dsir_weights(spark, sf_dir):
     return out.select("doc_id", "dsir_logweight")
 
 
+def q_events_zorder(spark, sf_dir):
+    """Z-order layout key (operators/layout.zorder_key): min/max
+    normalize each dimension into 8-bit buckets (1-row broadcast
+    aggregate, no window), then interleave the bits — the Morton key
+    Delta-style OPTIMIZE ZORDER BY sorts on so parquet footer min/max
+    prune EVERY participating dimension. The oracle replays the
+    normalization (identical IEEE op order) and all 16 shift/mask
+    terms in SQL."""
+    from meds_transforms_spark.operators.layout import zorder_key
+
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return zorder_key(ev, ["user_id", "value"], bits=8).select("event_id", "zkey")
+
+
+def q_events_profile(spark, sf_dir):
+    """One-pass table profiling (operators/profile.profile_table):
+    nulls, exact NDV, numeric min/max/mean for four events columns in
+    one aggregation (exact mode documents the Expand cost; HLL approx
+    is the default 100 TB path). Timestamp column deliberately
+    excluded: its double cast is engine-FP-sensitive. The oracle
+    recomputes each profile row and UNION ALLs the long format."""
+    from meds_transforms_spark.operators.profile import profile_table
+
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev,
+        columns=["event_id", "user_id", "event_type", "value"],
+        exact=True,
+        round_to=6,
+    )
+
+
 def q_docs_corpus_report(spark, sf_dir):
     """Per-source curation dashboard (operators/text.corpus_report):
     volume, token/char mass, exact-duplicate rate (normalized
@@ -1394,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_corpus_report": q_docs_corpus_report,
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_dsir_weights": q_docs_dsir_weights,
+        "events_zorder": q_events_zorder,
+        "events_profile": q_events_profile,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2499,6 +2537,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) AS dsir_logweight
             FROM documents d LEFT JOIN w USING (doc_id)
+        """,
+        "events_zorder": r"""
+            WITH r AS (
+              SELECT min(CAST(user_id AS DOUBLE)) AS ulo,
+                     max(CAST(user_id AS DOUBLE)) AS uhi,
+                     min(CAST(value AS DOUBLE)) AS vlo,
+                     max(CAST(value AS DOUBLE)) AS vhi
+              FROM events
+            ), b AS (
+              SELECT event_id,
+                     CAST(least(greatest(CASE WHEN uhi - ulo > 0
+                          THEN floor((CAST(user_id AS DOUBLE) - ulo) / (uhi - ulo) * 255)
+                          ELSE 0 END, 0), 255) AS BIGINT) AS bu,
+                     CAST(least(greatest(CASE WHEN vhi - vlo > 0
+                          THEN floor((CAST(value AS DOUBLE) - vlo) / (vhi - vlo) * 255)
+                          ELSE 0 END, 0), 255) AS BIGINT) AS bv
+              FROM events, r
+            )
+            SELECT event_id, CAST((((bu >> 0) & 1) << 1) + (((bv >> 0) & 1) << 0) + (((bu >> 1) & 1) << 3) + (((bv >> 1) & 1) << 2) + (((bu >> 2) & 1) << 5) + (((bv >> 2) & 1) << 4) + (((bu >> 3) & 1) << 7) + (((bv >> 3) & 1) << 6) + (((bu >> 4) & 1) << 9) + (((bv >> 4) & 1) << 8) + (((bu >> 5) & 1) << 11) + (((bv >> 5) & 1) << 10) + (((bu >> 6) & 1) << 13) + (((bv >> 6) & 1) << 12) + (((bu >> 7) & 1) << 15) + (((bv >> 7) & 1) << 14) AS BIGINT) AS zkey FROM b
+        """,
+        "events_profile": r"""
+            SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   round(min(CAST(event_id AS DOUBLE)), 6) AS min_value,
+                   round(max(CAST(event_id AS DOUBLE)), 6) AS max_value,
+                   round(avg(CAST(event_id AS DOUBLE)), 6) AS mean_value
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT),
+                   round(min(CAST(user_id AS DOUBLE)), 6),
+                   round(max(CAST(user_id AS DOUBLE)), 6),
+                   round(avg(CAST(user_id AS DOUBLE)), 6)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT event_type) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT value) AS BIGINT),
+                   round(min(CAST(value AS DOUBLE)), 6),
+                   round(max(CAST(value AS DOUBLE)), 6),
+                   round(avg(CAST(value AS DOUBLE)), 6)
+            FROM events
         """,
         "docs_corpus_report": r"""
             WITH t AS (

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "docs_substring_dedup",
     "docs_domain_mix",
     "docs_unigram_logprob",
+    "docs_gopher_filter",
+    "docs_dsir_weights",
     "emb_topk_cosine",
     "emb_covariance",
 ]
