@@ -91,9 +91,26 @@ def dsir_weights(
     ).select(
         id_col, "__t", F.pmod(_h64(hash_fn, F.col("__f")), F.lit(b)).alias("__b")
     )
-    model = feats.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__n_raw"),
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__n_tgt"),
+    # Semantically a no-op (__f is non-null ⇒ __b is non-null), but it
+    # matters for the plan: the broadcast join below injects this exact
+    # null filter into ITS branch only, which would de-canonicalize the
+    # two consumers of per_doc and defeat ReuseExchange — with the
+    # filter on both, the (id, t, bucket) shuffle is computed once and
+    # the model rollup reads the reused exchange instead of re-scanning
+    # and re-exploding the text.
+    # (same story for the id: the final left join pushes
+    # isnotnull(doc_id) into its branch's scan only)
+    feats = feats.where(F.col("__b").isNotNull() & F.col(id_col).isNotNull())
+    # ONE pass over the exploded text: pre-aggregate on (doc, bucket).
+    # Both the per-doc reduction AND the model derive from this frame —
+    # the model rollup reads #docs×#distinct-buckets rows, not the raw
+    # feature stream, so text is scanned and exploded exactly once.
+    per_doc = feats.groupBy(id_col, "__t", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    model = per_doc.groupBy("__b").agg(
+        F.sum("__n").alias("__n_raw"),
+        F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(0)).alias("__n_tgt"),
     )
     totals = model.agg(
         F.sum("__n_raw").alias("__tot_raw"), F.sum("__n_tgt").alias("__tot_tgt")
@@ -106,7 +123,6 @@ def dsir_weights(
             - F.log((F.col("__n_raw") + 1) / (F.col("__tot_raw") + b))
         ).alias("__lr"),
     )
-    per_doc = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
     weights = (
         per_doc.join(F.broadcast(scored), "__b")
         .groupBy(id_col)
