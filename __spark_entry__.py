@@ -945,6 +945,32 @@ def q_events_profile(spark, sf_dir):
     )
 
 
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.semantic_dedup; Abbas et al. 2023):
+    k-means cells (deterministic seed centroids, the oracle-replayable
+    iters=0 mode) + within-cell integer-exact cosine collapse to the
+    min id. Demonstrated as augmentation dedup like emb_cosine_dedup:
+    scaled copies (cosine-preserving) land in the same cell as their
+    original and must be dropped. The oracle composes the
+    emb_cluster_balance assignment CTE with the emb_cosine_dedup
+    integer-threshold pair CTE."""
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    aug = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("emb_d"), lambda x: x * F.lit(1.01)).alias("emb_d"),
+    )
+    both = emb.unionByName(aug)
+    out = semantic_dedup(
+        both, vec_col="emb_d", id_col="vec_id",
+        n_cells=16, iters=0, threshold=0.9, exact=True,
+    )
+    return out.select("vec_id")
+
+
 def q_docs_corpus_report(spark, sf_dir):
     """Per-source curation dashboard (operators/text.corpus_report):
     volume, token/char mass, exact-duplicate rate (normalized
@@ -1432,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": q_docs_dsir_weights,
         "events_zorder": q_events_zorder,
         "events_profile": q_events_profile,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2587,6 +2614,47 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CAST(value AS DOUBLE)), 6),
                    round(avg(CAST(value AS DOUBLE)), 6)
             FROM events
+        """,
+        "emb_semantic_dedup": r"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings
+            ), allv AS (
+              SELECT vec_id, emb FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(emb, x -> x * 1.01) AS emb
+              FROM base
+            ), cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cell, emb AS cvec
+              FROM (SELECT * FROM allv ORDER BY vec_id LIMIT 16)
+            ), c_assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.emb, c.cvec) DESC, c.cell
+                       ) AS rn
+                FROM allv v, cent c
+              ) WHERE rn = 1
+            ), qn AS (
+              SELECT a.vec_id, a.cell,
+                     list_transform(v.emb, x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS q
+              FROM c_assign a JOIN allv v USING (vec_id)
+            ), qn2 AS (
+              SELECT vec_id, cell, q,
+                     CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+              FROM qn
+            ), dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM qn2 a JOIN qn2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+                AND CAST(CAST(list_dot_product(a.q, b.q) AS BIGINT) AS HUGEINT)
+                    * CAST(list_dot_product(a.q, b.q) AS BIGINT) * 10000
+                    >= 8100 * CAST(a.n2 AS HUGEINT) * b.n2
+            )
+            SELECT vec_id FROM allv
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "docs_corpus_report": r"""
             WITH t AS (

@@ -476,13 +476,45 @@ def embedding_cosine_dedup(
     sitting exactly on the threshold).
     """
     from meds_transforms_spark.operators.similarity import (
-        cosine_similarity,
         hyperplane_bucket,
         hyperplane_bucket_exact,
-        l2_normalize,
     )
 
     dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    if exact:
+        bucketed = df.withColumn(
+            "__bucket", hyperplane_bucket_exact(F.col(vec_col), dim, num_planes)
+        )
+    else:
+        from meds_transforms_spark.operators.similarity import l2_normalize
+
+        bucketed = df.withColumn(
+            "__bucket",
+            hyperplane_bucket(l2_normalize(F.col(vec_col)), dim, num_planes),
+        )
+    return _cosine_dedup_within(bucketed, df, vec_col, id_col, threshold, exact)
+
+
+def _cosine_dedup_within(
+    bucketed: DataFrame,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    exact: bool,
+) -> DataFrame:
+    """Shared core of embedding_cosine_dedup / semantic_dedup: within
+    each ``__bucket`` of ``bucketed``, pairs with cosine ≥ threshold
+    collapse to the min id; survivors are returned from ``df``.
+
+    The bucket (LSH band or semantic cluster) bounds the self-join:
+    work is Σ_bucket n_b² — never corpus², and the AQE skew-join splits
+    any hot bucket."""
+    from meds_transforms_spark.operators.similarity import (
+        cosine_similarity,
+        l2_normalize,
+    )
+
     if exact:
         QUANT = 10_000
         qvec = F.transform(
@@ -492,12 +524,8 @@ def embedding_cosine_dedup(
         norm2 = lambda q: F.aggregate(  # noqa: E731
             q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
         )
-        base = (
-            df.withColumn("__q", qvec)
-            .withColumn("__n2", norm2(F.col("__q")))
-            .withColumn(
-                "__bucket", hyperplane_bucket_exact(F.col(vec_col), dim, num_planes)
-            )
+        base = bucketed.withColumn("__q", qvec).withColumn(
+            "__n2", norm2(F.col("__q"))
         )
         a = base.select(
             F.col(id_col).alias("id_a"), F.col("__q").alias("__qa"),
@@ -527,9 +555,7 @@ def embedding_cosine_dedup(
             )
         )
     else:
-        normed = df.withColumn("__nvec", l2_normalize(F.col(vec_col))).withColumn(
-            "__bucket", hyperplane_bucket(F.col("__nvec"), dim, num_planes)
-        )
+        normed = bucketed.withColumn("__nvec", l2_normalize(F.col(vec_col)))
         a = normed.select(F.col(id_col).alias("id_a"), F.col("__nvec").alias("__va"), "__bucket")
         b = normed.select(F.col(id_col).alias("id_b"), F.col("__nvec").alias("__vb"), "__bucket")
         pairs = (
@@ -541,6 +567,53 @@ def embedding_cosine_dedup(
     # Collapse: every id_b similar to a smaller id_a is dropped.
     dropped = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(dropped, id_col, "left_anti")
+
+
+@register_stage("semantic_dedup")
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    iters: int = 0,
+    threshold: float = 0.9,
+    exact: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then remove near-duplicates WITHIN
+    each cluster — semantically redundant documents land in the same
+    cell, so the pairwise cosine check runs over cluster-sized groups
+    instead of hyperplane buckets (which only catch near-identical
+    directions) or the full corpus.
+
+    Plan: centroids come from :func:`~meds_transforms_spark.operators.
+    ivf.kmeans_refine` (``iters=0`` → the deterministic seed rows —
+    the engine-reproducible mode the oracle replays); assignment is a
+    broadcast of ``n_cells`` rows against one corpus scan (no corpus
+    shuffle); the within-cell pair join + min-id collapse is the same
+    Σ n_cell² machinery as :func:`embedding_cosine_dedup`, with AQE
+    splitting any skewed cell. ``exact=True`` uses the integer-exact
+    cosine threshold so every engine keeps the identical survivor set.
+
+    SemDeDup keeps one representative per near-dup group; this
+    implementation keeps the min id (deterministic, join-free)."""
+    from meds_transforms_spark.operators.ivf import (
+        _nearest_cells,
+        ivf_centroids,
+        kmeans_refine,
+        l2_norm,
+    )
+
+    cents = (
+        kmeans_refine(df, n_cells, iters, id_col, vec_col)
+        if iters > 0
+        else ivf_centroids(df, n_cells, id_col, vec_col)
+    )
+    vecs = df.withColumn("__vnorm", l2_norm(F.col(vec_col)))
+    assigned = _nearest_cells(vecs, cents, id_col, vec_col, n_probe=1).withColumn(
+        "__bucket", F.col("__cell")
+    )
+    return _cosine_dedup_within(assigned, df, vec_col, id_col, threshold, exact)
 
 
 @register_stage("keep_latest")

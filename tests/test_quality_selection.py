@@ -145,3 +145,49 @@ def test_dsir_no_token_doc_gets_zero(spark):
     out = dsir_weights(_docs(spark, rows), "source = 'tgt'")
     w = {r.doc_id: r.dsir_logweight for r in out.collect()}
     assert w[2] == 0.0 and w[3] == 0.0
+
+
+def test_semantic_dedup_drops_scaled_copies(spark):
+    """Scaled copies (cosine exactly 1.0) share the original's cell and
+    must collapse onto the smaller id; dissimilar vectors survive."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .limit(100)
+    )
+    aug = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("emb", lambda x: x * 2.0).alias("emb"),
+    )
+    out = semantic_dedup(
+        emb.unionByName(aug), vec_col="emb", id_col="vec_id",
+        n_cells=8, threshold=0.95, exact=True,
+    )
+    ids = {r.vec_id for r in out.collect()}
+    assert all(i < 1000 for i in ids)          # every copy dropped
+    assert len(ids) == 100                      # no original dropped (random vecs)
+
+
+def test_semantic_dedup_kmeans_refined_cells(spark):
+    """iters>0 path: refined centroids still produce a full partition of
+    the corpus and the same duplicate-collapse semantics."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .limit(60)
+    )
+    dup = emb.select((F.col("vec_id") + 500).alias("vec_id"), "emb")  # identical copies
+    out = semantic_dedup(
+        emb.unionByName(dup), vec_col="emb", id_col="vec_id",
+        n_cells=4, iters=2, threshold=0.99, exact=False,
+    )
+    ids = {r.vec_id for r in out.collect()}
+    assert all(i < 500 for i in ids) and len(ids) == 60
