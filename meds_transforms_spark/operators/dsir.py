@@ -58,6 +58,96 @@ def _features(text: Column, use_bigrams: bool) -> Column:
     return F.concat(toks, bigrams)
 
 
+@register_stage("fit_dsir_model")
+def fit_dsir_model(
+    df: DataFrame,
+    target: Column | str,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    use_bigrams: bool = True,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fit only: the ``(bucket, log_ratio)`` importance model plus its
+    smoothing constants — an ``n_buckets``-row frame you can persist
+    and serve later (the fit/serve split the hashed classifier uses).
+    One text scan, one (bucket) aggregation."""
+    if isinstance(target, str):
+        target = F.expr(target)
+    b = int(n_buckets)
+    feats = df.select(
+        target.alias("__t"),
+        F.explode(_features(F.col(text_col), use_bigrams)).alias("__f"),
+    ).select("__t", F.pmod(_h64(hash_fn, F.col("__f")), F.lit(b)).alias("__b"))
+    model = feats.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n_raw"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__n_tgt"),
+    )
+    totals = model.agg(
+        F.sum("__n_raw").alias("__tot_raw"), F.sum("__n_tgt").alias("__tot_tgt")
+    )
+    return model.crossJoin(F.broadcast(totals)).select(
+        F.col("__b").alias("bucket"),
+        (
+            F.log((F.col("__n_tgt") + 1) / (F.col("__tot_tgt") + b))
+            - F.log((F.col("__n_raw") + 1) / (F.col("__tot_raw") + b))
+        ).alias("log_ratio"),
+        F.log(F.lit(1.0) / (F.col("__tot_tgt") + b)).alias("unseen_tgt_logp"),
+        F.log(F.lit(1.0) / (F.col("__tot_raw") + b)).alias("unseen_raw_logp"),
+    )
+
+
+@register_stage("dsir_score")
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    use_bigrams: bool = True,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Serve a fitted DSIR model over new documents (batch or
+    stream-static: the scoring side is explode → hash → broadcast model
+    join → per-doc sum, no corpus shuffle wider than (id, long)).
+
+    Buckets absent from the model (possible when serving a corpus the
+    model never saw and the fit didn't cover all ``n_buckets``) fall
+    back to the model's unseen-bucket smoothing mass."""
+    b = int(n_buckets)
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(_features(F.col(text_col), use_bigrams)).alias("__f"),
+        )
+        .select(id_col, F.pmod(_h64(hash_fn, F.col("__f")), F.lit(b)).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # unseen_* are constant across the model — lift them into a 1-row
+    # frame (lazy broadcast cross join) so rows whose bucket the model
+    # never saw still get the smoothing mass, not NULL.
+    consts = model.agg(
+        F.first("unseen_tgt_logp").alias("__utgt"),
+        F.first("unseen_raw_logp").alias("__uraw"),
+    )
+    scored = per_doc.join(F.broadcast(model), "bucket", "left").crossJoin(
+        F.broadcast(consts)
+    )
+    lr = F.coalesce(F.col("log_ratio"), F.col("__utgt") - F.col("__uraw"))
+    weights = scored.groupBy(id_col).agg(
+        F.sum(F.col("__n") * lr).alias("__w")
+    )
+    w = F.coalesce(F.col("__w"), F.lit(0.0))
+    if round_to is not None:
+        w = F.round(w, int(round_to))
+    return (
+        df.join(weights, id_col, "left")
+        .withColumn("dsir_logweight", w.cast("double"))
+        .drop("__w")
+    )
+
+
 @register_stage("dsir_weights")
 def dsir_weights(
     df: DataFrame,

@@ -49,6 +49,11 @@ REVIEW = {
     "docs_pmi": "per-doc distinct tokens self-join on the doc id (only real co-occurrences materialize), two DF joins — never a vocab² product; max_doc_tokens bounds the per-doc quadratic",
     "emb_quantize": "pure codegen array transforms (abs-max, scaled round, clamp) + posexplode — no shuffle at all before the sink",
     "docs_corpus_report": "one (source, fingerprint) pre-agg (map-side combined) folds dup counting into the volume pass; language mode elected from the tiny (source, lang) table — no per-doc shuffle beyond the two group keys",
+    "docs_gopher_filter": "single shuffle-free codegen projection: tokens and lines materialize once as array columns (HOF CSE discipline), every Gopher rule is an array aggregate over them — linear, embarrassingly parallel",
+    "docs_dsir_weights": "text exploded ONCE: the (id,target,bucket) pre-agg exchange feeds BOTH the model rollup and the per-doc reduction via ReusedExchange; the 8k-row model re-enters through a BroadcastHashJoin; every shuffle row is (long,long)",
+    "events_zorder": "min/max normalization is a 1-row aggregate re-entering as a broadcast join; the Morton key is closed-form codegen bit arithmetic — the fact table is never shuffled or windowed",
+    "events_profile": "ONE partial-agg scan computes nulls/NDV/min/max/mean for all columns; exact mode shows the documented Expand (N× the distinct aggregates), approx (HLL) removes it; the wide 1-row result explodes to tidy per-column rows",
+    "emb_semantic_dedup": "centroids broadcast into a map-side assignment join (corpus never shuffles to cluster); the within-cell pair join is Σ n_cell² — bounded by cell granularity and AQE-skew-splittable; min-id collapse is distinct + LEFT ANTI on the id",
 }
 
 

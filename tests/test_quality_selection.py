@@ -191,3 +191,44 @@ def test_semantic_dedup_kmeans_refined_cells(spark):
     )
     ids = {r.vec_id for r in out.collect()}
     assert all(i < 500 for i in ids) and len(ids) == 60
+
+
+def test_dsir_fit_serve_matches_fused(spark):
+    """fit_dsir_model + dsir_score over the SAME corpus must reproduce
+    the fused dsir_weights exactly (every bucket present in the model)."""
+    from meds_transforms_spark.operators.dsir import (
+        dsir_score,
+        dsir_weights,
+        fit_dsir_model,
+    )
+
+    rows = [
+        (1, "tgt", "a b a c d e"),
+        (2, "tgt", "b c d"),
+        (3, "raw", "x y z x w q"),
+        (4, "raw", "a x b y"),
+    ]
+    df = _docs(spark, rows)
+    model = fit_dsir_model(df, "source = 'tgt'", n_buckets=64, hash_fn="md5_60")
+    served = dsir_score(df, model, n_buckets=64, hash_fn="md5_60")
+    fused = dsir_weights(df, "source = 'tgt'", n_buckets=64, hash_fn="md5_60")
+    s = {r.doc_id: r.dsir_logweight for r in served.collect()}
+    f = {r.doc_id: r.dsir_logweight for r in fused.collect()}
+    for did in f:
+        assert abs(s[did] - f[did]) < 1e-9, did
+
+
+def test_dsir_score_unseen_bucket_fallback(spark):
+    """Serving vocabulary the model never saw uses the unseen smoothing
+    mass (log(1/(tot_tgt+B)) - log(1/(tot_raw+B))), not silence."""
+    import math
+
+    from meds_transforms_spark.operators.dsir import dsir_score, fit_dsir_model
+
+    fit_df = _docs(spark, [(1, "tgt", "a b"), (2, "raw", "c d")])
+    model = fit_dsir_model(fit_df, "source = 'tgt'", n_buckets=64, hash_fn="md5_60")
+    new = _docs(spark, [(9, "raw", "zz_unseen_token")])
+    out = dsir_score(new, model, n_buckets=64, hash_fn="md5_60").collect()[0]
+    m = model.limit(1).collect()[0]
+    expected = m.unseen_tgt_logp - m.unseen_raw_logp
+    assert math.isclose(out.dsir_logweight, expected, rel_tol=1e-9)
