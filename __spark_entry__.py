@@ -971,6 +971,22 @@ def q_emb_semantic_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q_docs_bpe_tokens(spark, sf_dir):
+    """Real BPE tokenization (operators/tokenizer): fit 60 merges from
+    the corpus word-frequency table (distributed count, driver merge
+    loop — the standard BPE-trainer shape), then Arrow-batched encode
+    with a per-batch word cache. Iterative merge application has no
+    relational form, so this query is rows-only checked (no oracle) —
+    correctness is covered by tests/test_tokenizer.py including a
+    driver-side reference-encode equality test and a lossless
+    roundtrip property test."""
+    from meds_transforms_spark.operators.tokenizer import bpe_encode, fit_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = fit_bpe_merges(docs, num_merges=60)
+    return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def q_docs_corpus_report(spark, sf_dir):
     """Per-source curation dashboard (operators/text.corpus_report):
     volume, token/char mass, exact-duplicate rate (normalized
@@ -1459,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "events_profile": q_events_profile,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,

@@ -148,6 +148,50 @@ def dsir_score(
     )
 
 
+@register_stage("dsir_score_projection")
+def dsir_score_projection(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    use_bigrams: bool = True,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Serve a fitted DSIR model as a PURE PROJECTION: the model
+    collapses to ONE dense array literal indexed by bucket (the
+    pca_transform inline-the-model pattern), and the per-doc weight is
+    an array aggregate over the feature stream — no explode, no
+    groupBy, no join, zero shuffle.
+
+    This is the streaming-native serving path (``dsir_score``'s
+    relational form needs a per-doc aggregation, which a watermarkless
+    stream can't run): attach it to a readStream like any stateless
+    text operator. The collect here is the MODEL (``n_buckets`` rows,
+    64 KB at the default 8k), never data."""
+    b = int(n_buckets)
+    rows = model.collect()
+    if rows:
+        unseen = rows[0]["unseen_tgt_logp"] - rows[0]["unseen_raw_logp"]
+    else:
+        unseen = 0.0
+    dense = [float(unseen)] * b
+    for r in rows:
+        dense[int(r["bucket"])] = float(r["log_ratio"])
+    lut = F.lit(dense)  # ONE ArrayType literal node
+    feats = _features(F.col(text_col), use_bigrams)
+    w = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, f: acc
+        + F.element_at(lut, (F.pmod(_h64(hash_fn, f), F.lit(b)) + 1).cast("int")),
+    )
+    w = F.coalesce(w, F.lit(0.0))
+    if round_to is not None:
+        w = F.round(w, int(round_to))
+    return df.withColumn("dsir_logweight", w.cast("double"))
+
+
 @register_stage("dsir_weights")
 def dsir_weights(
     df: DataFrame,

@@ -1,0 +1,194 @@
+"""Byte-pair-encoding tokenizer: distributed fit + Arrow-batched encode.
+
+The one text primitive the regex pre-tokenizer only approximates:
+actual subword tokenization, the unit every mixing / packing / budget
+decision downstream really wants to count.
+
+Public algorithm (Sennrich et al. 2016; the GPT-2 reference
+implementation popularized the word-frequency formulation):
+
+- **fit** learns merge rules from the corpus's WORD-FREQUENCY table,
+  not the raw corpus: counting words is one distributed explode +
+  groupBy (shuffle rows are (word, count)); the top-``max_words``
+  table is Zipf-tiny relative to the corpus (1M rows ≈ tens of MB for
+  100 TB of text) and the merge loop runs over it in memory — the
+  same shape every production BPE trainer uses.
+- **encode** ships the merge ranks to executors (Arrow-batched
+  ``mapInPandas`` — this is the documented slow path, but merges are
+  inherently sequential per word so no relational form exists) and
+  memoizes per distinct word within each batch, so the per-row cost
+  collapses to a dict lookup for all but first occurrences.
+
+UDF-boundary note: encode is the package's ONLY Pandas-UDF hot path
+besides the multimodal decoders; everything feeding it (pre-tokenize,
+word counts) and consuming it (explode, counts, packing) stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+#: GPT-2-shaped pre-tokenizer (simplified public idiom, shared with
+#: text.TOKEN_REGEX): word pieces, numbers, or single symbols.
+PRETOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: End-of-word marker (Sennrich-style), so "low" the word and "low" the
+#: prefix of "lower" learn distinct merges.
+EOW = "</w>"
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + EOW,)
+
+
+def learn_merges(word_freqs: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word→count table (pure python;
+    the table is vocabulary-sized, not corpus-sized). Ties on pair
+    frequency break lexicographically for determinism."""
+    vocab = {_word_symbols(w): c for w, c in word_freqs.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # determinism: max count, then shortest merged string, then
+        # lexicographically smallest pair
+        top = max(pairs.values())
+        best_pair = min(
+            (p for p, c in pairs.items() if c == top),
+            key=lambda p: (len(p[0] + p[1]), p),
+        )
+        merges.append(best_pair)
+        a, b = best_pair
+        ab = a + b
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word: repeatedly merge the lowest-rank
+    adjacent pair (the GPT-2 encode loop)."""
+    syms = list(_word_symbols(word))
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+@register_stage("fit_bpe_merges")
+def fit_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_words: int = 1_000_000,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Distributed part: pre-tokenize + word-frequency groupBy (one
+    shuffle of (word, count) pairs). Driver part: the merge loop over
+    the top-``max_words`` table — bounded memory by construction (the
+    collect is the word table, NEVER corpus rows; reference pattern:
+    every production BPE trainer materializes word frequencies first).
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    words = (
+        df.select(F.explode(F.regexp_extract_all(c, F.lit(PRETOKEN_REGEX), F.lit(0))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(int(max_words))
+    )
+    freqs = {r.w: r.n for r in words.collect()}
+    return learn_merges(freqs, num_merges)
+
+
+@register_stage("bpe_encode")
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | Iterable[tuple[str, str]],
+    text_col: str = "text",
+    output_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode ``text_col`` into subword tokens with a fitted merge list.
+
+    Arrow-batched ``mapInPandas``: merge ranks ride the closure (a
+    plain dict — no model join, no shuffle), and a per-batch word cache
+    memoizes segmentation so Zipf makes the amortized cost per token a
+    dict hit. Output adds ``output_col`` (array<string>) and
+    ``n_bpe_tokens``; NULL text → NULL tokens, 0 count.
+    """
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pat = re.compile(PRETOKEN_REGEX)
+    # fresh StructType: StructType.add mutates in place, and df.schema
+    # is cached on the DataFrame — never .add onto it
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(output_col, ArrayType(StringType())),
+            StructField("n_bpe_tokens", LongType()),
+        ]
+    )
+    lc = lowercase
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        cache: dict[str, list[str]] = {}
+
+        def enc_text(text):
+            if text is None:
+                return None
+            toks: list[str] = []
+            for w in pat.findall(text.lower() if lc else text):
+                seg = cache.get(w)
+                if seg is None:
+                    seg = encode_word(w, ranks)
+                    cache[w] = seg
+                toks.extend(seg)
+            return toks
+
+        for pdf in batches:
+            tok_lists = pdf[text_col].map(enc_text)
+            pdf = pdf.copy()
+            pdf[output_col] = tok_lists
+            pdf["n_bpe_tokens"] = tok_lists.map(lambda t: 0 if t is None else len(t))
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

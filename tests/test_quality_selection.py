@@ -232,3 +232,26 @@ def test_dsir_score_unseen_bucket_fallback(spark):
     m = model.limit(1).collect()[0]
     expected = m.unseen_tgt_logp - m.unseen_raw_logp
     assert math.isclose(out.dsir_logweight, expected, rel_tol=1e-9)
+
+
+def test_dsir_projection_matches_relational_serving(spark):
+    from meds_transforms_spark.operators.dsir import (
+        dsir_score,
+        dsir_score_projection,
+        fit_dsir_model,
+    )
+
+    rows = [
+        (1, "tgt", "a b a c"),
+        (2, "raw", "x y a"),
+        (3, "raw", "zz unseen vocab"),
+        (4, "raw", None),
+    ]
+    df = _docs(spark, rows)
+    model = fit_dsir_model(df, "source = 'tgt'", n_buckets=64, hash_fn="md5_60")
+    rel = {r.doc_id: r.dsir_logweight
+           for r in dsir_score(df, model, n_buckets=64, hash_fn="md5_60").collect()}
+    proj = {r.doc_id: r.dsir_logweight
+            for r in dsir_score_projection(df, model, n_buckets=64, hash_fn="md5_60").collect()}
+    for did in rel:
+        assert abs(rel[did] - proj[did]) < 1e-9, (did, rel[did], proj[did])
