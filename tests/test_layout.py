@@ -83,3 +83,49 @@ def test_write_zordered_tightens_file_ranges(spark, tmp_path):
     assert u_frac < 0.5 and t_frac < 0.5, (u_frac, t_frac)
     # and the data round-trips
     assert spark.read.parquet(path).count() == n
+
+
+def test_zorder_rowgroups_skippable_on_both_dims(spark, tmp_path):
+    """The skip test the reader actually runs: a selective range
+    predicate on EITHER dimension must leave most row groups'
+    [min,max] footer stats non-overlapping (those groups are skipped by
+    parquet predicate pushdown without reading a data page), and the
+    surviving groups must contain exactly the matching rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.layout import write_zordered
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 1000).cast("double").alias("u"),
+        F.floor(F.col("id") / 40).cast("double").alias("t"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["u", "t"], bits=12, num_files=16)
+
+    def overlapping_groups(col, lo, hi):
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.max >= lo and st.min <= hi:
+                    hit += 1
+        return hit, total
+
+    u_hit, total = overlapping_groups("u", 100.0, 120.0)
+    t_hit, _ = overlapping_groups("t", 50.0, 80.0)
+    assert total >= 16
+    # selectivity ~2-3%: most groups must be skippable on EITHER dim
+    assert u_hit <= total // 2, (u_hit, total)
+    assert t_hit <= total // 2, (t_hit, total)
+    # and the pushed filter returns exactly the right rows
+    got = spark.read.parquet(path).filter(F.col("u").between(100, 120)).count()
+    assert got == sum(1 for i in range(n) if 100 <= i % 1000 <= 120)
