@@ -971,6 +971,28 @@ def q_emb_semantic_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Trailing-window z-score monitoring (operators/anomaly.
+    rolling_anomaly): per event type, each event's value against its
+    own trailing 6 h mean/stddev — count, sum, and square-sum all run
+    as three frames over ONE exchange+sort (same plan cost as a single
+    rolling aggregate). Both moments derive from one LONG quantization
+    so the variance identity is exact and the oracle replays the flag
+    decision bit-for-bit."""
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = rolling_anomaly(
+        ev, keys="event_type", time_col="ts", value_col="value",
+        window_seconds=21600, z_threshold=2.0, min_events=10,
+    )
+    return out.select("event_id", "w_n", "w_mean", "z_score", "is_anomaly")
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1475,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "events_profile": q_events_profile,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "events_anomaly": q_events_anomaly,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
@@ -2672,6 +2695,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id FROM allv
             WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        """,
+        "events_anomaly": r"""
+            WITH b AS (
+              SELECT event_id, event_type, value, epoch_us(ts) AS tus,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
+              FROM events
+            ), wnd AS (
+              SELECT event_id, value,
+                     count(*) OVER w AS n,
+                     sum(q) OVER w AS sq,
+                     sum(q * q) OVER w AS sq2
+              FROM b
+              WINDOW w AS (PARTITION BY event_type ORDER BY tus
+                           RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+            ), m AS (
+              SELECT event_id, value, n,
+                     (CAST(sq AS DOUBLE) / 1000.0) / n AS mean,
+                     (CAST(sq2 AS DOUBLE) / 1000000.0) / n
+                       - ((CAST(sq AS DOUBLE) / 1000.0) / n)
+                         * ((CAST(sq AS DOUBLE) / 1000.0) / n) AS var
+              FROM wnd
+            ), z AS (
+              SELECT event_id, n, mean,
+                     CASE WHEN var > 0
+                          THEN round((value - mean) / sqrt(var), 6) END AS z_score
+              FROM m
+            )
+            SELECT event_id, CAST(n AS BIGINT) AS w_n, round(mean, 6) AS w_mean,
+                   z_score,
+                   n >= 10 AND z_score IS NOT NULL AND z_score > 2.0 AS is_anomaly
+            FROM z
         """,
         "docs_corpus_report": r"""
             WITH t AS (

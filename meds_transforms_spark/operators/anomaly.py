@@ -1,0 +1,78 @@
+"""Trailing-window z-score anomaly flagging for event streams.
+
+The monitoring primitive over any metric-bearing event table: compare
+each event's value against the mean/stddev of that entity's OWN
+trailing window. Composes :func:`~meds_transforms_spark.operators.
+rolling.rolling_time_stats`' machinery — count, quantized sum, and sum
+of squares all run over ONE (keys) exchange + sort, three frames on the
+same window spec, so the plan cost is identical to a single rolling
+aggregate.
+
+Engine parity: sums are quantized to ``10^-decimal_scale`` units and
+aggregated as LONGs (order-independent, codegen-friendly, identical in
+every engine); the z-score is rounded at the boundary so a SQL oracle
+reproduces the flag decision bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+@register_stage("rolling_anomaly")
+def rolling_anomaly(
+    df: DataFrame,
+    keys: list[str] | str,
+    time_col: str = "time",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    z_threshold: float = 3.0,
+    min_events: int = 10,
+    decimal_scale: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``w_n``, ``w_mean``, ``z_score`` (rounded), and
+    ``is_anomaly`` to every row.
+
+    ``is_anomaly`` is True when the trailing window holds at least
+    ``min_events`` rows, the window variance is positive, and the
+    rounded z-score exceeds ``z_threshold``. The current row is part of
+    its own window (RANGE ... AND CURRENT ROW), matching the SQL frame
+    an oracle replays; population variance (``/n``) is used.
+
+    Both moments derive from ONE quantization ``q = round(v·10^s)`` so
+    the variance identity can't go negative from mixed precision.
+    Overflow bound for the LONG square-sum: ``n · (10^s·v_max)² <
+    2^63`` — at the default s=3 that is ~9M window rows for values up
+    to 1000; raise/lower ``decimal_scale`` per the metric's range.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    us = int(window_seconds) * 1_000_000
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(time_col)))
+        .rangeBetween(-us, 0)
+    )
+    scale = float(10 ** int(decimal_scale))
+    q = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(q).over(w).cast("double") / scale
+    s2 = F.sum(q * q).over(w).cast("double") / (scale * scale)
+    mean = s / n
+    var = s2 / n - mean * mean
+    z = F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var))
+    z = F.round(z, int(round_to))
+    return (
+        df.withColumn("w_n", n.cast("long"))
+        .withColumn("w_mean", F.round(mean, int(round_to)))
+        .withColumn("z_score", z)
+        .withColumn(
+            "is_anomaly",
+            (F.col("w_n") >= int(min_events))
+            & F.col("z_score").isNotNull()
+            & (F.col("z_score") > float(z_threshold)),
+        )
+    )

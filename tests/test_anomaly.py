@@ -1,0 +1,51 @@
+"""Tests for rolling_anomaly (operators/anomaly)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, k string, ts timestamp, value double")
+
+
+def test_anomaly_flags_spike_only(spark):
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "a", t0 + dt.timedelta(minutes=i), 10.0 + (i % 3) * 0.5) for i in range(20)]
+    rows.append((99, "a", t0 + dt.timedelta(minutes=21), 500.0))  # the spike
+    out = {
+        r.event_id: r
+        for r in rolling_anomaly(
+            _ev(spark, rows), keys="k", time_col="ts", value_col="value",
+            window_seconds=3600, z_threshold=3.0, min_events=10,
+        ).collect()
+    }
+    assert out[99].is_anomaly
+    assert not any(out[i].is_anomaly for i in range(20))
+    # window counts accumulate
+    assert out[0].w_n == 1 and out[99].w_n == 21  # 20 priors + itself
+
+
+def test_anomaly_min_events_guard(spark):
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, "a", t0, 1.0), (2, "a", t0 + dt.timedelta(seconds=10), 100.0)]
+    out = rolling_anomaly(
+        _ev(spark, rows), keys="k", time_col="ts", value_col="value",
+        min_events=10,
+    ).collect()
+    assert not any(r.is_anomaly for r in out)  # too few events to judge
+
+
+def test_anomaly_constant_series_no_div_zero(spark):
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "a", t0 + dt.timedelta(seconds=i), 7.0) for i in range(15)]
+    out = rolling_anomaly(
+        _ev(spark, rows), keys="k", time_col="ts", value_col="value", min_events=5
+    ).collect()
+    assert all(r.z_score is None and not r.is_anomaly for r in out)
