@@ -993,6 +993,23 @@ def q_events_anomaly(spark, sf_dir):
     return out.select("event_id", "w_n", "w_mean", "z_score", "is_anomaly")
 
 
+def q_docs_assign_ids(spark, sf_dir):
+    """Deterministic dense ID assignment (operators/ids.
+    assign_stable_ids): rank in (md5(text), doc_id) order via the
+    two-phase distributed prefix machinery — range exchange +
+    per-partition local ranks + broadcast offsets, never a
+    SinglePartition window. The result is a pure function of the data
+    (stable under repartitioning/retries — tested), so the oracle's
+    global row_number reproduces it exactly."""
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "__h", F.md5(F.col("text"))
+    )
+    out = assign_stable_ids(docs, ["__h", "doc_id"], id_name="stable_id")
+    return out.select("doc_id", "stable_id")
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1498,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "events_anomaly": q_events_anomaly,
+        "docs_assign_ids": q_docs_assign_ids,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
@@ -2726,6 +2744,12 @@ def oracle_sql() -> dict[str, str]:
                    z_score,
                    n >= 10 AND z_score IS NOT NULL AND z_score > 2.0 AS is_anomaly
             FROM z
+        """,
+        "docs_assign_ids": r"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1
+                        AS BIGINT) AS stable_id
+            FROM documents
         """,
         "docs_corpus_report": r"""
             WITH t AS (

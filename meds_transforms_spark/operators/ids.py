@@ -1,0 +1,88 @@
+"""Deterministic dense ID assignment without a global window.
+
+``assign_stable_ids`` gives every row a dense 0..N-1 id following a
+caller-supplied total order — the ingestion primitive for corpora that
+arrive without keys (crawl dumps, file drops). The naive
+``row_number() OVER (ORDER BY ...)`` collapses to a SinglePartition
+window (the anti-pattern the packing operator's docstring documents);
+this uses the same two-phase distributed prefix machinery instead:
+range-partition on the order key, per-partition local ranks, and a
+#partitions-row offset table broadcast back. Equally important for a
+100 TB ingest: the result is a pure function of the DATA (the order
+columns), not of partitioning, task scheduling, or retries —
+``monotonically_increasing_id`` / ``zipWithIndex`` are neither dense
+nor stable under any of those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+
+
+@register_stage("assign_stable_ids")
+def assign_stable_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "stable_id",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``id_name`` = ``start`` + dense rank of the row in the
+    total order given by ``order_cols``.
+
+    ``order_cols`` must be a total order (no duplicate key tuples) —
+    duplicates would make the assignment depend on partition-internal
+    order; the operator validates this with one aggregate and raises.
+    Typical usage orders by a content hash plus a tiebreaker column.
+
+    Plan: range exchange on the order key → per-partition
+    ``row_number`` (local, no global window) → per-partition counts
+    collected (#partitions rows, driver-bounded by construction) →
+    offsets broadcast back. The frame is pinned across the two phases
+    so the sampled range boundaries cannot be redrawn between them.
+    """
+    spark = df.sparkSession
+    n_parts = int(
+        num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cols = [F.col(c) for c in order_cols]
+
+    dup = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"assign_stable_ids: order_cols {order_cols} do not form a "
+            "total order (duplicate key tuples exist) — add a tiebreaker"
+        )
+
+    parted = df.repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).persist()
+    counts = {
+        r["__pid"]: r["__n"]
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    offsets, acc = [], int(start)
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, int(start))], "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(id_name, (F.col("__lrn") - 1 + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn")
+    )

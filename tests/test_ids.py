@@ -1,0 +1,51 @@
+"""Tests for assign_stable_ids (operators/ids)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_dense_and_order_correct(spark):
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    out = assign_stable_ids(df, ["h", "k"], num_partitions=8)
+    rows = sorted((r.stable_id, r.h, r.k) for r in out.collect())
+    ids = [r[0] for r in rows]
+    assert ids == list(range(1000))                      # dense 0..N-1
+    hs = [(r[1], r[2]) for r in rows]
+    assert hs == sorted(hs)                              # follows the order
+
+
+def test_stable_under_repartitioning(spark):
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    a = {r.k: r.stable_id for r in assign_stable_ids(df.repartition(3), ["h", "k"], num_partitions=4).collect()}
+    b = {r.k: r.stable_id for r in assign_stable_ids(df.repartition(11), ["h", "k"], num_partitions=9).collect()}
+    assert a == b                                        # pure function of data
+
+
+def test_rejects_non_total_order(spark):
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+    with pytest.raises(ValueError, match="total order"):
+        assign_stable_ids(df, ["g"]).collect()
+
+
+def test_start_offset_and_empty(spark):
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    df = spark.createDataFrame([(5,), (3,), (9,)], "v long")
+    out = {r.v: r.stable_id for r in assign_stable_ids(df, ["v"], start=100).collect()}
+    assert out == {3: 100, 5: 101, 9: 102}
+    empty = assign_stable_ids(
+        spark.createDataFrame([], "v long"), ["v"]
+    )
+    assert empty.count() == 0
