@@ -1010,6 +1010,26 @@ def q_docs_assign_ids(spark, sf_dir):
     return out.select("doc_id", "stable_id")
 
 
+def q_docs_curation_e2e(spark, sf_dir):
+    """The full round-2c curation composition (plans/corpus.
+    curate_corpus_dsir): Gopher rules → exact dedup → DSIR weighting
+    toward sources src0-2 → top-100 selection → 512-token packing.
+    md5_60 + round-6 make every stage engine-identical; the oracle
+    replays the entire five-stage chain as one CTE pipeline (gopher
+    rules, normalized-text min-id dedup, DSIR fit+score on the deduped
+    set, ordered top-k, md5-order prefix-sum packing)."""
+    from meds_transforms_spark.plans.corpus import curate_corpus_dsir
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_corpus_dsir(
+        docs,
+        "source IN ('src0','src1','src2')",
+        hash_fn="md5_60",
+        round_to=6,
+    )
+    return out.select("doc_id", "n_tokens", "pack_id", "pack_pos", "pack_offset")
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1516,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "events_anomaly": q_events_anomaly,
         "docs_assign_ids": q_docs_assign_ids,
+        "docs_curation_e2e": q_docs_curation_e2e,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
@@ -2750,6 +2771,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1
                         AS BIGINT) AS stable_id
             FROM documents
+        """,
+        "docs_curation_e2e": r"""
+            WITH gb AS (
+              SELECT doc_id,
+                     text IS NOT NULL AS nn,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                 x -> x != '') AS toks,
+                     string_split(coalesce(text, ''), chr(10)) AS lines,
+                     len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS n_sym
+              FROM documents
+            ), gm AS (
+              SELECT doc_id, nn, toks, lines, n_sym,
+                     len(toks) AS n_words,
+                     greatest(len(lines), 1) AS n_lines,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                               / len(toks)
+                          ELSE 0.0 END AS mean_len
+              FROM gb
+            ), gp AS (
+              SELECT doc_id FROM gm
+              WHERE nn AND n_words >= 40 AND n_words <= 100000
+                AND mean_len >= 3.0 AND mean_len <= 10.0
+                AND (CASE WHEN n_words > 0
+                          THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                          ELSE FALSE END)
+                AND CAST(len(list_filter(lines,
+                      l -> regexp_matches(l, '^\s*[•*-]\s'))) AS DOUBLE) / n_lines < 0.9
+                AND CAST(len(list_filter(lines,
+                      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / n_lines <= 0.3
+                AND (CASE WHEN n_words > 0
+                          THEN CAST(len(list_filter(toks,
+                                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                                 / n_words >= 0.8
+                          ELSE FALSE END)
+                AND len(list_intersect(list_transform(toks, t -> lower(t)),
+                        ['the','be','to','of','and','that','have','with'])) >= 1
+            ), kept AS (
+              SELECT d.* FROM documents d JOIN gp USING (doc_id)
+            ), nrm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+              FROM kept
+            ), dd AS (
+              SELECT k.* FROM kept k JOIN (
+                SELECT doc_id FROM (
+                  SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS keeper FROM nrm
+                ) WHERE doc_id = keeper
+              ) s USING (doc_id)
+            ), dtoks AS (
+              SELECT doc_id, source IN ('src0','src1','src2') AS t,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x != '') AS l
+              FROM dd
+            ), feats AS (
+              SELECT doc_id, t,
+                     unnest(list_concat(l,
+                       list_filter(
+                         list_transform(list_zip(l, l[2:]),
+                           p -> CASE WHEN p[2] IS NULL THEN NULL
+                                     ELSE p[1] || ' ' || p[2] END),
+                         g -> g IS NOT NULL))) AS f
+              FROM dtoks
+            ), fb AS (
+              SELECT doc_id, t,
+                     CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 8192 AS b
+              FROM feats
+            ), model AS (
+              SELECT b, count(*) AS n_raw,
+                     sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
+              FROM fb GROUP BY b
+            ), tot AS (
+              SELECT CAST(sum(n_raw) AS DOUBLE) AS traw,
+                     CAST(sum(n_tgt) AS DOUBLE) AS ttgt
+              FROM model
+            ), lr AS (
+              SELECT b, ln((n_tgt + 1) / (ttgt + 8192))
+                        - ln((n_raw + 1) / (traw + 8192)) AS lr
+              FROM model, tot
+            ), per AS (
+              SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b
+            ), w AS (
+              SELECT d.doc_id, round(coalesce(s.w, 0.0), 6) AS wgt
+              FROM dd d LEFT JOIN (
+                SELECT per.doc_id, sum(per.n * lr.lr) AS w
+                FROM per JOIN lr USING (b) GROUP BY per.doc_id
+              ) s USING (doc_id)
+            ), sel AS (
+              SELECT doc_id FROM w ORDER BY wgt DESC, doc_id LIMIT 100
+            ), tok AS (
+              SELECT s.doc_id,
+                     CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM sel s JOIN documents d USING (doc_id)
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ordkey
+              FROM tok WHERE n_tokens > 0
+            ), c AS (
+              SELECT doc_id, n_tokens, ordkey,
+                     sum(n_tokens) OVER (ORDER BY ordkey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM o
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
+                   CAST(row_number() OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT)
+                                           ORDER BY ordkey, doc_id) AS INT) AS pack_pos,
+                   (cum - n_tokens)
+                     - min(cum - n_tokens) OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT))
+                     AS pack_offset
+            FROM c
         """,
         "docs_corpus_report": r"""
             WITH t AS (

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "events_interval_join",
     "events_sessions",
     "events_funnel",
+    "events_anomaly",
     "docs_token_stats",
     "docs_exact_dedup",
     "docs_decontaminate",
@@ -51,6 +52,7 @@ BENCH_QUERIES = [
     "docs_dsir_weights",
     "emb_topk_cosine",
     "emb_covariance",
+    "emb_semantic_dedup",
 ]
 
 

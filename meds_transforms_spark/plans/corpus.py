@@ -72,3 +72,47 @@ def write_training_corpus(corpus: DataFrame, path: str) -> None:
         .partitionBy("lang_pred", "quality_bucket")
         .parquet(path)
     )
+
+
+def curate_corpus_dsir(
+    docs,
+    target,
+    min_words: int = 40,
+    min_required_stopwords: int = 1,
+    top_k: int = 100,
+    budget: int = 512,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = None,
+):
+    """The round-2c curation composition: published Gopher rules →
+    exact dedup → DSIR importance weighting toward a target domain →
+    top-k selection → sequence packing. Every stage is the scale-shaped
+    operator documented in its own module; chaining them adds NO new
+    shuffles beyond each stage's own (the stages exchange only
+    id-keyed frames).
+
+    Returns the pack assignment for the selected documents:
+    ``(doc_id, n_tokens, pack_id, pack_pos, pack_offset)``.
+    """
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import exact_dedup
+    from meds_transforms_spark.operators.dsir import dsir_weights
+    from meds_transforms_spark.operators.packing import pack_sequences
+    from meds_transforms_spark.operators.text import (
+        gopher_quality_filter,
+        token_count,
+    )
+
+    g = gopher_quality_filter(
+        docs, min_words=min_words, min_required_stopwords=min_required_stopwords
+    )
+    kept = g.filter("gopher_pass").select(*docs.columns)
+    deduped = exact_dedup(kept)
+    weighted = dsir_weights(deduped, target, hash_fn=hash_fn, round_to=round_to)
+    # top-k: weights are rounded (engine-identical), doc_id breaks ties
+    sel = weighted.orderBy(
+        F.desc("dsir_logweight"), F.col("doc_id")
+    ).limit(int(top_k))
+    counted = token_count(sel)
+    return pack_sequences(counted, budget=int(budget), order="hash", hash_fn=hash_fn)

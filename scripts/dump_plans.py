@@ -54,6 +54,9 @@ REVIEW = {
     "events_zorder": "min/max normalization is a 1-row aggregate re-entering as a broadcast join; the Morton key is closed-form codegen bit arithmetic — the fact table is never shuffled or windowed",
     "events_profile": "ONE partial-agg scan computes nulls/NDV/min/max/mean for all columns; exact mode shows the documented Expand (N× the distinct aggregates), approx (HLL) removes it; the wide 1-row result explodes to tidy per-column rows",
     "emb_semantic_dedup": "centroids broadcast into a map-side assignment join (corpus never shuffles to cluster); the within-cell pair join is Σ n_cell² — bounded by cell granularity and AQE-skew-splittable; min-id collapse is distinct + LEFT ANTI on the id",
+    "events_anomaly": "count/sum/square-sum as three frames over ONE exchange+sort; both moments from one LONG quantization (variance identity exact, overflow-bounded); flag decision replays bit-for-bit in SQL",
+    "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
+    "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
 }
 
 

@@ -112,6 +112,37 @@ def main():
         semantic_dedup(vecs, n_cells=256, threshold=0.99).select("vec_id"),
     )
 
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    ev = spark.range(n_docs * 10).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 50).cast("string")).alias("event_type"),
+        F.timestamp_micros(F.lit(1704067200000000) + F.col("id") * 1000000).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double") / 10.0).alias("value"),
+    ).persist()
+    ev.count()
+    timed(
+        f"rolling_anomaly 1h windows over {n_docs * 10:,} events / 50 keys",
+        rolling_anomaly(ev, keys="event_type", time_col="ts", value_col="value"),
+    )
+
+    from meds_transforms_spark.operators.tokenizer import bpe_encode, fit_bpe_merges
+
+    t0 = time.time()
+    merges = fit_bpe_merges(docs, num_merges=200)
+    print(f"fit_bpe_merges 200 merges over {n_docs:,} docs: {time.time() - t0:.1f}s")
+    timed(
+        f"bpe_encode (200 merges) over {n_docs:,} docs",
+        bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens"),
+    )
+
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    timed(
+        f"assign_stable_ids over {n_docs * 10:,} rows",
+        assign_stable_ids(rows, ["u", "t", "id"]),
+    )
+
 
 if __name__ == "__main__":
     main()
