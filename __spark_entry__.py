@@ -1532,11 +1532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_dsir_weights": q_docs_dsir_weights,
         "events_zorder": q_events_zorder,
-        "events_profile": q_events_profile,
+        "docs_curation_e2e": q_docs_curation_e2e,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "events_profile": q_events_profile,
         "events_anomaly": q_events_anomaly,
         "docs_assign_ids": q_docs_assign_ids,
-        "docs_curation_e2e": q_docs_curation_e2e,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
