@@ -80,3 +80,54 @@ def test_fit_is_deterministic(spark):
     m1 = fit_bpe_merges(docs, num_merges=25)
     m2 = fit_bpe_merges(docs.repartition(3), num_merges=25)
     assert m1 == m2
+
+
+def test_incremental_fit_matches_brute_force():
+    """The inverted-index incremental trainer must produce EXACTLY the
+    brute-force (full-rescan) merge sequence on random vocabularies."""
+    import random
+
+    from meds_transforms_spark.operators.tokenizer import (
+        _word_symbols,
+        learn_merges,
+    )
+
+    def brute(word_freqs, num_merges):
+        vocab = {_word_symbols(w): c for w, c in word_freqs.items() if w}
+        merges = []
+        for _ in range(num_merges):
+            pairs = {}
+            for syms, c in vocab.items():
+                for p in zip(syms, syms[1:]):
+                    pairs[p] = pairs.get(p, 0) + c
+            if not pairs:
+                break
+            top = max(pairs.values())
+            best = min(
+                (p for p, n in pairs.items() if n == top),
+                key=lambda p: (len(p[0] + p[1]), p),
+            )
+            merges.append(best)
+            a, b = best
+            ab = a + b
+            nv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            vocab = nv
+        return merges
+
+    for seed in range(3):
+        random.seed(seed)
+        freqs = {
+            "".join(random.choices("abcde", k=random.randint(1, 8))): random.randint(1, 50)
+            for _ in range(300)
+        }
+        assert learn_merges(freqs, 60) == brute(freqs, 60), seed
