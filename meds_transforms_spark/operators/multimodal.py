@@ -429,3 +429,73 @@ def frame_sample(
         F.col("pos").alias("frame_index"),
         (F.col("pos") * every_n).alias("source_frame"),
     )
+
+
+SPECTROGRAM_SCHEMA = "doc_id long, n_frames long, band_energy array<double>"
+
+
+@register_stage("wav_spectrogram_features")
+def wav_spectrogram_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 256,
+    hop: int = 128,
+    n_bands: int = 16,
+) -> DataFrame:
+    """REAL audio feature extraction — numpy only, no codec library.
+
+    16-bit PCM WAV → framed STFT (``np.fft.rfft``, Hann window) →
+    log-power spectrum → time-averaged into ``n_bands`` equal frequency
+    bands: one fixed-dimension clip descriptor per document, the audio
+    analog of a document embedding. The output feeds the existing
+    embedding machinery unchanged (cosine top-k, LSH/semantic dedup,
+    clustering) — audio near-dup detection is ``semantic_dedup`` over
+    this column.
+
+    Arrow-batched ``mapInPandas``; payload bytes never shuffle; cost is
+    O(samples · log frame) FFTs per clip, embarrassingly parallel.
+    Non-PCM/underlength payloads yield NULL features (fail-soft, the
+    attach_media_meta quarantine convention).
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame)
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "band_energy": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                feats, nf = None, None
+                try:
+                    chunks = _wav_chunks(payload)
+                    fmt, data = chunks.get(b"fmt "), chunks.get(b"data")
+                    if fmt is not None and len(fmt) >= 16 and data is not None:
+                        audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
+                        (bits,) = struct.unpack("<H", fmt[14:16])
+                        if audio_fmt == 1 and bits == 16 and len(data) >= 2 * frame:
+                            x = np.frombuffer(
+                                data[: len(data) - (len(data) % 2)], dtype="<i2"
+                            ).astype(np.float64) / 32768.0
+                            if ch and ch > 1:  # downmix interleaved channels
+                                x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+                            n = 1 + (len(x) - frame) // hop
+                            if n > 0:
+                                idx = (
+                                    np.arange(frame)[None, :]
+                                    + hop * np.arange(n)[:, None]
+                                )
+                                spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+                                logp = np.log1p(spec).mean(axis=0)  # time-avg
+                                bands = np.array_split(logp, n_bands)
+                                feats = [float(b.mean()) for b in bands]
+                                nf = n
+                except Exception:
+                    feats, nf = None, None
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["band_energy"].append(feats)
+            res = pd.DataFrame(out)
+            res["n_frames"] = pd.array(res["n_frames"], dtype="Int64")
+            yield res
+
+    return df.select(id_col, binary_col).mapInPandas(extract, SPECTROGRAM_SCHEMA)

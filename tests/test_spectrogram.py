@@ -1,0 +1,60 @@
+"""Tests for wav_spectrogram_features (operators/multimodal)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+
+def _sine_wav(freq_hz: float, rate: int = 8000, seconds: float = 1.0, ch: int = 1) -> bytes:
+    n = int(rate * seconds)
+    samples = b"".join(
+        struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq_hz * i / rate))) * ch
+        for i in range(n)
+    )
+    byte_rate = rate * ch * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, byte_rate, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+
+
+def test_sine_peaks_in_expected_band(spark):
+    from meds_transforms_spark.operators.multimodal import wav_spectrogram_features
+
+    # 8 kHz rate, frame 256 → rfft bins 0..128 cover 0..4000 Hz;
+    # array_split(129, 16) → band sizes [9,8,8,...]: bin(1 kHz)=32 →
+    # band 3 (bins 25-32), bin(3 kHz)=96 → band 11 (bins 89-96).
+    rows = [(1, _sine_wav(1000.0)), (2, _sine_wav(3000.0)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in wav_spectrogram_features(df).collect()}
+    b1 = out[1].band_energy
+    b2 = out[2].band_energy
+    assert len(b1) == 16 and out[1].n_frames > 50
+    assert b1.index(max(b1)) == 3
+    assert b2.index(max(b2)) == 11
+    assert out[3].band_energy is None and out[3].n_frames is None
+
+
+def test_stereo_downmix_and_dedup_composability(spark):
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+    from meds_transforms_spark.operators.multimodal import wav_spectrogram_features
+
+    # two copies of the same tone (one stereo), one different tone:
+    # spectrogram features + semantic_dedup must collapse the copies
+    rows = [
+        (1, _sine_wav(500.0)),
+        (2, _sine_wav(500.0, ch=2)),   # stereo duplicate
+        (3, _sine_wav(2500.0)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = wav_spectrogram_features(df).filter(F.col("band_energy").isNotNull())
+    kept = semantic_dedup(
+        feats, vec_col="band_energy", id_col="doc_id",
+        n_cells=2, threshold=0.999,
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 3]               # the stereo copy collapsed onto 1
