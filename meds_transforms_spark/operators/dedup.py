@@ -596,7 +596,13 @@ def semantic_dedup(
     cosine threshold so every engine keeps the identical survivor set.
 
     SemDeDup keeps one representative per near-dup group; this
-    implementation keeps the min id (deterministic, join-free)."""
+    implementation keeps the min id (deterministic, join-free).
+
+    Granularity caveat: keep ``n_cells`` well below the corpus size —
+    in the degenerate regime where a near-dup pair are BOTH seed
+    centroids (iters=0 on a tiny frame) they anchor separate cells and
+    are never compared. Real corpora use n_cells ≪ N (SemDeDup's own
+    setting: ~100k clusters for 100M+ docs)."""
     from meds_transforms_spark.operators.ivf import (
         _nearest_cells,
         ivf_centroids,

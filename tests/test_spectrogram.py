@@ -58,3 +58,76 @@ def test_stereo_downmix_and_dedup_composability(spark):
     )
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [1, 3]               # the stereo copy collapsed onto 1
+
+
+def _png_rgb(pixels) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter 0) for test fixtures."""
+    import struct as s
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(px) for px in row) for row in pixels
+    )
+
+    def chunk(cid, data):
+        c = cid + data
+        return s.pack(">I", len(data)) + c + s.pack(">I", zlib.crc32(c))
+
+    ihdr = s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_grid_features_quadrants(spark):
+    from meds_transforms_spark.operators.multimodal import image_grid_features
+
+    # 8x8 image: left half black, right half white → with a 2x2 grid,
+    # cells (0,0),(1,0) ≈ 0 and (0,1),(1,1) ≈ 1
+    px = [[(0, 0, 0)] * 4 + [(255, 255, 255)] * 4 for _ in range(8)]
+    rows = [(1, _png_rgb(px)), (2, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in image_grid_features(df, grid=2).collect()}
+    g = out[1].grid_embedding
+    assert out[1].width == 8 and out[1].height == 8
+    assert g[0] < 0.01 and g[2] < 0.01          # left cells dark
+    assert g[1] > 0.99 and g[3] > 0.99          # right cells bright
+    assert out[2].grid_embedding is None
+
+
+def test_image_grid_dedup_composability(spark):
+    """Same image at two sizes → identical grid descriptors → collapse
+    via semantic_dedup (re-encode/resize-resistant image near-dup)."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+    from meds_transforms_spark.operators.multimodal import image_grid_features
+
+    def gradient(n):
+        return [
+            [(int(255 * j / (n - 1)),) * 3 for j in range(n)] for _ in range(n)
+        ]
+
+    rows = [
+        (1, _png_rgb(gradient(16))),
+        (2, _png_rgb(gradient(32))),    # same picture, 2x the size
+        (3, _png_rgb([[(255, 0, 0)] * 16] * 16)),  # different picture
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = image_grid_features(df, grid=4).filter(
+        F.col("grid_embedding").isNotNull()
+    )
+    # n_cells=1: with 3 vectors and seed centroids = first ids, the dup
+    # pair would BE the two centroids and land in separate cells — the
+    # cells-vs-corpus-size regime the operator docstring warns about
+    kept = semantic_dedup(
+        feats, vec_col="grid_embedding", id_col="doc_id",
+        n_cells=1, threshold=0.995,
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 3]
