@@ -947,7 +947,7 @@ def q_events_profile(spark, sf_dir):
 
 def q_emb_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/dedup.semantic_dedup; Abbas et al. 2023):
-    k-means cells (deterministic seed centroids, the oracle-replayable
+    64 k-means cells (deterministic seed centroids, the oracle-replayable
     iters=0 mode) + within-cell integer-exact cosine collapse to the
     min id. Demonstrated as augmentation dedup like emb_cosine_dedup:
     scaled copies (cosine-preserving) land in the same cell as their
@@ -966,7 +966,7 @@ def q_emb_semantic_dedup(spark, sf_dir):
     both = emb.unionByName(aug)
     out = semantic_dedup(
         both, vec_col="emb_d", id_col="vec_id",
-        n_cells=16, iters=0, threshold=0.9, exact=True,
+        n_cells=64, iters=0, threshold=0.9, exact=True,
     )
     return out.select("vec_id")
 
@@ -2706,7 +2706,7 @@ def oracle_sql() -> dict[str, str]:
               FROM base
             ), cent AS (
               SELECT row_number() OVER (ORDER BY vec_id) AS cell, emb AS cvec
-              FROM (SELECT * FROM allv ORDER BY vec_id LIMIT 16)
+              FROM (SELECT * FROM allv ORDER BY vec_id LIMIT 64)
             ), c_assign AS (
               SELECT vec_id, cell FROM (
                 SELECT v.vec_id, c.cell,
