@@ -17,6 +17,7 @@ from meds_transforms_spark.schema import (
     CODE_METADATA_SCHEMA,
     SUBJECT_SPLITS_SCHEMA,
 )
+from meds_transforms_spark.plan_guard import UnscalablePlanError, assert_scalable
 from meds_transforms_spark.session import get_spark
 
 __version__ = "0.1.0"
@@ -26,5 +27,7 @@ __all__ = [
     "CODE_METADATA_SCHEMA",
     "SUBJECT_SPLITS_SCHEMA",
     "get_spark",
+    "assert_scalable",
+    "UnscalablePlanError",
     "__version__",
 ]
