@@ -1030,6 +1030,22 @@ def q_docs_curation_e2e(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "pack_id", "pack_pos", "pack_offset")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling plumbing (operators/multimodal.
+    frame_sample): payload-size-derived frame count (stub kernel,
+    honestly marked), JVM-side sequence explode — one output row per
+    sampled frame, the batch shape a real container probe slots into.
+    Fully SQL-expressible, so unlike the decode kernels this query is
+    oracle-checked end to end."""
+    from meds_transforms_spark.operators.multimodal import frame_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = frame_sample(docs, every_n=10, max_frames=4)
+    return out.select("doc_id", "frame_index", "source_frame")
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1537,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "events_anomaly": q_events_anomaly,
         "docs_assign_ids": q_docs_assign_ids,
+        "multimodal_frames": q_multimodal_frames,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
@@ -2883,6 +2900,18 @@ def oracle_sql() -> dict[str, str]:
                      - min(cum - n_tokens) OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT))
                      AS pack_offset
             FROM c
+        """,
+        "multimodal_frames": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     least(CAST(floor(octet_length(encode(text)) / 10) AS INT) + 1,
+                           4) AS n_frames
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(u.i AS INT) AS frame_index,
+                   CAST(u.i * 10 AS INT) AS source_frame
+            FROM p, unnest(generate_series(0, p.n_frames - 1)) AS u(i)
         """,
         "docs_corpus_report": r"""
             WITH t AS (
