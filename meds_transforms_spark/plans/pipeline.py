@@ -164,6 +164,14 @@ class Pipeline:
         #: ``_SUCCESS`` marker): when on, a stage whose checkpoint already
         #: committed is read back instead of recomputed.
         self.resume = resume
+        #: Per-stage observability, populated by :meth:`run` when a
+        #: checkpoint_dir is set: ``[{stage, index, kind, rows, bytes,
+        #: files, resumed}]``. Row/byte counts come from the committed
+        #: checkpoint's parquet FOOTERS (pure metadata reads — no extra
+        #: Spark job, no second scan), so at 100 TB the metrics are
+        #: free; without checkpointing nothing is counted (counting
+        #: would force an extra action per stage) and this stays [].
+        self.last_run_metrics: list[dict] = []
 
     def run(
         self,
@@ -187,6 +195,8 @@ class Pipeline:
         that's the single-split dataset case, not a leak.
         """
         import inspect
+
+        self.last_run_metrics = []
 
         def train_slice(df: DataFrame) -> DataFrame:
             if "split" in df.columns:
@@ -223,6 +233,7 @@ class Pipeline:
                     code_metadata = self.spark.read.parquet(done)
                 else:
                     data = self.spark.read.parquet(done)
+                self._record_metrics(done, i, spec.name, stage.is_metadata, True)
                 continue
 
             if stage.is_metadata:
@@ -263,7 +274,42 @@ class Pipeline:
             return df
         path = os.path.join(self.checkpoint_dir, f"{idx:02d}_{name}")
         write_parquet(df, path)
+        is_meta = False
+        try:
+            is_meta = get_stage(self.config.stages[idx].resolved_name).is_metadata
+        except Exception:
+            pass
+        self._record_metrics(path, idx, name, is_meta, False)
         return self.spark.read.parquet(path)
+
+    def _record_metrics(
+        self, path: str, idx: int, name: str, is_metadata: bool, resumed: bool
+    ) -> None:
+        rows = nbytes = files = 0
+        try:
+            import pyarrow.parquet as pq
+
+            for fname in os.listdir(path):
+                if not fname.endswith(".parquet"):
+                    continue
+                fp = os.path.join(path, fname)
+                md = pq.ParquetFile(fp).metadata
+                rows += md.num_rows
+                nbytes += os.path.getsize(fp)
+                files += 1
+        except Exception:
+            return
+        self.last_run_metrics.append(
+            {
+                "stage": name,
+                "index": idx,
+                "kind": "metadata" if is_metadata else "data",
+                "rows": rows,
+                "bytes": nbytes,
+                "files": files,
+                "resumed": resumed,
+            }
+        )
 
     def _resume_path(self, idx: int, name: str) -> str | None:
         """Committed checkpoint path for this stage, if resumable."""

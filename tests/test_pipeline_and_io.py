@@ -309,3 +309,45 @@ def test_merge_meds_datasets(spark, meds_df, tmp_path):
 
     with _pytest.raises(ValueError, match="overlap"):
         merge_meds_datasets(spark, [a_dir, a_dir], str(tmp_path / "bad"))
+
+
+def test_pipeline_metrics_from_checkpoint_footers(spark, meds_df, tmp_path):
+    """With checkpointing on, last_run_metrics reports per-stage rows /
+    bytes / files from parquet footers alone (no extra Spark action),
+    and marks resumed stages on a second run."""
+    from meds_transforms_spark.plans import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig.from_yaml(
+        """
+stages:
+  - filter_subjects: {min_events_per_subject: 2}
+  - aggregate_code_metadata:
+      aggregations: ["code/n_occurrences"]
+"""
+    )
+    p = Pipeline(spark, cfg, checkpoint_dir=str(tmp_path / "ck"))
+    data, meta = p.run(meds_df)
+    m = {x["stage"]: x for x in p.last_run_metrics}
+    assert set(m) == {"filter_subjects", "aggregate_code_metadata"}
+    assert m["filter_subjects"]["kind"] == "data"
+    assert m["filter_subjects"]["rows"] == data.count()
+    assert m["aggregate_code_metadata"]["kind"] == "metadata"
+    assert m["aggregate_code_metadata"]["rows"] == meta.count()
+    assert all(x["bytes"] > 0 and x["files"] >= 1 and not x["resumed"]
+               for x in p.last_run_metrics)
+
+    p2 = Pipeline(spark, cfg, checkpoint_dir=str(tmp_path / "ck"), resume=True)
+    p2.run(meds_df)
+    assert all(x["resumed"] for x in p2.last_run_metrics)
+    assert {x["stage"]: x["rows"] for x in p2.last_run_metrics} == {
+        k: v["rows"] for k, v in m.items()
+    }
+
+
+def test_pipeline_metrics_empty_without_checkpoint(spark, meds_df):
+    from meds_transforms_spark.plans import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig.from_yaml("stages:\n  - filter_subjects: {min_events_per_subject: 2}\n")
+    p = Pipeline(spark, cfg)
+    p.run(meds_df)
+    assert p.last_run_metrics == []
