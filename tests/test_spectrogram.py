@@ -131,3 +131,28 @@ def test_image_grid_dedup_composability(spark):
     )
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [1, 3]
+
+
+def test_resize_image_nearest_neighbor_exact(spark):
+    import numpy as np
+
+    from meds_transforms_spark.operators.multimodal import resize_image
+
+    # 2x2 quadrant image upsampled to 4x4: each source pixel becomes a
+    # 2x2 block (nearest-neighbor index map is exact integer math)
+    px = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    rows = [(1, _png_rgb(px)), (2, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_image(df, 4, 4).collect()}
+    r1 = out[1]
+    assert (r1.width, r1.height) == (4, 4)
+    arr = np.frombuffer(bytes(r1.rgba), dtype=np.uint8).reshape(4, 4, 4)
+    assert tuple(arr[0, 0][:3]) == (255, 0, 0)
+    assert tuple(arr[0, 3][:3]) == (0, 255, 0)
+    assert tuple(arr[3, 0][:3]) == (0, 0, 255)
+    assert tuple(arr[3, 3][:3]) == (255, 255, 255)
+    assert tuple(arr[1, 1][:3]) == (255, 0, 0)   # block fill
+    assert out[2].rgba is None and out[2].width is None
