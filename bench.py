@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "docs_unigram_logprob",
     "docs_gopher_filter",
     "docs_dsir_weights",
+    "docs_curation_e2e",
     "emb_topk_cosine",
     "emb_covariance",
     "emb_semantic_dedup",
