@@ -57,6 +57,7 @@ REVIEW = {
     "events_anomaly": "count/sum/square-sum as three frames over ONE exchange+sort; both moments from one LONG quantization (variance identity exact, overflow-bounded); flag decision replays bit-for-bit in SQL",
     "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
+    "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
 }
 
 
