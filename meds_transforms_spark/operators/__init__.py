@@ -12,36 +12,17 @@ from meds_transforms_spark.operators.base import (
     register_stage,
     registered_stages,
 )
-from meds_transforms_spark.operators import (  # noqa: F401  (registration side effects)
-    add_time_derived,
-    aggregate_code_metadata,
-    asof,
-    bin_numeric_values,
-    components,
-    decontaminate,
-    dedup,
-    extract_values,
-    filter_measurements,
-    filter_subjects,
-    fit_vocabulary_indices,
-    funnel,
-    interval,
-    ivf,
-    match_revise,
-    misc,
-    multimodal,
-    normalization,
-    occlude_outliers,
-    packing,
-    quantiles,
-    reorder_measurements,
-    reshard_to_split,
-    rolling,
-    sampling,
-    similarity,
-    text,
-    validate,
-)
+
+# Import every sibling module for its registration side effects — an
+# explicit import list silently drifts (newer modules had been left
+# off it, so get_stage() by name failed for any stage no test had
+# happened to import yet).
+import importlib as _importlib
+import pkgutil as _pkgutil
+
+for _m in _pkgutil.iter_modules(__path__):
+    if _m.name != "base":
+        _importlib.import_module(f"{__name__}.{_m.name}")
 
 __all__ = [
     "Stage",
