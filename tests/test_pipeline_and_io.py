@@ -351,3 +351,34 @@ def test_pipeline_metrics_empty_without_checkpoint(spark, meds_df):
     p = Pipeline(spark, cfg)
     p.run(meds_df)
     assert p.last_run_metrics == []
+
+
+def test_yaml_pipeline_with_corpus_stages(spark):
+    """The registry auto-import makes every extension stage addressable
+    from YAML: a documents-frame pipeline chaining Gopher filtering,
+    within-doc line dedup, and DSIR weighting runs end to end."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.plans import Pipeline, PipelineConfig
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tgt", "the alpha beta gamma words and more of that text here"),
+            (2, "raw", "omega sigma tau rho words that have the size needed here"),
+            (3, "raw", "short"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    cfg = PipelineConfig.from_yaml(
+        """
+stages:
+  - gopher_quality_filter: {min_words: 8, min_required_stopwords: 1}
+  - filter_rows: {matcher: {gopher_pass: true}}
+  - dedupe_doc_lines: {}
+  - dsir_weights: {target: "source = 'tgt'", n_buckets: 64}
+"""
+    )
+    out, _ = Pipeline(spark, cfg).run(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}                       # doc 3 gopher-filtered
+    assert rows[1].dsir_logweight > rows[2].dsir_logweight
