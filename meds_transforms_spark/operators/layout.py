@@ -73,7 +73,10 @@ def zorder_key(
         bucket = F.when(span > 0, F.floor((num(name) - lo) / span * top)).otherwise(
             F.lit(0)
         ).cast("long")
-        bucket = F.least(F.greatest(bucket, F.lit(0)), F.lit(top))
+        # NULL dimension values (NULL bucket after the arithmetic) map
+        # to bucket 0, not a NULL key — a NULL Morton key would opt the
+        # row out of the layout entirely and poison the OR-fold
+        bucket = F.coalesce(F.least(F.greatest(bucket, F.lit(0)), F.lit(top)), F.lit(0))
         for j in range(bits):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, j * n + (n - 1 - d)))

@@ -129,3 +129,16 @@ def test_zorder_rowgroups_skippable_on_both_dims(spark, tmp_path):
     # and the pushed filter returns exactly the right rows
     got = spark.read.parquet(path).filter(F.col("u").between(100, 120)).count()
     assert got == sum(1 for i in range(n) if 100 <= i % 1000 <= 120)
+
+
+def test_zorder_null_dimension_values_get_min_bucket(spark):
+    from meds_transforms_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, 255.0), (3, 255.0, 255.0)],
+        "id long, x double, y double",
+    )
+    out = {r.id: r.zkey for r in zorder_key(df, ["x", "y"], bits=8).collect()}
+    assert out[2] is not None               # null dim → bucket 0, not null key
+    assert out[2] == _morton(0, 255)
+    assert out[1] == 0 and out[3] == _morton(255, 255)
