@@ -29,6 +29,7 @@ def assign_stable_ids(
     id_name: str = "stable_id",
     start: int = 0,
     num_partitions: int | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Attach ``id_name`` = ``start`` + dense rank of the row in the
     total order given by ``order_cols``.
@@ -50,7 +51,11 @@ def assign_stable_ids(
     )
     cols = [F.col(c) for c in order_cols]
 
-    dup = (
+    # The totality check is one extra aggregation scan — worth it by
+    # default (a silent partial order makes ids partition-dependent),
+    # skippable with validate=False when the key is known-unique (e.g.
+    # it ends in a primary key).
+    dup = 0 if not validate else (
         df.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
