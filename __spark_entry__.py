@@ -2763,7 +2763,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), wnd AS (
               SELECT event_id, value,
-                     count(*) OVER w AS n,
+                     count(q) OVER w AS n,
                      sum(q) OVER w AS sq,
                      sum(q * q) OVER w AS sq2
               FROM b

@@ -38,7 +38,9 @@ def rolling_anomaly(
     ``is_anomaly`` to every row.
 
     ``is_anomaly`` is True when the trailing window holds at least
-    ``min_events`` rows, the window variance is positive, and the
+    ``min_events`` NON-NULL values (NULL-valued rows pass through
+    unjudged and count toward nothing), the window variance is
+    positive, and the
     rounded z-score exceeds ``z_threshold``. The current row is part of
     its own window (RANGE ... AND CURRENT ROW), matching the SQL frame
     an oracle replays; population variance (``/n``) is used.
@@ -62,8 +64,11 @@ def rolling_anomaly(
     # deriving mean/var/z: Spark extracts every textual `.over` as its
     # own window function, so embedding the aggregates in the compound
     # expressions evaluated 14 frames instead of 3 (measured 3×).
+    # count(q), not count(1): sums skip NULL values, so the row count
+    # feeding mean/variance must too — else NULL-valued rows deflate
+    # the mean and pad the min_events gate
     base = (
-        df.withColumn("__wn", F.count(F.lit(1)).over(w))
+        df.withColumn("__wn", F.count(q).over(w))
         .withColumn("__ws", F.sum(q).over(w))
         .withColumn("__ws2", F.sum(q * q).over(w))
     )

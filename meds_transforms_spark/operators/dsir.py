@@ -93,7 +93,25 @@ def fit_dsir_model(
         ).alias("log_ratio"),
         F.log(F.lit(1.0) / (F.col("__tot_tgt") + b)).alias("unseen_tgt_logp"),
         F.log(F.lit(1.0) / (F.col("__tot_raw") + b)).alias("unseen_raw_logp"),
+        # fit-time bucket count rides WITH the model so a serve-side
+        # n_buckets mismatch is a loud error, never silently wrong
+        # hashes (or an IndexError in the projection server)
+        F.lit(b).alias("n_buckets"),
     )
+
+
+def _validated_buckets(model, n_buckets: int) -> int:
+    """Serve-side bucket count, cross-checked against the model's
+    fit-time value when present (one 1-row probe of the tiny model)."""
+    b = int(n_buckets)
+    if "n_buckets" in model.columns:
+        row = model.select("n_buckets").limit(1).collect()
+        if row and row[0][0] is not None and int(row[0][0]) != b:
+            raise ValueError(
+                f"dsir serve n_buckets={b} != model fit n_buckets="
+                f"{int(row[0][0])}; weights would be silently wrong"
+            )
+    return b
 
 
 @register_stage("dsir_score")
@@ -113,8 +131,11 @@ def dsir_score(
 
     Buckets absent from the model (possible when serving a corpus the
     model never saw and the fit didn't cover all ``n_buckets``) fall
-    back to the model's unseen-bucket smoothing mass."""
-    b = int(n_buckets)
+    back to the model's unseen-bucket smoothing mass. When the model
+    carries its fit-time ``n_buckets`` column (fit_dsir_model does),
+    a mismatched serve-side ``n_buckets`` raises — hashing with the
+    wrong modulus would be silently wrong, not approximately right."""
+    b = _validated_buckets(model, n_buckets)
     per_doc = (
         df.select(
             F.col(id_col),
@@ -169,7 +190,7 @@ def dsir_score_projection(
     stream can't run): attach it to a readStream like any stateless
     text operator. The collect here is the MODEL (``n_buckets`` rows,
     64 KB at the default 8k), never data."""
-    b = int(n_buckets)
+    b = _validated_buckets(model, n_buckets)
     rows = model.collect()
     if rows:
         unseen = rows[0]["unseen_tgt_logp"] - rows[0]["unseen_raw_logp"]

@@ -42,8 +42,10 @@ def assign_stable_ids(
     Plan: range exchange on the order key → per-partition
     ``row_number`` (local, no global window) → per-partition counts
     collected (#partitions rows, driver-bounded by construction) →
-    offsets broadcast back. The frame is pinned across the two phases
-    so the sampled range boundaries cannot be redrawn between them.
+    offsets broadcast back. The ranked frame is pinned (eager
+    localCheckpoint) across the two phases so the sampled range
+    boundaries cannot be redrawn between them; the blocks are
+    GC-released with the result frame.
     """
     spark = df.sparkSession
     n_parts = int(
@@ -76,7 +78,14 @@ def assign_stable_ids(
         .orderBy(*cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).persist()
+    # eager localCheckpoint, not persist(): both pin the sampled range
+    # boundaries across the two phases, but checkpoint blocks are
+    # released by the ContextCleaner once the result frame is garbage
+    # collected — persist() would hold a corpus-sized cache entry until
+    # someone remembered to unpersist
+    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).localCheckpoint(
+        eager=True
+    )
     counts = {
         r["__pid"]: r["__n"]
         for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 from meds_transforms_spark.operators.base import register_stage
 
-_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+#: exact base-type names — a prefix test would route "interval day to
+#: second" into the numeric path via the "int" prefix
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
 @register_stage("profile_table")
@@ -48,13 +50,18 @@ def profile_table(
         col = F.col(c)
         dt = dtypes[c]
         aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"))
-        if exact:
+        # map columns are neither hashable (approx NDV) nor orderable
+        # (exact NDV) — profile them as nulls rather than failing the
+        # whole-table profile on one metadata column
+        if dt.startswith("map<"):
+            aggs.append(F.first(F.lit(None).cast("long")).alias(f"__ndv_{c}"))
+        elif exact:
             aggs.append(F.count_distinct(col).alias(f"__ndv_{c}"))
         else:
             aggs.append(F.approx_count_distinct(col).alias(f"__ndv_{c}"))
         if dt.startswith("timestamp"):
             num = col.cast("double") * 1e6
-        elif dt.startswith(_NUMERIC):
+        elif dt in _NUMERIC or dt.startswith("decimal"):
             num = col.cast("double")
         else:
             num = F.lit(None).cast("double")

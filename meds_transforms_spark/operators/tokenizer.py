@@ -179,14 +179,18 @@ def bpe_encode(
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     pat = re.compile(PRETOKEN_REGEX)
     # fresh StructType: StructType.add mutates in place, and df.schema
-    # is cached on the DataFrame — never .add onto it
+    # is cached on the DataFrame — never .add onto it. Pre-existing
+    # columns with the output names (e.g. text_stats' n_bpe_tokens
+    # estimate) are OVERWRITTEN, not duplicated — a duplicate field
+    # would make the Arrow conversion or any later reference ambiguous.
     out_schema = StructType(
-        list(df.schema.fields)
+        [f for f in df.schema.fields if f.name not in (output_col, "n_bpe_tokens")]
         + [
             StructField(output_col, ArrayType(StringType())),
             StructField("n_bpe_tokens", LongType()),
         ]
     )
+    df = df.drop(output_col, "n_bpe_tokens")
     lc = lowercase
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

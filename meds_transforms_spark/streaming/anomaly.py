@@ -77,6 +77,16 @@ def anomaly_stream(
 
         out = {c: [] for c in ("event_time", "value", "seen_before", "z_score", "is_anomaly")}
         for t, v in zip(pdf[time_col], pdf[value_col]):
+            # NULL/NaN values emit an unjudged row and are EXCLUDED from
+            # the update: one bad reading must not poison the key's
+            # state into all-NaN (silently disabling detection forever)
+            if pd.isna(v):
+                out["event_time"].append(t)
+                out["value"].append(None)
+                out["seen_before"].append(n)
+                out["z_score"].append(None)
+                out["is_anomaly"].append(False)
+                continue
             v = float(v)
             z = None
             if n >= min_events and m2 > 0:

@@ -44,3 +44,23 @@ def test_profile_column_subset(spark):
     df = spark.range(10).selectExpr("id", "id * 2 AS b")
     out = profile_table(df, columns=["b"], exact=True).collect()
     assert len(out) == 1 and out[0].column == "b"
+
+
+def test_profile_map_and_interval_columns_survive(spark):
+    """A map column must not fail the whole-table profile (maps are
+    neither hashable nor orderable), and interval-typed columns must not
+    false-match the numeric path via the 'int' prefix."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.profile import profile_table
+
+    df = spark.range(5).select(
+        "id",
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    out = {r.column: r for r in profile_table(df, exact=True).collect()}
+    assert out["m"].n_distinct is None and out["m"].n_nulls == 0
+    assert out["m"].min_value is None
+    assert out["id"].n_distinct == 5
+    assert out["flag"].min_value is None  # boolean is not numeric

@@ -255,3 +255,20 @@ def test_dsir_projection_matches_relational_serving(spark):
             for r in dsir_score_projection(df, model, n_buckets=64, hash_fn="md5_60").collect()}
     for did in rel:
         assert abs(rel[did] - proj[did]) < 1e-9, (did, rel[did], proj[did])
+
+
+def test_dsir_serve_bucket_mismatch_raises(spark):
+    import pytest
+
+    from meds_transforms_spark.operators.dsir import (
+        dsir_score,
+        dsir_score_projection,
+        fit_dsir_model,
+    )
+
+    df = _docs(spark, [(1, "tgt", "a b"), (2, "raw", "c d")])
+    model = fit_dsir_model(df, "source = 'tgt'", n_buckets=64)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_score(df, model, n_buckets=128).collect()
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_score_projection(df, model, n_buckets=32).collect()

@@ -104,3 +104,48 @@ def test_anomaly_stream_welford_matches_batch_stats(spark, tmp_path):
     prior = np.array(vals[:-1])
     expect_z = (vals[-1] - prior.mean()) / prior.std()
     assert abs(last.z_score - expect_z) < 1e-9
+
+
+def test_null_value_does_not_poison_state(spark, tmp_path):
+    """A NULL reading must pass through unjudged and leave the key's
+    Welford statistics intact for subsequent events."""
+    import datetime as dt
+
+    from meds_transforms_spark.streaming.anomaly import anomaly_stream
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_type string, ts timestamp, value double"
+    rows = [("m", base + dt.timedelta(seconds=i), 10.0 + (i % 3) * 0.5) for i in range(12)]
+    rows.append(("m", base + dt.timedelta(seconds=12), None))     # bad reading
+    rows.append(("m", base + dt.timedelta(seconds=13), 10.5))
+    rows.append(("m", base + dt.timedelta(seconds=14), 500.0))    # real spike
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = anomaly_stream(stream, z_threshold=3.0, min_events=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anomaly_null")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import time
+
+    try:
+        deadline = time.time() + 120
+        res = []
+        while time.time() < deadline:
+            res = spark.sql("SELECT * FROM anomaly_null ORDER BY event_time").collect()
+            if len(res) >= 15:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(res) == 15
+    null_row = [r for r in res if r.value is None][0]
+    assert null_row.z_score is None and not null_row.is_anomaly
+    spike = [r for r in res if r.value == 500.0][0]
+    assert spike.is_anomaly                   # state survived the NULL
+    assert spike.seen_before == 13            # the NULL never counted

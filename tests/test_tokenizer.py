@@ -131,3 +131,20 @@ def test_incremental_fit_matches_brute_force():
             for _ in range(300)
         }
         assert learn_merges(freqs, 60) == brute(freqs, 60), seed
+
+
+def test_bpe_encode_overwrites_existing_token_columns(spark):
+    """Composing after text_stats (which already adds an n_bpe_tokens
+    estimate) must overwrite, not duplicate, the column."""
+    from meds_transforms_spark.operators.text import text_stats
+    from meds_transforms_spark.operators.tokenizer import bpe_encode, fit_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the lowest tower in the town")], "doc_id long, text string"
+    )
+    staged = text_stats(docs)
+    merges = fit_bpe_merges(docs, num_merges=20)
+    out = bpe_encode(staged, merges)
+    assert out.columns.count("n_bpe_tokens") == 1
+    row = out.collect()[0]
+    assert row.n_bpe_tokens == len(row.bpe_tokens)  # the REAL count won
