@@ -83,6 +83,45 @@ def _cmd_gen_docs(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    """Generic corpus curation: read a document table (JSONL drop or
+    parquet), run a YAML stage pipeline over it, write parquet. The
+    corpus-side sibling of ``run`` — no MEDS dataset convention, any
+    frame-in/frame-out stage composes (gopher_quality_filter,
+    dedup, dsir_weights, pack_sequences, ...)."""
+    import json
+
+    from meds_transforms_spark import get_spark
+    from meds_transforms_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    spark = get_spark("meds_transforms_spark.curate")
+    if args.format == "jsonl":
+        from meds_transforms_spark.sources.jsonl_corpus import (
+            ingest_report,
+            read_jsonl_corpus,
+        )
+
+        docs, quarantine = read_jsonl_corpus(
+            spark, args.input, repartition_to=args.repartition
+        )
+        report = ingest_report(quarantine)
+        if args.quarantine:
+            quarantine.write.mode("overwrite").parquet(args.quarantine)
+        print(json.dumps({"ingest": report}))
+    else:
+        docs = spark.read.parquet(args.input)
+        if args.repartition:
+            docs = docs.repartition(args.repartition)
+    cfg = PipelineConfig.from_yaml(args.pipeline)
+    if args.override:
+        cfg.apply_overrides(args.override)
+    out, _ = Pipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir).run(docs)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} rows to {args.output}")
+    return 0
+
+
 def _cmd_list_stages(_args) -> int:
     from meds_transforms_spark.operators.base import registered_stages
 
@@ -112,6 +151,19 @@ def main(argv=None) -> int:
         "(repeatable; values parse as YAML)",
     )
     run.set_defaults(fn=_cmd_run)
+
+    cur = sub.add_parser(
+        "curate", help="run a YAML stage pipeline over a document corpus"
+    )
+    cur.add_argument("pipeline", help="pipeline YAML path")
+    cur.add_argument("--input", required=True, help="JSONL path/glob or parquet dir")
+    cur.add_argument("--format", choices=["jsonl", "parquet"], default="jsonl")
+    cur.add_argument("--output", required=True, help="output parquet dir")
+    cur.add_argument("--quarantine", default=None, help="malformed-line parquet dir")
+    cur.add_argument("--repartition", type=int, default=None)
+    cur.add_argument("--checkpoint-dir", default=None)
+    cur.add_argument("--override", "-o", action="append", default=[])
+    cur.set_defaults(fn=_cmd_curate)
 
     ls = sub.add_parser("list-stages", help="list registered stages")
     ls.set_defaults(fn=_cmd_list_stages)

@@ -64,3 +64,40 @@ def test_downstream_operators_apply_unchanged(spark, tmp_path):
     good, _ = read_jsonl_corpus(spark, str(tmp_path / "d.jsonl"))
     out = gopher_quality_filter(good, min_words=3, min_required_stopwords=1)
     assert out.filter("rule_word_count AND rule_stopwords").count() == 10
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """`python -m meds_transforms_spark curate`: JSONL drop → quarantine
+    split → YAML stage pipeline → parquet, driven in-process."""
+    import json
+
+    from meds_transforms_spark.__main__ import main
+
+    lines = [
+        json.dumps({"doc_id": 1, "text": "the quick brown fox and the dog ran home today", "source": "tgt"}),
+        json.dumps({"doc_id": 2, "text": "tiny", "source": "raw"}),
+        "corrupt {not json",
+        json.dumps({"doc_id": 3, "text": "all of the words that have to be here and more beyond", "source": "raw"}),
+    ]
+    (tmp_path / "drop.jsonl").write_text("\n".join(lines) + "\n")
+    (tmp_path / "pipe.yaml").write_text(
+        """
+stages:
+  - gopher_quality_filter: {min_words: 8, min_required_stopwords: 1}
+  - filter_rows: {matcher: {gopher_pass: true}}
+  - dsir_weights: {target: "source = 'tgt'", n_buckets: 64}
+"""
+    )
+    rc = main([
+        "curate", str(tmp_path / "pipe.yaml"),
+        "--input", str(tmp_path / "drop.jsonl"),
+        "--output", str(tmp_path / "out"),
+        "--quarantine", str(tmp_path / "quar"),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {1, 3}                                  # doc 2 filtered
+    assert "dsir_logweight" in out.columns
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert quar.count() == 1
