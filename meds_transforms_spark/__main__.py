@@ -104,9 +104,18 @@ def _cmd_curate(args) -> int:
         docs, quarantine = read_jsonl_corpus(
             spark, args.input, repartition_to=args.repartition
         )
-        report = ingest_report(quarantine)
+        # one parse of the drop for the audit path: cache the (small)
+        # quarantine side before its count + samples, and when writing
+        # it, derive the report from the WRITTEN parquet instead —
+        # gzip JSONL is unsplittable, so every redundant pass over the
+        # raw drop is a serial full decompress
         if args.quarantine:
             quarantine.write.mode("overwrite").parquet(args.quarantine)
+            report = ingest_report(spark.read.parquet(args.quarantine))
+        else:
+            quarantine = quarantine.persist()
+            report = ingest_report(quarantine)
+            quarantine.unpersist(blocking=False)
         print(json.dumps({"ingest": report}))
     else:
         docs = spark.read.parquet(args.input)
@@ -115,7 +124,9 @@ def _cmd_curate(args) -> int:
     cfg = PipelineConfig.from_yaml(args.pipeline)
     if args.override:
         cfg.apply_overrides(args.override)
-    out, _ = Pipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir).run(docs)
+    out, _ = Pipeline(
+        spark, cfg, checkpoint_dir=args.checkpoint_dir, resume=args.resume
+    ).run(docs)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"wrote {n} rows to {args.output}")
@@ -162,6 +173,7 @@ def main(argv=None) -> int:
     cur.add_argument("--quarantine", default=None, help="malformed-line parquet dir")
     cur.add_argument("--repartition", type=int, default=None)
     cur.add_argument("--checkpoint-dir", default=None)
+    cur.add_argument("--resume", action="store_true")
     cur.add_argument("--override", "-o", action="append", default=[])
     cur.set_defaults(fn=_cmd_curate)
 

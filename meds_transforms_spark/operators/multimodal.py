@@ -109,6 +109,8 @@ def parse_image_dims(payload: bytes) -> tuple[int | None, int | None]:
     if payload is None or len(payload) < 12:
         return None, None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24:  # truncated header: fail soft, not struct.error
+            return None, None
         w, h = struct.unpack(">II", payload[16:24])
         return w, h
     if payload[:3] == b"\xff\xd8\xff":
@@ -120,9 +122,15 @@ def parse_image_dims(payload: bytes) -> tuple[int | None, int | None]:
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return w, h
+            if marker in (0x01, *range(0xD0, 0xDA)):  # length-less markers
+                i += 2
+                continue
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             i += 2 + seg_len
         return None, None
@@ -349,6 +357,27 @@ WAV_DECODE_SCHEMA = (
 )
 
 
+def _pcm16_samples(payload: bytes):
+    """(rate, channels, mono float64 samples | None): the shared RIFF
+    fmt/data walk + 16-bit PCM decode used by decode_wav_pcm and
+    wav_spectrogram_features — one place to extend for EXTENSIBLE or
+    24-bit formats."""
+    import numpy as np
+
+    chunks = _wav_chunks(payload)
+    fmt, data = chunks.get(b"fmt "), chunks.get(b"data")
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None, None, None
+    audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits != 16 or len(data) < 2:
+        return rate, ch, None
+    x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+        np.float64
+    ) / 32768.0
+    return rate, ch, x
+
+
 @register_stage("decode_wav_pcm")
 def decode_wav_pcm(
     df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id"
@@ -372,24 +401,15 @@ def decode_wav_pcm(
                 "n_samples": [], "rms": [], "peak": [], "mean": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                chunks = _wav_chunks(payload)
-                fmt, data = chunks.get(b"fmt "), chunks.get(b"data")
-                ok = fmt is not None and len(fmt) >= 16 and data is not None
-                rate = ch = None
+                rate, ch, x = _pcm16_samples(payload)
                 stats = (None, None, None, None)
-                if ok:
-                    audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
-                    (bits,) = struct.unpack("<H", fmt[14:16])
-                    if audio_fmt == 1 and bits == 16 and len(data) >= 2:
-                        x = np.frombuffer(
-                            data[: len(data) - (len(data) % 2)], dtype="<i2"
-                        ).astype(np.float64) / 32768.0
-                        stats = (
-                            len(x),
-                            float(np.sqrt(np.mean(x * x))),
-                            float(np.max(np.abs(x))),
-                            float(np.mean(x)),
-                        )
+                if x is not None and len(x):
+                    stats = (
+                        len(x),
+                        float(np.sqrt(np.mean(x * x))),
+                        float(np.max(np.abs(x))),
+                        float(np.mean(x)),
+                    )
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
                 rows["channels"].append(ch)
@@ -467,19 +487,12 @@ def wav_spectrogram_features(
             for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
                 feats, nf = None, None
                 try:
-                    chunks = _wav_chunks(payload)
-                    fmt, data = chunks.get(b"fmt "), chunks.get(b"data")
-                    if fmt is not None and len(fmt) >= 16 and data is not None:
-                        audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
-                        (bits,) = struct.unpack("<H", fmt[14:16])
-                        if audio_fmt == 1 and bits == 16 and len(data) >= 2 * frame:
-                            x = np.frombuffer(
-                                data[: len(data) - (len(data) % 2)], dtype="<i2"
-                            ).astype(np.float64) / 32768.0
+                    rate, ch, x = _pcm16_samples(payload)
+                    if x is not None and len(x) >= frame:
                             if ch and ch > 1:  # downmix interleaved channels
                                 x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
                             n = 1 + (len(x) - frame) // hop
-                            if n > 0:
+                            if n > 0 and len(x) >= frame:
                                 idx = (
                                     np.arange(frame)[None, :]
                                     + hop * np.arange(n)[:, None]

@@ -255,7 +255,9 @@ class Pipeline:
                     if code_metadata is None or spec.resolved_name == "fit_vocabulary_indices"
                     else join_and_replace(new_meta, code_metadata, keys)
                 )
-                code_metadata = self._checkpoint(code_metadata, i, spec.name)
+                code_metadata = self._checkpoint(
+                    code_metadata, i, spec.name, is_metadata=True
+                )
             else:
                 if spec.match_revise:
                     from meds_transforms_spark.operators.match_revise import match_revise
@@ -266,20 +268,17 @@ class Pipeline:
                     )
                 else:
                     data = stage(data, **cfg)
-                data = self._checkpoint(data, i, spec.name)
+                data = self._checkpoint(data, i, spec.name, is_metadata=False)
         return data, code_metadata
 
-    def _checkpoint(self, df: DataFrame, idx: int, name: str) -> DataFrame:
+    def _checkpoint(
+        self, df: DataFrame, idx: int, name: str, is_metadata: bool
+    ) -> DataFrame:
         if not self.checkpoint_dir:
             return df
         path = os.path.join(self.checkpoint_dir, f"{idx:02d}_{name}")
         write_parquet(df, path)
-        is_meta = False
-        try:
-            is_meta = get_stage(self.config.stages[idx].resolved_name).is_metadata
-        except Exception:
-            pass
-        self._record_metrics(path, idx, name, is_meta, False)
+        self._record_metrics(path, idx, name, is_metadata, False)
         return self.spark.read.parquet(path)
 
     def _record_metrics(
