@@ -2243,10 +2243,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": r"""
             SELECT doc_id FROM (
-              SELECT doc_id,
+              SELECT doc_id, text,
                      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS keeper
               FROM documents
-            ) WHERE doc_id = keeper
+            ) WHERE text IS NULL OR doc_id = keeper
         """,
         "docs_line_dedup": r"""
             WITH t AS (
@@ -2950,7 +2950,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(n) AS BIGINT) AS n_docs,
                      CAST(sum(tok) AS BIGINT) AS n_tokens,
                      CAST(sum(ch) AS BIGINT) AS n_chars,
-                     CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dups
+                     CAST(sum(CASE WHEN norm IS NOT NULL THEN n ELSE 0 END)
+                          - sum(CASE WHEN norm IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_exact_dups
               FROM g GROUP BY source
             ), lc AS (
               SELECT source, lang_pred, count(*) AS ln FROM l GROUP BY 1, 2
@@ -2994,7 +2996,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               )
             ), n AS (
-              SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nn FROM documents
+              SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nn FROM toks
             ), d AS (
               SELECT tok, count(*) AS df FROM toks GROUP BY tok
             ), p AS (
@@ -3076,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
               FROM bands b JOIN reps r USING (bucket) GROUP BY b.doc_id
             )
             SELECT doc_id FROM doc_rep WHERE doc_id = rep
+            UNION ALL SELECT doc_id FROM documents WHERE text IS NULL
         """,
         "docs_semantic_search": r"""
             WITH q AS (

@@ -119,9 +119,12 @@ def exact_dedup(
     c = F.col(text_col)
     key = F.xxhash64(_normalized(c) if normalize else c)
     keeper = F.min(id_col).over(W.partitionBy("__key"))
+    # NULL text never deduplicates: xxhash64(NULL) is a CONSTANT (the
+    # seed), so without the guard every null-text row in the corpus
+    # would silently collapse into one survivor
     return (
         df.withColumn("__key", key)
-        .withColumn("__keep", keeper == F.col(id_col))
+        .withColumn("__keep", c.isNull() | (keeper == F.col(id_col)))
         .filter(F.col("__keep"))
         .drop("__key", "__keep")
     )
@@ -273,15 +276,21 @@ def minhash_lsh_dedup(
     join-back against the bucket table."""
     from pyspark.sql import Window as W
 
+    # NULL-text docs produce a shared degenerate (empty-signature)
+    # bucket and would all collapse into one — they are not candidates
+    # at all; bucket the non-null side and pass nulls through
+    with_text = df.filter(F.col(text_col).isNotNull())
     buckets = lsh_band_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle_k, hash_fn
+        with_text, text_col, id_col, num_hashes, bands, shingle_k, hash_fn
     )
     with_rep = buckets.withColumn(
         "__rep", F.min(id_col).over(W.partitionBy("__bucket"))
     )
     doc_rep = with_rep.groupBy(id_col).agg(F.min("__rep").alias("__rep"))
     survivors = doc_rep.filter(F.col(id_col) == F.col("__rep")).select(id_col)
-    return df.join(survivors, id_col, "left_semi")
+    return with_text.join(survivors, id_col, "left_semi").unionByName(
+        df.filter(F.col(text_col).isNull())
+    )
 
 
 SIMHASH_BITS = 63  # ≤63: Spark 4 ANSI mode errors on LongType overflow
@@ -402,12 +411,13 @@ def ngram_jaccard_pairs(
     # count — no per-pair array intersections (array HOFs run
     # interpreted), and only pairs sharing ≥1 gram ever materialize,
     # which is exactly the support of jaccard > 0.
-    grams = (
-        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
-        .select(
-            F.col(id_col), F.explode(word_ngrams_of(F.col("__toks"), n)).alias("__g")
-        )
-        .dropDuplicates([id_col, "__g"])
+    # word_ngrams_of already array_distincts per doc, so the explode
+    # emits unique (id, gram) rows — a dropDuplicates here would
+    # re-shuffle the gram stream (the plan's largest frame) for nothing
+    grams = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col), F.explode(word_ngrams_of(F.col("__toks"), n)).alias("__g")
     )
     if max_gram_df is not None:
         # Drop ultra-common grams: a gram in d docs contributes d² join
@@ -480,7 +490,10 @@ def embedding_cosine_dedup(
         hyperplane_bucket_exact,
     )
 
-    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not probe:
+        return df  # empty input: nothing to dedup (and no dim to probe)
+    dim = probe[0]["d"]
     if exact:
         bucketed = df.withColumn(
             "__bucket", hyperplane_bucket_exact(F.col(vec_col), dim, num_planes)

@@ -120,8 +120,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language guess: argmax over per-language hit counts.
 
     Pure array built-ins: tokenize once, intersect with each language's
-    stopword set, take the best-scoring language (ties → lexicographic
-    first for determinism); no hits at all → 'und' (undetermined).
+    stopword set, take the best-scoring language (array_max on the
+    (hits, lang) struct — equal-hit ties resolve to the
+    lexicographically LAST language code, deterministically); no hits
+    at all → 'und' (undetermined).
     """
     toks = F.array_distinct(_tokens(F.lower(F.col(text_col))))
     scored = F.array(
@@ -162,9 +164,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -
     """64-bit content fingerprint: xxhash64 over whitespace/case-normalized
     text. The normalization makes trivially-reformatted copies collide —
     the exact-dedup key at scale."""
+    from meds_transforms_spark.operators.dedup import _normalized
+
     c = F.col(text_col)
     if normalize:
-        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+        c = _normalized(c)  # the SAME normalization exact_dedup keys on
     return df.withColumn("fingerprint", F.xxhash64(c))
 
 
@@ -576,9 +580,11 @@ def token_pmi(
     5·10¹¹ pairs); ``min_pair_docs`` prunes the long tail before the
     DF join. Outputs ``(tok_a, tok_b, n_ab, df_a, df_b, pmi)``.
     """
-    toks = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(_tokens(F.lower(F.col(text_col))))).alias("tok"))
-        .dropDuplicates([id_col, "tok"])
+    # explode(array_distinct(...)) already emits unique (id, tok) rows —
+    # a dropDuplicates here would re-shuffle the largest frame for nothing
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(F.lower(F.col(text_col))))).alias("tok"),
     )
     if max_doc_tokens is not None:
         from pyspark.sql import Window as W
@@ -588,7 +594,10 @@ def token_pmi(
             .filter(F.col("__n") <= int(max_doc_tokens))
             .drop("__n")
         )
-    n_docs = df.select(id_col).distinct().count()
+    # N must be the doc universe the df_a/df_b/n_ab counts live in — the
+    # docs SURVIVING the cap with ≥1 token; counting all of df would
+    # uniformly inflate every PMI by ln(N_all/N_retained)
+    n_docs = toks.select(id_col).distinct().count()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     a = toks.select(F.col(id_col), F.col("tok").alias("tok_a"))
     b = toks.select(F.col(id_col), F.col("tok").alias("tok_b"))
@@ -635,8 +644,15 @@ def corpus_report(
     (group, fingerprint). Dominant language = mode of the per-doc
     stopword guess (ties lexicographic via max on (count, lang)).
     """
+    from meds_transforms_spark.operators.dedup import _normalized
+
     toks = _tokens(F.lower(F.col(text_col)))
-    fp = F.xxhash64(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    # the SAME normalized fingerprint exact_dedup keys on — the report's
+    # dup_rate must predict what that operator would actually remove.
+    # NULL-text docs keep a NULL fingerprint and are excluded from the
+    # dup count below: they can't be "exact duplicates" of anything
+    # (hashing NULL yields the seed constant and would collapse them).
+    fp = F.when(F.col(text_col).isNotNull(), F.xxhash64(_normalized(F.col(text_col))))
     base = language_id(
         df.select(
             F.col(group_col).alias("__g"),
@@ -654,11 +670,16 @@ def corpus_report(
         F.sum("__ntok").alias("__tok"),
         F.sum("__nchar").alias("__chr"),
     )
+    nn = F.when(F.col("__fp").isNotNull(), F.col("__n")).otherwise(0)
     per_group = per_fp.groupBy("__g").agg(
         F.sum("__n").alias("n_docs"),
         F.sum("__tok").alias("n_tokens"),
         F.sum("__chr").alias("n_chars"),
-        (F.sum("__n") - F.count(F.lit(1))).alias("n_exact_dups"),
+        # dup mass over HASHED docs only: the NULL-fingerprint group is
+        # null-text docs, which are never duplicates of each other
+        (F.sum(nn) - F.sum(F.when(F.col("__fp").isNotNull(), 1).otherwise(0))).alias(
+            "n_exact_dups"
+        ),
     )
     lang_counts = base.groupBy("__g", "lang_pred").agg(
         F.count(F.lit(1)).alias("__ln")

@@ -272,3 +272,36 @@ def test_dsir_serve_bucket_mismatch_raises(spark):
         dsir_score(df, model, n_buckets=128).collect()
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_score_projection(df, model, n_buckets=32).collect()
+
+
+def test_null_text_never_deduplicates(spark):
+    """xxhash64(NULL) is a constant: without explicit guards every
+    null-text row would collapse into one survivor in exact_dedup and
+    the degenerate empty-signature bucket in minhash_lsh_dedup."""
+    from meds_transforms_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    assert sorted(r.doc_id for r in exact_dedup(df).collect()) == [1, 3, 4, 5]
+    assert sorted(r.doc_id for r in minhash_lsh_dedup(df).collect()) == [1, 3, 4, 5]
+
+
+def test_corpus_report_null_text_not_counted_as_dups(spark):
+    from meds_transforms_spark.operators.text import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "s", "dup"), (2, "s", "dup"), (3, "s", None), (4, "s", None)],
+        "doc_id long, source string, text string",
+    )
+    row = corpus_report(df).collect()[0]
+    assert row.n_docs == 4
+    assert row.n_exact_dups == 1          # only the real text dup
+
+
+def test_embedding_cosine_dedup_empty_input(spark):
+    from meds_transforms_spark.operators.dedup import embedding_cosine_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_cosine_dedup(empty).count() == 0
