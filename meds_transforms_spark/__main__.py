@@ -133,6 +133,23 @@ def _cmd_curate(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    import json
+
+    from meds_transforms_spark import get_spark
+    from meds_transforms_spark.sources.compaction import compact_parquet
+
+    spark = get_spark("meds_transforms_spark.compact")
+    report = compact_parquet(
+        spark,
+        args.path,
+        target_mb=args.target_mb,
+        sort_cols=args.sort_cols.split(",") if args.sort_cols else None,
+    )
+    print(json.dumps(report))
+    return 0
+
+
 def _cmd_list_stages(_args) -> int:
     from meds_transforms_spark.operators.base import registered_stages
 
@@ -176,6 +193,14 @@ def main(argv=None) -> int:
     cur.add_argument("--resume", action="store_true")
     cur.add_argument("--override", "-o", action="append", default=[])
     cur.set_defaults(fn=_cmd_curate)
+
+    comp = sub.add_parser(
+        "compact", help="rewrite a parquet dir to ~target-MB files"
+    )
+    comp.add_argument("--path", required=True)
+    comp.add_argument("--target-mb", type=int, default=256)
+    comp.add_argument("--sort-cols", default=None, help="comma-separated")
+    comp.set_defaults(fn=_cmd_compact)
 
     ls = sub.add_parser("list-stages", help="list registered stages")
     ls.set_defaults(fn=_cmd_list_stages)

@@ -1,0 +1,60 @@
+"""Tests for parquet small-files compaction (sources/compaction)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.sources.compaction import compact_parquet, dir_stats
+
+
+def test_compacts_many_small_files(spark, tmp_path):
+    path = str(tmp_path / "d")
+    spark.range(50_000).select(
+        "id", (F.col("id") % 97).cast("double").alias("v")
+    ).repartition(40).write.parquet(path)
+    assert dir_stats(path)["files"] == 40
+    report = compact_parquet(spark, path, target_mb=256)
+    assert report["compacted"]
+    assert report["after"]["files"] < 40
+    assert report["after"]["rows"] == report["before"]["rows"] == 50_000
+    # data intact
+    got = spark.read.parquet(path)
+    assert got.count() == 50_000
+    assert got.agg(F.sum("id")).first()[0] == 50_000 * 49_999 // 2
+    # no temp/old residue
+    assert not glob.glob(str(tmp_path / "d._compact_*"))
+
+
+def test_sorted_compaction_establishes_clustered_layout(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "s")
+    spark.range(40_000).select(
+        (F.col("id") % 1000).alias("k"), "id"
+    ).repartition(20).write.parquet(path)
+    # force a multi-file target so per-file ranges are meaningful
+    report = compact_parquet(spark, path, target_mb=256, sort_cols=["k"])
+    assert report["compacted"]
+    files = glob.glob(path + "/*.parquet")
+    if len(files) > 1:
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            i = names.index("k")
+            st = [md.row_group(g).column(i).statistics for g in range(md.num_row_groups)]
+            spans.append((min(s.min for s in st), max(s.max for s in st)))
+        spans.sort()
+        # range-partitioned: file ranges must not interleave
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi <= b_lo + 1
+
+
+def test_noop_when_already_compact(spark, tmp_path):
+    path = str(tmp_path / "n")
+    spark.range(100).coalesce(1).write.parquet(path)
+    report = compact_parquet(spark, path, target_mb=256)
+    assert not report["compacted"]
+    assert spark.read.parquet(path).count() == 100
