@@ -1046,6 +1046,23 @@ def q_multimodal_frames(spark, sf_dir):
     return out.select("doc_id", "frame_index", "source_frame")
 
 
+def q_docs_validate(spark, sf_dir):
+    """Corpus contract gate (operators/validate.validate_corpus): one
+    aggregation pass counting null/duplicate ids, null text, oversize
+    docs. The clean corpus would report nothing, so the query injects
+    deterministic violations (a duplicated id, a null-text row, an
+    oversize row) and the oracle recomputes each counter."""
+    from meds_transforms_spark.operators.validate import validate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bad = spark.createDataFrame(
+        [(0, "dup of doc zero"), (None, "no id"), (999_999, "x" * 2_001)],
+        "doc_id long, text string",
+    )
+    out = validate_corpus(docs.unionByName(bad), max_chars=2_000)
+    return out.orderBy("rule")
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1558,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "docs_assign_ids": q_docs_assign_ids,
         "multimodal_frames": q_multimodal_frames,
+        "docs_validate": q_docs_validate,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
@@ -2916,6 +2934,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(u.i AS INT) AS frame_index,
                    CAST(u.i * 10 AS INT) AS source_frame
             FROM p, unnest(generate_series(0, p.n_frames - 1)) AS u(i)
+        """,
+        "docs_validate": r"""
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT 0, 'dup of doc zero'
+              UNION ALL SELECT NULL, 'no id'
+              UNION ALL SELECT 999999, repeat('x', 2001)
+            ), agg AS (
+              SELECT
+                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_id,
+                CAST(count(CASE WHEN doc_id IS NOT NULL THEN 1 END)
+                     - count(DISTINCT doc_id) AS BIGINT) AS duplicate_id,
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+                CAST(sum(CASE WHEN length(text) > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS oversize_text
+              FROM all_docs
+            ), melted AS (
+              SELECT 'null_id' AS rule, null_id AS n_violations FROM agg
+              UNION ALL SELECT 'duplicate_id', duplicate_id FROM agg
+              UNION ALL SELECT 'null_text', null_text FROM agg
+              UNION ALL SELECT 'oversize_text', oversize_text FROM agg
+            )
+            SELECT rule, n_violations FROM melted WHERE n_violations > 0
+            ORDER BY rule
         """,
         "docs_corpus_report": r"""
             WITH t AS (

@@ -78,3 +78,61 @@ def validate_meds(df: DataFrame, strict: bool = False) -> DataFrame:
         if rows:
             raise ValueError(f"MEDS validation failed: {[(r.rule, r.n_violations) for r in rows]}")
     return out
+
+
+@register_stage("validate_corpus")
+def validate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 10_000_000,
+    strict: bool = False,
+) -> DataFrame:
+    """Document-corpus contract checks: ``(rule, n_violations)`` rows,
+    empty = clean. The ingest gate before dedup/quality/training ever
+    run — each rule is a condition every downstream operator assumes:
+
+    - ``null_id`` / ``duplicate_id``: ids drive dedup keeper election,
+      stable-id ranking, pack assignment — NULL or colliding ids make
+      those silently wrong, not erroring.
+    - ``null_text`` (reported, not fatal): operators handle NULL text
+      fail-soft, but a high count usually means a broken extractor.
+    - ``oversize_text``: a pathological document (``> max_chars``)
+      dominates any per-doc quadratic (PMI pairs, within-doc line
+      dedup) and skews packing.
+
+    One aggregation pass (duplicate detection is a count-vs-distinct
+    on the id — no expand, no self-join); ``strict=True`` raises.
+    """
+    spark = df.sparkSession
+    missing = [c for c in (id_col, text_col) if c not in df.columns]
+    if missing:
+        out = spark.createDataFrame(
+            [(f"missing_column:{c}", 1) for c in missing],
+            "rule string, n_violations long",
+        )
+    else:
+        agg = df.agg(
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias("null_id"),
+            (
+                F.count(F.when(F.col(id_col).isNotNull(), 1))
+                - F.count_distinct(F.col(id_col))
+            ).alias("duplicate_id"),
+            F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0)).alias("null_text"),
+            F.sum(
+                F.when(F.length(F.col(text_col)) > int(max_chars), 1).otherwise(0)
+            ).alias("oversize_text"),
+        )
+        out = agg.unpivot(
+            [], ["null_id", "duplicate_id", "null_text", "oversize_text"],
+            "rule", "n_violations",
+        ).filter(F.col("n_violations") > 0)
+    if strict:
+        rows = out.collect()
+        if rows:
+            raise ValueError(
+                "corpus validation failed: "
+                + ", ".join(f"{r.rule}={r.n_violations}" for r in rows)
+            )
+        return out.sparkSession.createDataFrame([], "rule string, n_violations long")
+    return out

@@ -55,3 +55,23 @@ def test_approx_aggregations(spark, meds_df):
     # No expand in the plan: approx distinct is a sketch aggregate.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_validate_corpus_rules_and_strict(spark):
+    import pytest
+
+    from meds_transforms_spark.operators.validate import validate_corpus
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (4, None), (5, "x" * 50)],
+        "doc_id long, text string",
+    )
+    out = {r.rule: r.n_violations for r in validate_corpus(df, max_chars=10).collect()}
+    assert out == {"null_id": 1, "duplicate_id": 1, "null_text": 1, "oversize_text": 1}
+    with pytest.raises(ValueError, match="duplicate_id"):
+        validate_corpus(df, max_chars=10, strict=True)
+    clean = spark.createDataFrame([(1, "ok"), (2, "fine")], "doc_id long, text string")
+    assert validate_corpus(clean, strict=True).count() == 0
+    missing = spark.createDataFrame([(1,)], "other long")
+    rules = {r.rule for r in validate_corpus(missing).collect()}
+    assert rules == {"missing_column:doc_id", "missing_column:text"}
