@@ -1534,7 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # five highest-value round-2c queries (gopher, dsir, zorder,
     # curation e2e, semantic dedup) fill the window exactly; the
     # remaining round-2c queries (profile, anomaly, assign_ids, frames,
-    # bpe) queue just outside it for the next round. Everything is
+    # validate, bpe) queue just outside it for the next round. Everything is
     # locally verified by scripts/check_oracles.py (103/103 green);
     # r01-green queries fill the tail.
     return {
