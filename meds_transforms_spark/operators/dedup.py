@@ -345,8 +345,12 @@ def simhash_dedup(
     band_bits: int = 16,
 ) -> DataFrame:
     """Near-dedup on simhash: docs sharing any ~16-bit band collapse
-    (pigeonhole: catches all pairs within Hamming distance n_bands−1)."""
-    sig = simhash_table(df, text_col, id_col)
+    (pigeonhole: catches all pairs within Hamming distance n_bands−1).
+
+    NULL-text docs all carry the zero signature and would collapse into
+    one — like minhash, they bypass signatures and pass through."""
+    with_text = df.filter(F.col(text_col).isNotNull())
+    sig = simhash_table(with_text, text_col, id_col)
     n_bands = (SIMHASH_BITS + band_bits - 1) // band_bits
     mask = (1 << band_bits) - 1
     buckets = sig.select(
@@ -372,7 +376,9 @@ def simhash_dedup(
     )
     doc_rep = with_rep.groupBy(id_col).agg(F.min("__rep").alias("__rep"))
     survivors = doc_rep.filter(F.col(id_col) == F.col("__rep")).select(id_col)
-    return df.join(survivors, id_col, "left_semi")
+    return with_text.join(survivors, id_col, "left_semi").unionByName(
+        df.filter(F.col(text_col).isNull())
+    )
 
 
 @register_stage("ngram_jaccard_pairs")

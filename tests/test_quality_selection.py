@@ -287,6 +287,10 @@ def test_null_text_never_deduplicates(spark):
     assert sorted(r.doc_id for r in exact_dedup(df).collect()) == [1, 3, 4, 5]
     assert sorted(r.doc_id for r in minhash_lsh_dedup(df).collect()) == [1, 3, 4, 5]
 
+    from meds_transforms_spark.operators.dedup import simhash_dedup
+
+    assert sorted(r.doc_id for r in simhash_dedup(df).collect()) == [1, 3, 4, 5]
+
 
 def test_corpus_report_null_text_not_counted_as_dups(spark):
     from meds_transforms_spark.operators.text import corpus_report
