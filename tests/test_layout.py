@@ -142,3 +142,44 @@ def test_zorder_null_dimension_values_get_min_bucket(spark):
     assert out[2] is not None               # null dim → bucket 0, not null key
     assert out[2] == _morton(0, 255)
     assert out[1] == 0 and out[3] == _morton(255, 255)
+
+
+def test_zorder_key_property_matches_reference(spark):
+    """Hypothesis sweep: for any set of (x, y) integer points, the
+    engine's Morton key equals the pure-python interleave of the
+    min/max-normalized buckets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from meds_transforms_spark.operators.layout import zorder_key
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 10_000)),
+            min_size=2,
+            max_size=12,
+            unique=True,
+        )
+    )
+    def check(points):
+        bits = 6
+        top = (1 << bits) - 1
+        rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(points)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = {r.id: r.zkey for r in zorder_key(df, ["x", "y"], bits=bits).collect()}
+        xs, ys = [p[0] for p in points], [p[1] for p in points]
+        lox, hix, loy, hiy = min(xs), max(xs), min(ys), max(ys)
+
+        def bucket(v, lo, hi):
+            if hi <= lo:
+                return 0
+            import math
+            return min(max(int(math.floor((v - lo) / (hi - lo) * top)), 0), top)
+
+        for i, (x, y) in enumerate(points):
+            assert got[i] == _morton(bucket(x, lox, hix), bucket(y, loy, hiy), bits), (
+                i, x, y, points,
+            )
+
+    check()
