@@ -786,12 +786,17 @@ def q_emb_covariance(spark, sf_dir):
     embedding_covariance): per-Arrow-batch BLAS partial Gram matrices
     (one 4 KB row per batch — the corpus is never shuffled), summed and
     assembled into the (i, j, cov) population covariance relationally.
-    The oracle recomputes the full covariance from scratch in SQL;
-    rounded to 6 to absorb summation-order ULPs."""
+    quantize_scale=1e6 runs the integer-exact mode: coordinates are
+    quantized to scaled LONGs so every sum is order-independent and
+    the result is bit-identical under any partitioning; the oracle
+    recomputes the same quantized covariance from scratch in SQL with
+    the identical (s/S)/N op order."""
     from meds_transforms_spark.operators.linalg import embedding_covariance
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_covariance(emb, upper_only=True, round_to=6)
+    return embedding_covariance(
+        emb, upper_only=True, round_to=6, quantize_scale=10**6
+    )
 
 
 def q_docs_incremental_dedup(spark, sf_dir):
@@ -1068,10 +1073,15 @@ def q_docs_bpe_tokens(spark, sf_dir):
     the corpus word-frequency table (distributed count, driver merge
     loop — the standard BPE-trainer shape), then Arrow-batched encode
     with a per-batch word cache. Iterative merge application has no
-    relational form, so this query is rows-only checked (no oracle) —
-    correctness is covered by tests/test_tokenizer.py including a
-    driver-side reference-encode equality test and a lossless
-    roundtrip property test."""
+    relational form, so the oracle reads a GOLDEN table
+    (tests/golden/bpe_tokens_golden.parquet, built by
+    scripts/build_bpe_golden.py) computed by an independent pure-python
+    pipeline: Counter-based word counts + sequential-in-rank-order
+    merge application (the classic Sennrich formulation, vs the
+    engine's GPT-2 lowest-rank-first loop). The golden keys on total
+    corpus chars so the same SQL picks the right slice at any sf.
+    Further covered by tests/test_tokenizer.py (reference-encode
+    equality + lossless roundtrip property)."""
     from meds_transforms_spark.operators.tokenizer import bpe_encode, fit_bpe_merges
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1527,18 +1537,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks a
-    # capped prefix (~50) of this dict, so queries without a green driver
-    # row from a prior round register FIRST: the 44 unchecked after r01
-    # (tpch_q2-q22, minhash/simhash/LSH family, round-2 additions),
-    # events_sessions (r01 hash artifact, BIGINT cast fix), then the
-    # five highest-value round-2c queries (gopher, dsir, zorder,
-    # curation e2e, semantic dedup) fill the window exactly; the
-    # remaining round-2c queries (profile, anomaly, assign_ids, frames,
-    # validate, bpe) queue just outside it for the next round. Everything is
-    # locally verified by scripts/check_oracles.py (103/103 green);
-    # r01-green queries fill the tail.
+    # capped prefix (~50) of this dict, so queries without a green
+    # driver row register FIRST. Round-3 window: the 4 r02 hash-parity
+    # fixes (tpch_q12/docs_pack/docs_curation_e2e: BIGINT oracle casts;
+    # emb_covariance: integer-exact quantize mode), the 6 never-checked
+    # round-2c queries (profile, anomaly, assign_ids, frames, validate,
+    # bpe — bpe now carries a golden-table oracle), then new round-3
+    # queries; previously-green unchanged queries fill the tail beyond
+    # slot 50. Everything is locally verified by
+    # scripts/check_oracles.py before registration.
     return {
-        **_tpch_suite.QUERIES,
+        # --- round-3 driver window: 4 r02 hash-parity fixes ---
+        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
+        "docs_pack": q_docs_pack,
+        "docs_curation_e2e": q_docs_curation_e2e,
+        "emb_covariance": q_emb_covariance,
+        # --- 6 never-driver-checked round-2c queries ---
+        "events_profile": q_events_profile,
+        "events_anomaly": q_events_anomaly,
+        "docs_assign_ids": q_docs_assign_ids,
+        "multimodal_frames": q_multimodal_frames,
+        "docs_validate": q_docs_validate,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        # --- new round-3 queries go here (before the green tail) ---
+        # --- green tail (driver-green in r01/r02, unchanged) ---
+        **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
         "docs_tfidf": q_docs_tfidf,
         "docs_semantic_search": q_docs_semantic_search,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -1549,7 +1572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "docs_decontaminate": q_docs_decontaminate,
         "events_funnel": q_events_funnel,
-        "docs_pack": q_docs_pack,
         "emb_cluster_balance": q_emb_cluster_balance,
         "docs_line_dedup": q_docs_line_dedup,
         "docs_substring_dedup": q_docs_substring_dedup,
@@ -1558,7 +1580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "docs_domain_stats": q_docs_domain_stats,
         "docs_quality_classifier": q_docs_quality_classifier,
-        "emb_covariance": q_emb_covariance,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_chunk": q_docs_chunk,
         "events_keep_latest": q_events_keep_latest,
@@ -1569,14 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_dsir_weights": q_docs_dsir_weights,
         "events_zorder": q_events_zorder,
-        "docs_curation_e2e": q_docs_curation_e2e,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        "events_profile": q_events_profile,
-        "events_anomaly": q_events_anomaly,
-        "docs_assign_ids": q_docs_assign_ids,
-        "multimodal_frames": q_multimodal_frames,
-        "docs_validate": q_docs_validate,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
         "meds_agg_code_metadata": q_meds_agg_code_metadata,
         "meds_agg_rollup": q_meds_agg_rollup,
         "meds_agg_quantiles": q_meds_agg_quantiles,
@@ -2422,10 +2436,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_covariance": """
             WITH e AS (
-              SELECT CAST(embedding AS DOUBLE[]) AS v
+              SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
               FROM embeddings WHERE embedding IS NOT NULL
             ), n AS (
-              SELECT CAST(count(*) AS DOUBLE) AS nn FROM e
+              SELECT count(*) AS nn FROM e
             ), p AS (
               SELECT CAST(i.range AS INT) - 1 AS i, CAST(j.range AS INT) - 1 AS j,
                      sum(e.v[CAST(i.range AS INT)] * e.v[CAST(j.range AS INT)]) AS sxy
@@ -2437,7 +2452,9 @@ def oracle_sql() -> dict[str, str]:
               FROM e, range(1, 65) i GROUP BY 1
             )
             SELECT p.i, p.j,
-                   round(p.sxy / n.nn - (mi.sx / n.nn) * (mj.sx / n.nn), 6) AS cov
+                   round((CAST(p.sxy AS DOUBLE) / 1000000000000.0) / nn
+                         - ((CAST(mi.sx AS DOUBLE) / 1000000.0) / nn)
+                           * ((CAST(mj.sx AS DOUBLE) / 1000000.0) / nn), 6) AS cov
             FROM p, n
             JOIN m mi ON mi.k = p.i
             JOIN m mj ON mj.k = p.j
@@ -2490,9 +2507,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
                    CAST(row_number() OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT)
                                            ORDER BY ordkey, doc_id) AS INT) AS pack_pos,
-                   (cum - n_tokens)
+                   CAST((cum - n_tokens)
                      - min(cum - n_tokens) OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT))
-                     AS pack_offset
+                     AS BIGINT) AS pack_offset
             FROM c
         """,
         "events_funnel": """
@@ -2918,10 +2935,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
                    CAST(row_number() OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT)
                                            ORDER BY ordkey, doc_id) AS INT) AS pack_pos,
-                   (cum - n_tokens)
+                   CAST((cum - n_tokens)
                      - min(cum - n_tokens) OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT))
-                     AS pack_offset
+                     AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "docs_bpe_tokens": """
+            SELECT g.doc_id, g.n_bpe_tokens
+            FROM read_parquet('/root/repo/tests/golden/bpe_tokens_golden.parquet') g
+            WHERE g.corpus_chars = (SELECT sum(length(text)) FROM documents)
         """,
         "multimodal_frames": r"""
             WITH p AS (

@@ -32,14 +32,33 @@ from pyspark.sql import functions as F
 from meds_transforms_spark.operators.base import register_stage
 
 
-def moments_rows(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def moments_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantize_scale: int | None = None,
+) -> DataFrame:
     """Per-Arrow-batch partial moments: one row ``(n, sum_vec,
     sum_outer)`` per batch; ``sum_outer`` is the row-major flattened
-    ΣxxT. Sum the rows to get exact corpus moments."""
+    ΣxxT. Sum the rows to get exact corpus moments.
+
+    With ``quantize_scale=S`` each input coordinate is quantized to
+    ``floor(x·S + 0.5)`` as a 64-bit integer first and ALL sums are
+    integer sums — bit-exact and summation-order-independent, so the
+    result is a pure function of the data regardless of partitioning
+    (the same scaled-LONG trick as the exact-cosine path in dedup.py
+    and the sliding sums in rolling.py). Downstream consumers must
+    divide ``sum_vec`` by S and ``sum_outer`` by S² to return to data
+    units. Int64 headroom: |x|≤R rows n need n·(R·S)² < 2⁶³ — at
+    S=10⁶, R≈1, that is ~9×10⁶ rows per PARTIAL (per batch, fine) and
+    the reduce-side total must also fit, i.e. corpora to ~10⁶ rows per
+    unit variance·S²; pick S per corpus scale."""
     import numpy as np
     import pyarrow as pa
 
-    out_schema = "n long, sum_vec array<double>, sum_outer array<double>"
+    if quantize_scale is None:
+        out_schema = "n long, sum_vec array<double>, sum_outer array<double>"
+    else:
+        out_schema = "n long, sum_vec array<long>, sum_outer array<long>"
 
     def partials(batches):
         for rb in batches:
@@ -50,14 +69,25 @@ def moments_rows(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             flat = arr.flatten().to_numpy(zero_copy_only=False)
             dim = len(arr[0])
             X = flat.reshape(rb.num_rows, dim).astype(np.float64, copy=False)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([rb.num_rows], type=pa.int64()),
-                    pa.array([X.sum(axis=0)]),
-                    pa.array([(X.T @ X).reshape(-1)]),
-                ],
-                names=["n", "sum_vec", "sum_outer"],
-            )
+            if quantize_scale is not None:
+                Xq = np.floor(X * float(quantize_scale) + 0.5).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([rb.num_rows], type=pa.int64()),
+                        pa.array([Xq.sum(axis=0)]),
+                        pa.array([(Xq.T @ Xq).reshape(-1)]),
+                    ],
+                    names=["n", "sum_vec", "sum_outer"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([rb.num_rows], type=pa.int64()),
+                        pa.array([X.sum(axis=0)]),
+                        pa.array([(X.T @ X).reshape(-1)]),
+                    ],
+                    names=["n", "sum_vec", "sum_outer"],
+                )
 
     v = df.select(F.col(vec_col).cast("array<double>").alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -71,6 +101,7 @@ def embedding_covariance(
     vec_col: str = "embedding",
     upper_only: bool = True,
     round_to: int | None = None,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Population covariance as a relational matrix ``(i, j, cov)``.
 
@@ -79,19 +110,22 @@ def embedding_covariance(
     corpus scale), then ``cov_ij = Σxy/n − mean_i·mean_j`` is assembled
     relationally — the result stays a DataFrame, joinable/writable like
     any other, with no driver materialization at all.
+
+    ``quantize_scale=S`` switches to the integer-exact mode (see
+    :func:`moments_rows`): every sum is a LONG sum of inputs quantized
+    at scale S, so the covariance is bit-identical under any
+    partitioning / retry / summation order — the mode the oracle
+    parity gate runs, at the cost of ~1/S input truncation.
     """
-    parts = moments_rows(df, vec_col)
+    parts = moments_rows(df, vec_col, quantize_scale=quantize_scale)
     # n rides as element 0 of the exploded stream so the mapInArrow
     # scan feeds ONE aggregation — a separate parts.agg(sum(n)) would
     # be a second full corpus scan (ReuseExchange can't merge the two
     # different subtrees).
+    n_elem = F.col("n") if quantize_scale is not None else F.col("n").cast("double")
     sums = parts.select(
         F.posexplode(
-            F.concat(
-                F.array(F.col("n").cast("double")),
-                F.col("sum_vec"),
-                F.col("sum_outer"),
-            )
+            F.concat(F.array(n_elem), F.col("sum_vec"), F.col("sum_outer"))
         ).alias("pos", "val"),
     )
     summed = sums.groupBy("pos").agg(F.sum("val").alias("s"))
@@ -109,13 +143,22 @@ def embedding_covariance(
     lab = summed.filter(F.col("pos") > 0).join(F.broadcast(dims)).join(
         F.broadcast(tot_n)
     )
+    if quantize_scale is not None:
+        # fixed op order (s/S)/N and (s/S²)/N — the oracle mirrors it
+        # verbatim so the IEEE rounding sequence is identical.
+        s_scale = float(quantize_scale)
+        mean_val = (F.col("s").cast("double") / F.lit(s_scale)) / F.col("N")
+        exy_val = (F.col("s").cast("double") / F.lit(s_scale * s_scale)) / F.col("N")
+    else:
+        mean_val = F.col("s") / F.col("N")
+        exy_val = F.col("s") / F.col("N")
     means = lab.filter(F.col("pos") <= F.col("d")).select(
-        (F.col("pos") - 1).alias("k"), (F.col("s") / F.col("N")).alias("mean")
+        (F.col("pos") - 1).alias("k"), mean_val.alias("mean")
     )
     outer = lab.filter(F.col("pos") > F.col("d")).select(
         ((F.col("pos") - 1 - F.col("d")) / F.col("d")).cast("int").alias("i"),
         F.pmod(F.col("pos") - 1 - F.col("d"), F.col("d")).cast("int").alias("j"),
-        (F.col("s") / F.col("N")).alias("exy"),
+        exy_val.alias("exy"),
     )
     cov = (
         outer.join(F.broadcast(means.withColumnRenamed("k", "i").withColumnRenamed("mean", "mi")), "i")
