@@ -45,6 +45,11 @@ def rolling_anomaly(
     its own window (RANGE ... AND CURRENT ROW), matching the SQL frame
     an oracle replays; population variance (``/n``) is used.
 
+    NULL-``time_col`` rows also pass through unjudged (w_n/w_mean/
+    z_score NULL, is_anomaly False): ``unix_micros(NULL)`` is NULL, so
+    they would otherwise all share one meaningless RANGE frame within
+    each key and be flagged against each other.
+
     Both moments derive from ONE quantization ``q = round(v·10^s)`` so
     the variance identity can't go negative from mixed precision.
     Overflow bound for the LONG square-sum: ``n · (10^s·v_max)² <
@@ -76,15 +81,19 @@ def rolling_anomaly(
     mean = (F.col("__ws").cast("double") / scale) / n
     var = (F.col("__ws2").cast("double") / (scale * scale)) / n - mean * mean
     z = F.round(F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var)), int(round_to))
+    has_ts = F.col(time_col).isNotNull()
     return (
-        base.withColumn("w_n", n.cast("long"))
-        .withColumn("w_mean", F.round(mean, int(round_to)))
-        .withColumn("z_score", z)
+        base.withColumn("w_n", F.when(has_ts, n.cast("long")))
+        .withColumn("w_mean", F.when(has_ts, F.round(mean, int(round_to))))
+        .withColumn("z_score", F.when(has_ts, z))
         .withColumn(
             "is_anomaly",
-            (F.col("w_n") >= int(min_events))
-            & F.col("z_score").isNotNull()
-            & (F.col("z_score") > float(z_threshold)),
+            F.coalesce(
+                (F.col("w_n") >= int(min_events))
+                & F.col("z_score").isNotNull()
+                & (F.col("z_score") > float(z_threshold)),
+                F.lit(False),
+            ),
         )
         .drop("__wn", "__ws", "__ws2")
     )

@@ -496,9 +496,16 @@ def embedding_cosine_dedup(
         hyperplane_bucket_exact,
     )
 
-    probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not probe:
-        return df  # empty input: nothing to dedup (and no dim to probe)
+    # ignorenulls: an arbitrary first row may carry a NULL vector — the
+    # probe must find a real one (all-null/empty → no dim, nothing to do)
+    # (guard size() behind isNotNull: legacy sizeOfNull yields -1, not NULL)
+    probe = df.agg(
+        F.first(
+            F.when(F.col(vec_col).isNotNull(), F.size(vec_col)), ignorenulls=True
+        ).alias("d")
+    ).collect()
+    if not probe or probe[0]["d"] is None:
+        return df  # empty/all-null input: nothing to dedup, no dim to probe
     dim = probe[0]["d"]
     if exact:
         bucketed = df.withColumn(
@@ -638,6 +645,12 @@ def semantic_dedup(
     assigned = _nearest_cells(vecs, cents, id_col, vec_col, n_probe=1).withColumn(
         "__bucket", F.col("__cell")
     )
+    # The pair self-join consumes the assignment subtree twice (sides
+    # a/b don't canonicalize into one ReusedExchange), which would run
+    # the scan + broadcast-nearest-cell assignment twice. Persist the
+    # minimal (id, vec, bucket) projection so assignment executes once;
+    # MEMORY_AND_DISK spills rather than recomputes at corpus scale.
+    assigned = assigned.select(id_col, vec_col, "__bucket").persist()
     return _cosine_dedup_within(assigned, df, vec_col, id_col, threshold, exact)
 
 

@@ -62,7 +62,13 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", co
             f"ivf_centroids: n_cells={n_cells} is past broadcast/global-"
             "window territory; IVF cell counts are typically ≤ 65536."
         )
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
+    # NULL vectors can't seed cells (a NULL centroid poisons every
+    # cosine downstream); corpora with null embeddings seed from the
+    # non-null subset. Testdata has no null vectors, so the oracle
+    # mirrors (`FROM embeddings ORDER BY vec_id LIMIT n`) unchanged.
+    c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0")
+    )
     return (
         c.orderBy("vec_id")
         .limit(n_cells)

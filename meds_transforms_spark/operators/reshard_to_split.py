@@ -24,10 +24,46 @@ from meds_transforms_spark.operators.base import register_stage
 from meds_transforms_spark.schema import ORDER_KEY, SUBJECT_ID, TIME
 
 
+DEFAULT_SPLIT_FRACS = {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+
+
+def hash_split_expr(
+    split_fracs: dict[str, float] | None = None, seed: int = 0
+) -> F.Column:
+    """Split assignment as a pure column expression over ``subject_id``.
+
+    ``u = pmod(xxhash64(subject_id, seed), 2³²)/2³²`` is uniform per
+    subject; cutting u at the cumulative fraction boundaries yields the
+    split. Fully distributed — no collect, no join, no shuffle: the
+    expression inlines into whatever plan consumes it, so it scales to
+    any subject count (the escape hatch for corpora whose distinct
+    subjects exceed driver memory). NOT seed-compatible with the
+    reference's numpy permutation (use ``assign_splits`` when
+    bit-parity with reshard_to_split.py:133-160 matters); fractions are
+    binomial-approximate, not exact cuts.
+    """
+    split_fracs = split_fracs or DEFAULT_SPLIT_FRACS
+    names = list(split_fracs)
+    total = float(sum(split_fracs.values()))
+    u = F.pmod(F.xxhash64(F.col(SUBJECT_ID), F.lit(int(seed))), F.lit(2**32)) / F.lit(
+        float(2**32)
+    )
+    expr = F.lit(names[-1])
+    cum = 0.0
+    branches = []
+    for n in names[:-1]:
+        cum += split_fracs[n] / total
+        branches.append((cum, n))
+    for bound, name in reversed(branches):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return expr
+
+
 def assign_splits(
     df: DataFrame,
     split_fracs: dict[str, float] | None = None,
     seed: int = 0,
+    method: str = "permutation",
 ) -> DataFrame:
     """(subject_id, split) assignment via seeded numpy permutation.
 
@@ -35,12 +71,21 @@ def assign_splits(
     sorted subject list with default_rng(seed), cut at cumulative
     fraction boundaries. Driver-side numpy on the distinct-subject list
     (#subjects ≪ #rows; at 100 TB with ~10⁸ subjects this is still a
-    few GB of int64 — if that ever binds, swap to a hash-based
-    assignment, at the cost of seed parity).
+    few GB of int64). ``method="hash"`` switches to the fully
+    distributed :func:`hash_split_expr` assignment (no driver collect,
+    seed-incompatible with the reference) for corpora beyond that.
     """
     import numpy as np
 
-    split_fracs = split_fracs or {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+    split_fracs = split_fracs or DEFAULT_SPLIT_FRACS
+    if method == "hash":
+        return (
+            df.select(SUBJECT_ID)
+            .distinct()
+            .select(SUBJECT_ID, hash_split_expr(split_fracs, seed).alias("split"))
+        )
+    if method != "permutation":
+        raise ValueError(f"unknown split method: {method!r}")
     subjects = [r[0] for r in df.select(SUBJECT_ID).distinct().orderBy(SUBJECT_ID).collect()]
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(subjects))
@@ -63,15 +108,23 @@ def reshard_to_split(
     split_fracs: dict[str, float] | None = None,
     seed: int = 0,
     n_partitions: int | None = None,
+    method: str = "permutation",
 ) -> DataFrame:
     """Attach ``split`` and repartition/sort by subject.
 
     The returned frame is ready for ``write.partitionBy("split")`` —
     the Spark equivalent of the reference's whole-subject shard files
     (merge_sorted at :315 becomes repartition + sortWithinPartitions).
+
+    ``method="hash"`` (and no explicit ``subject_splits``) attaches the
+    split as an inline column expression — no collect, no broadcast, no
+    join at all — the path for subject counts beyond driver memory.
     """
-    splits = subject_splits or assign_splits(df, split_fracs, seed)
-    joined = df.join(F.broadcast(splits), on=SUBJECT_ID, how="left")
+    if subject_splits is None and method == "hash":
+        joined = df.withColumn("split", hash_split_expr(split_fracs, seed))
+    else:
+        splits = subject_splits or assign_splits(df, split_fracs, seed, method)
+        joined = df.join(F.broadcast(splits), on=SUBJECT_ID, how="left")
     parts = [n_partitions] if n_partitions else []
     sort_cols = [SUBJECT_ID, F.col(TIME).asc_nulls_first()]
     if ORDER_KEY in df.columns:

@@ -11,8 +11,15 @@ compaction), using only parquet footer metadata to size the job —
 no data pass beyond the single rewrite itself.
 
 Write-audit-publish: the rewrite lands in a sibling temp dir first and
-swaps in atomically (rename) only after Spark's commit protocol wrote
-its _SUCCESS — a crash mid-compaction leaves the original intact.
+swaps in only after Spark's commit protocol wrote its _SUCCESS and the
+row-count audit passed — a crash mid-compaction leaves the original
+intact. The publish itself is TWO renames (original → ``._compact_old``,
+temp → original), not one atomic op: a crash between them leaves the
+dataset path momentarily absent. Every entry point first runs
+:func:`recover_compaction`, which rolls such a crash forward or back
+deterministically (the old dir is the recovery journal), and
+``retain_old=True`` keeps ``._compact_old`` around after a successful
+publish for out-of-band verification.
 """
 
 from __future__ import annotations
@@ -25,18 +32,52 @@ from pyspark.sql import SparkSession
 
 
 def dir_stats(path: str) -> dict:
-    """(files, rows, bytes) from footers/listing — no Spark job."""
+    """(files, rows, bytes) from footers/listing — no Spark job.
+
+    Walks subdirectories, so hive-partitioned layouts (e.g.
+    ``partitionBy("split")`` or lang/quality_bucket corpus shards)
+    report their true totals instead of a silent 0."""
     import pyarrow.parquet as pq
 
     files = rows = nbytes = 0
-    for fname in os.listdir(path):
-        if not fname.endswith(".parquet"):
-            continue
-        fp = os.path.join(path, fname)
-        files += 1
-        rows += pq.ParquetFile(fp).metadata.num_rows
-        nbytes += os.path.getsize(fp)
+    for root, _dirs, fnames in os.walk(path):
+        for fname in fnames:
+            if not fname.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fname)
+            files += 1
+            rows += pq.ParquetFile(fp).metadata.num_rows
+            nbytes += os.path.getsize(fp)
     return {"files": files, "rows": rows, "bytes": nbytes}
+
+
+def recover_compaction(path: str) -> str | None:
+    """Roll a crashed publish forward or back; returns the action taken.
+
+    The two-rename publish has one non-atomic window; ``._compact_old``
+    doubles as its journal:
+
+    - old present, dataset ABSENT → crashed between the renames: roll
+      BACK (restore the original; the temp rewrite, if still present,
+      is discarded).
+    - old present, dataset present → crashed after the swap (or
+      ``retain_old`` leftover): the publish completed; drop the old.
+    - stale ``._compact_tmp`` with no in-flight job → drop it.
+    """
+    old = path.rstrip("/") + "._compact_old"
+    tmp = path.rstrip("/") + "._compact_tmp"
+    action = None
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+            action = "dropped_old"
+        else:
+            os.rename(old, path)
+            action = "rolled_back"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+        action = action or "dropped_tmp"
+    return action
 
 
 def compact_parquet(
@@ -45,6 +86,7 @@ def compact_parquet(
     target_mb: int = 256,
     sort_cols: list[str] | None = None,
     min_files: int = 2,
+    retain_old: bool = False,
 ) -> dict:
     """Rewrite ``path`` into ``ceil(bytes / target_mb)`` files.
 
@@ -56,21 +98,35 @@ def compact_parquet(
     sorted on them, preserving (or establishing) the clustered layout
     parquet min/max pruning feeds on; without, a plain coalesce-style
     repartition balances bytes.
+
+    Hive-partitioned directories keep their layout: partition columns
+    are detected from the ``name=value`` directory chain and the
+    rewrite is ``partitionBy`` the same columns, pre-shuffled on them
+    so each partition value lands in one task (one output file per
+    value). Pass ``retain_old=True`` to keep the pre-compaction data in
+    ``._compact_old`` until the next run verifies and drops it.
     """
+    recover_compaction(path)
     before = dir_stats(path)
     n_target = max(1, math.ceil(before["bytes"] / (target_mb * 1024 * 1024)))
     if before["files"] <= max(min_files, n_target):
         return {"before": before, "after": before, "compacted": False}
 
     df = spark.read.parquet(path)
+    pcols = _partition_cols(path)
     if sort_cols:
-        out = df.repartitionByRange(n_target, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
+        out = df.repartitionByRange(
+            n_target, *pcols, *sort_cols
+        ).sortWithinPartitions(*pcols, *sort_cols)
+    elif pcols:
+        out = df.repartition(n_target, *pcols)
     else:
         out = df.repartition(n_target)
     tmp = path.rstrip("/") + "._compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
     if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(f"compaction write to {tmp} did not commit")
@@ -86,5 +142,27 @@ def compact_parquet(
     old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    if not retain_old:
+        shutil.rmtree(old)
     return {"before": before, "after": after, "compacted": True}
+
+
+def _partition_cols(path: str) -> list[str]:
+    """Hive partition columns from the ``name=value`` directory chain
+    (empty list for a flat directory)."""
+    cols: list[str] = []
+    p = path
+    while True:
+        try:
+            subs = sorted(
+                d
+                for d in os.listdir(p)
+                if "=" in d and os.path.isdir(os.path.join(p, d))
+            )
+        except FileNotFoundError:
+            break
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0])
+        p = os.path.join(p, subs[0])
+    return cols

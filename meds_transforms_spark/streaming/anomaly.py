@@ -9,9 +9,13 @@ past, so the state IS the window — the classic monitoring topology
 (billing alarms, metric watchdogs, abuse detection).
 
 State is three doubles + a long per key, bounded by key cardinality
-and a processing-time timeout (idle keys expire). Within a batch,
-events process in event-time order so the decision for each event is
-independent of micro-batch boundaries.
+and a processing-time timeout (idle keys expire). WITHIN a batch,
+events process in event-time order; per-event decisions are therefore
+independent of micro-batch boundaries only under in-order arrival — a
+late event delivered in a later micro-batch scores against state that
+already includes newer events, where a single batch would have ordered
+it earlier. That is inherent to single-pass streaming state (the batch
+operator re-sorts globally; a stream cannot re-read its past).
 """
 
 from __future__ import annotations

@@ -49,3 +49,27 @@ def test_anomaly_constant_series_no_div_zero(spark):
         _ev(spark, rows), keys="k", time_col="ts", value_col="value", min_events=5
     ).collect()
     assert all(r.z_score is None and not r.is_anomaly for r in out)
+
+
+def test_anomaly_null_timestamp_rows_pass_through_unjudged(spark):
+    """NULL-ts rows would otherwise share one RANGE frame per key and
+    be flagged against each other — they must pass through unjudged."""
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "a", t0 + dt.timedelta(minutes=i), 10.0) for i in range(12)]
+    rows += [(100, "a", None, 10.0), (101, "a", None, 9999.0)]
+    out = {
+        r.event_id: r
+        for r in rolling_anomaly(
+            _ev(spark, rows), keys="k", time_col="ts", value_col="value",
+            window_seconds=3600, z_threshold=3.0, min_events=3,
+        ).collect()
+    }
+    assert len(out) == 14  # nothing dropped
+    for eid in (100, 101):
+        assert out[eid].w_n is None
+        assert out[eid].z_score is None
+        assert out[eid].is_anomaly is False
+    # timestamped rows judged as before, unaffected by the null-ts rows
+    assert out[11].w_n == 12

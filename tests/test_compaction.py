@@ -58,3 +58,72 @@ def test_noop_when_already_compact(spark, tmp_path):
     report = compact_parquet(spark, path, target_mb=256)
     assert not report["compacted"]
     assert spark.read.parquet(path).count() == 100
+
+def test_partitioned_dir_stats_and_compaction(spark, tmp_path):
+    """Hive-partitioned dirs: dir_stats walks subdirs (no silent 0) and
+    compaction preserves the partitioned layout."""
+    path = str(tmp_path / "p")
+    spark.range(20_000).select(
+        (F.col("id") % 3).cast("string").alias("lang"), "id"
+    ).repartition(12).write.partitionBy("lang").parquet(path)
+    before = dir_stats(path)
+    assert before["rows"] == 20_000 and before["files"] >= 3
+
+    report = compact_parquet(spark, path, target_mb=256)
+    assert report["compacted"]
+    assert report["after"]["rows"] == 20_000
+    assert report["after"]["files"] < before["files"]
+    # layout preserved: lang=* partition dirs still present and prunable
+    assert sorted(glob.glob(path + "/lang=*")) == [
+        path + "/lang=0", path + "/lang=1", path + "/lang=2"
+    ]
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("lang") == "1").count() == 20_000 // 3 + (1 if 20_000 % 3 > 1 else 0)
+
+
+def test_recover_compaction_rolls_back_and_forward(spark, tmp_path):
+    import os
+    import shutil
+
+    from meds_transforms_spark.sources.compaction import recover_compaction
+
+    path = str(tmp_path / "r")
+    spark.range(100).coalesce(1).write.parquet(path)
+
+    # crash between the two publish renames: dataset absent, old present
+    old = path + "._compact_old"
+    os.rename(path, old)
+    assert recover_compaction(path) == "rolled_back"
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(old)
+
+    # crash after the swap: both present -> old is dropped
+    shutil.copytree(path, old)
+    assert recover_compaction(path) == "dropped_old"
+    assert os.path.exists(path) and not os.path.exists(old)
+
+    # stale tmp from an aborted write is cleaned
+    tmp = path + "._compact_tmp"
+    os.makedirs(tmp)
+    assert recover_compaction(path) == "dropped_tmp"
+    assert not os.path.exists(tmp)
+
+    # compact_parquet itself self-heals before running
+    os.rename(path, old)
+    report = compact_parquet(spark, path, target_mb=256)
+    assert spark.read.parquet(path).count() == 100
+    assert not report["compacted"]  # single file, nothing to do
+
+
+def test_retain_old_keeps_backup(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "k")
+    spark.range(5_000).repartition(10).write.parquet(path)
+    report = compact_parquet(spark, path, target_mb=256, retain_old=True)
+    assert report["compacted"]
+    assert os.path.exists(path + "._compact_old")
+    # next run drops the retained backup (publish already completed)
+    from meds_transforms_spark.sources.compaction import recover_compaction
+
+    assert recover_compaction(path) == "dropped_old"

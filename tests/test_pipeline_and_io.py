@@ -58,6 +58,41 @@ def test_assign_splits_deterministic(spark, meds_df):
     assert set(a) == set(c)  # same subjects, possibly different splits
 
 
+def test_assign_splits_hash_method(spark, meds_df):
+    """The distributed hash assignment: valid disjoint splits over the
+    same subject universe as the permutation method, deterministic per
+    seed, and reshard's inline-expression path agrees with the
+    materialized assignment table exactly."""
+    from meds_transforms_spark.operators.reshard_to_split import (
+        assign_splits,
+        reshard_to_split,
+    )
+
+    perm = {r.subject_id: r.split for r in assign_splits(meds_df, seed=5).collect()}
+    h1 = {
+        r.subject_id: r.split
+        for r in assign_splits(meds_df, seed=5, method="hash").collect()
+    }
+    h2 = {
+        r.subject_id: r.split
+        for r in assign_splits(meds_df, seed=5, method="hash").collect()
+    }
+    assert h1 == h2  # deterministic
+    assert set(h1) == set(perm)  # same subject universe, one split each
+    assert set(h1.values()) <= {"train", "tuning", "held_out"}
+
+    # inline column-expression path (no join, no collect) must agree
+    # with the materialized table row-for-row
+    inline = reshard_to_split(meds_df, seed=5, method="hash")
+    plan = inline._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # genuinely join-free
+    for r in inline.select("subject_id", "split").distinct().collect():
+        assert h1[r.subject_id] == r.split
+
+    with pytest.raises(ValueError):
+        assign_splits(meds_df, method="bogus")
+
+
 def test_match_revise_first_match_consumes(spark, meds_df):
     from meds_transforms_spark.operators.match_revise import match_revise
     from meds_transforms_spark.operators.misc import scale_numeric
