@@ -1068,6 +1068,50 @@ def q_docs_validate(spark, sf_dir):
     return out.orderBy("rule")
 
 
+def q_docs_winnow_overlap(spark, sf_dir):
+    """Winnowing fingerprint overlap (operators/winnow; Schleimer et
+    al. 2003 / MOSS): k=10-char gram md5 hashes, per-doc window-of-8
+    minima as fingerprints (all inside array HOFs — zero shuffle until
+    the winnowed (id, long) rows), boilerplate fingerprints with
+    df > 500 dropped, then pairs sharing ≥5 fingerprints. The oracle
+    replays the identical pipeline with an unnest + window min."""
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_overlap(
+        docs, k=10, w=8, min_shared=5, max_df=500, hash_fn="md5_60"
+    ).select("id_a", "id_b", "n_shared")
+
+
+def q_docs_bigram_ppl(spark, sf_dir):
+    """Interpolated bigram LM scoring (operators/lm; the CCNet signal
+    one model up from docs_unigram_logprob): bigrams form inside a
+    per-row HOF (no lag window over exploded tokens), one explode feeds
+    the per-doc aggregate, and the model + marginals + totals derive
+    from it by re-aggregation — corpus scanned once. Fixed arithmetic
+    order λ·(c12/c1)+(1−λ)·((c2+α)/(N+αV)) so the oracle's doubles
+    match bit-for-bit; round-6 absorbs the ln() ULP."""
+    from meds_transforms_spark.operators.lm import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_logprob(docs, lam=0.7, alpha=0.1, round_to=6)
+    return out.select("doc_id", "avg_bigram_logprob")
+
+
+def q_docs_shuffle_shards(spark, sf_dir):
+    """Deterministic training shuffle (operators/ids.shuffle_shards):
+    rank by md5(seed:doc_id) via the two-phase prefix machinery (range
+    exchange + local ranks + broadcast offsets — never a global
+    window), then round-robin into 8 exact-size shards. Pure function
+    of (data, seed); the oracle's single global row_number reproduces
+    it exactly."""
+    from meds_transforms_spark.operators.ids import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_shards(docs, n_shards=8, seed=42, hash_fn="md5_60")
+    return out.select("doc_id", "shard_id", "pos_in_shard")
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1560,6 +1604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_validate": q_docs_validate,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         # --- new round-3 queries go here (before the green tail) ---
+        "docs_winnow_overlap": q_docs_winnow_overlap,
+        "docs_bigram_ppl": q_docs_bigram_ppl,
+        "docs_shuffle_shards": q_docs_shuffle_shards,
         # --- green tail (driver-green in r01/r02, unchanged) ---
         **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
         "docs_tfidf": q_docs_tfidf,
@@ -2939,6 +2986,84 @@ def oracle_sql() -> dict[str, str]:
                      - min(cum - n_tokens) OVER (PARTITION BY CAST(floor((cum - 1) / 512) AS BIGINT))
                      AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "docs_winnow_overlap": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id, txt, greatest(len(txt) - 9, 1) AS ng FROM norm
+            ), pos AS (
+              SELECT doc_id, txt, ng, unnest(range(1, ng + 1)) AS i FROM g
+            ), h AS (
+              SELECT doc_id, ng, CAST(i AS BIGINT) AS i,
+                     CAST('0x' || substr(md5(substr(txt, CAST(i AS BIGINT), 10)), 1, 15) AS BIGINT) AS hv
+              FROM pos
+            ), wm AS (
+              SELECT doc_id, ng, i,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+              FROM h
+            ), fps AS (
+              SELECT DISTINCT doc_id, mh AS fp FROM wm WHERE ng >= 8 AND i <= ng - 7
+              UNION
+              SELECT doc_id, min(hv) AS fp FROM h WHERE ng < 8 GROUP BY doc_id
+            ), kept AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 500
+            ), kfps AS (
+              SELECT f.doc_id, f.fp FROM fps f JOIN kept USING (fp)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kfps a JOIN kfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 5
+        """,
+        "docs_bigram_ppl": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, tk[CAST(i AS BIGINT)] AS w1, tk[CAST(i AS BIGINT) + 1] AS w2
+              FROM toks, unnest(range(1, greatest(len(tk), 1))) r(i)
+            ), per_doc AS (
+              SELECT doc_id, w1, w2, count(*) AS c_local
+              FROM bg GROUP BY doc_id, w1, w2
+            ), lm AS (
+              SELECT w1, w2, sum(c_local) AS n FROM per_doc GROUP BY w1, w2
+            ), m1 AS (
+              SELECT w1, sum(n) AS c1 FROM lm GROUP BY w1
+            ), m2 AS (
+              SELECT w2, sum(n) AS c2 FROM lm GROUP BY w2
+            ), tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                     CAST(count(DISTINCT w2) AS DOUBLE) AS vv
+              FROM lm
+            ), scored AS (
+              SELECT p.doc_id,
+                     sum(p.c_local * ln(0.7 * (CAST(lm.n AS DOUBLE) / CAST(m1.c1 AS DOUBLE))
+                         + (1.0 - 0.7) * ((CAST(m2.c2 AS DOUBLE) + 0.1) / (tot.nn + 0.1 * tot.vv))))
+                       / sum(p.c_local) AS lp
+              FROM per_doc p
+              JOIN lm USING (w1, w2) JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id, round(s.lp, 6) AS avg_bigram_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "docs_shuffle_shards": """
+            WITH o AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM documents
+            ), r AS (
+              SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS rnk FROM o
+            )
+            SELECT doc_id, CAST(rnk % 8 AS INT) AS shard_id,
+                   CAST(rnk // 8 AS BIGINT) AS pos_in_shard
+            FROM r
         """,
         "docs_bpe_tokens": """
             SELECT g.doc_id, g.n_bpe_tokens

@@ -100,3 +100,59 @@ def assign_stable_ids(
         .withColumn(id_name, (F.col("__lrn") - 1 + F.col("__off")).cast("long"))
         .drop("__pid", "__lrn")
     )
+
+
+@register_stage("shuffle_shards")
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment: adds
+    ``shard_id`` (0..n_shards-1) and ``pos_in_shard``.
+
+    The last step of a curation pipeline: training wants the corpus in
+    a RANDOM but REPRODUCIBLE order, cut into equal shards whose
+    within-shard order is part of the contract (data ordering is a
+    training hyperparameter). Shuffling 100 TB with ``orderBy(rand())``
+    is both non-reproducible under retries and a full sort on a random
+    key; this instead ranks rows by a seeded content-keyed hash via the
+    two-phase prefix machinery of :func:`assign_stable_ids` (range
+    exchange + local ranks + broadcast offsets — no SinglePartition
+    window), then deals ranks round-robin:
+
+        shard_id = rank mod n_shards,  pos_in_shard = rank div n_shards
+
+    Round-robin makes shard sizes exact (±1) regardless of hash skew.
+    The result is a pure function of (data, seed, n_shards) — stable
+    under partitioning, retries, and cluster size. ``hash_fn="md5_60"``
+    is the engine-reproducible mode (DuckDB-oracle-checkable);
+    ``xxhash64`` is the fast JVM-native default.
+    """
+    from meds_transforms_spark.operators.dedup import _h64
+
+    if n_shards < 1:
+        raise ValueError("shuffle_shards: n_shards must be >= 1")
+    keyed = df.withColumn(
+        "__shufkey", _h64(hash_fn, F.lit(int(seed)), F.col(id_col))
+    )
+    ranked = assign_stable_ids(
+        keyed,
+        ["__shufkey", id_col],
+        id_name="__rank",
+        num_partitions=num_partitions,
+        # (seed, id) is injective in id, so the hash+id tuple is unique
+        validate=False,
+    )
+    return (
+        ranked.withColumn(
+            "shard_id", F.pmod(F.col("__rank"), F.lit(int(n_shards))).cast("int")
+        )
+        .withColumn(
+            "pos_in_shard", F.floor(F.col("__rank") / F.lit(int(n_shards))).cast("long")
+        )
+        .drop("__shufkey", "__rank")
+    )

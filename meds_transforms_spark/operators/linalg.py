@@ -137,7 +137,12 @@ def embedding_covariance(
     # recover d from the combined length: 1 + d + d² entries
     d_row = summed.agg(F.count(F.lit(1)).alias("cnt"))
     # cnt = 1 + d + d²  →  d = (−1 + sqrt(4(cnt−1)+1)) / 2
-    d_col = ((F.sqrt(F.lit(4.0) * (F.col("cnt") - 1) + 1) - 1) / 2).cast("int")
+    # greatest(…, 0): an EMPTY corpus has cnt = 0, and sqrt(−3) = NaN
+    # would make the ANSI int cast fail whenever AQE materializes this
+    # stage before the empty-side join prunes it
+    d_col = (
+        (F.sqrt(F.lit(4.0) * F.greatest(F.col("cnt") - 1, F.lit(0)) + 1) - 1) / 2
+    ).cast("int")
     dims = d_row.select(d_col.alias("d"))
     tot_n = summed.filter(F.col("pos") == 0).select(F.col("s").alias("N"))
     lab = summed.filter(F.col("pos") > 0).join(F.broadcast(dims)).join(

@@ -1,0 +1,141 @@
+"""Interpolated bigram language model: distributed fit + per-doc scoring.
+
+The CCNet recipe (Wenzek et al. 2020) ranks web text by LM perplexity;
+the unigram scorer (text.unigram_logprob) captures vocabulary oddity
+but is blind to word ORDER — "the of of the and" scores like prose.
+This module adds the next model up: an interpolated bigram LM
+
+    p(w2 | w1) = λ · c(w1,w2)/c(w1·)  +  (1−λ) · (c(·w2)+α)/(N+α·V)
+
+fit over bigram EVENTS (c(w1·) = Σ_w2 c(w1,w2), c(·w2) = Σ_w1, N = Σ
+all, V = distinct right-contexts — so the model is self-contained in
+one bigram-count table and its marginals; no separate unigram pass).
+
+100 TB design: bigrams are formed INSIDE a per-row array HOF (token
+array → (w1,w2) struct array — zero shuffle, whole-stage codegen; no
+lag() window over an exploded token stream). ONE explode feeds a
+(doc, w1, w2) count aggregation, and the model + both marginals +
+scalar totals all derive from that aggregate by re-aggregation —
+corpus text is scanned once, and every shuffle after the first carries
+(hashable-token, long) rows. Model-side tables are vocabulary-sized
+(Zipf: ≪ corpus); the score join leaves broadcast-vs-shuffle to AQE
+since a 100 TB corpus's bigram vocabulary can exceed broadcast limits.
+
+Reference scope note: the reference engine (Polars/Hydra ETL) has no
+LM plane; this extends the curation suite alongside text.py and
+dsir.py. Cited pattern: classic interpolated Katz/Jelinek-Mercer
+smoothing, any NLP textbook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.operators.text import _tokens
+
+
+def _bigram_structs(toks: Column) -> Column:
+    """(w1, w2) struct array from an already-MATERIALIZED token array
+    column (HOF-CSE rule: never pass the tokenization expression).
+    Sequence guard: ``sequence(1, 0)`` DESCENDS in Spark, so docs with
+    <2 tokens must short-circuit to an empty array."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+@register_stage("fit_bigram_lm")
+def fit_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram counts ``(w1, w2, n)`` — the model table.
+
+    Tokenization matches the unigram LM: lowercase, whitespace split.
+    """
+    per_doc = _per_doc_bigrams(df, text_col, id_col)
+    return per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
+
+
+def _per_doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks_df = df.select(
+        F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    return (
+        toks_df.select(
+            F.col(id_col), F.explode(_bigram_structs(F.col("__toks"))).alias("__bg")
+        )
+        .select(F.col(id_col), F.col("__bg.w1"), F.col("__bg.w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__n_local"))
+    )
+
+
+@register_stage("bigram_logprob")
+def bigram_logprob(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    alpha: float = 0.1,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the interpolated
+    model — adds ``avg_bigram_logprob`` (NULL for docs with <2 tokens).
+
+    ``lm`` is a ``(w1, w2, n)`` frame (from :func:`fit_bigram_lm`, over
+    this corpus or a trusted reference corpus); omitted, the model is
+    fit on ``df`` itself — in that case the per-doc bigram aggregate is
+    computed once and the model derives from it by re-aggregation
+    (corpus scanned once). Unseen bigrams get the interpolation floor
+    (1−λ)·α/(N+αV) > 0, so external-LM scoring never hits −inf.
+
+    The arithmetic order is fixed — λ·(c12/c1) + (1−λ)·((c2+α)/(N+αV)),
+    every count cast to double before its division — so a SQL oracle
+    replaying the same order reproduces the doubles bit-for-bit;
+    ``round_to`` absorbs the cross-engine ln() ULP.
+    """
+    per_doc = _per_doc_bigrams(df, text_col, id_col)
+    if lm is None:
+        lm = per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
+    c1 = lm.groupBy("w1").agg(F.sum("n").alias("__c1"))
+    c2 = lm.groupBy("w2").agg(F.sum("n").alias("__c2"))
+    totals = lm.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.count_distinct("w2").cast("double").alias("__V"),
+    )
+    joined = (
+        per_doc.join(lm, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(c2, "w2", "left")
+        .join(F.broadcast(totals))
+    )
+    lam_f, alpha_f = float(lam), float(alpha)
+    seen = (
+        F.coalesce(F.col("n"), F.lit(0)).cast("double")
+        / F.coalesce(F.col("__c1"), F.lit(1)).cast("double")
+    )
+    backoff = (F.coalesce(F.col("__c2"), F.lit(0)).cast("double") + F.lit(alpha_f)) / (
+        F.col("__N") + F.lit(alpha_f) * F.col("__V")
+    )
+    p = F.lit(lam_f) * seen + F.lit(1.0 - lam_f) * backoff
+    scored = joined.groupBy(id_col).agg(
+        (F.sum(F.col("__n_local") * F.log(p)) / F.sum("__n_local")).alias(
+            "avg_bigram_logprob"
+        )
+    )
+    if round_to is not None:
+        scored = scored.withColumn(
+            "avg_bigram_logprob", F.round("avg_bigram_logprob", int(round_to))
+        )
+    return df.join(scored, id_col, "left")

@@ -1,0 +1,137 @@
+"""Winnowing document fingerprints + fingerprint-overlap detection.
+
+Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the MOSS
+algorithm): hash every k-char gram of the normalized text, slide a
+window of ``w`` consecutive gram hashes, and keep each window's
+MINIMUM as a fingerprint. Any shared substring of length ≥ w + k − 1
+between two documents is then guaranteed to share at least one
+fingerprint, while only ~2/(w+1) of the grams are kept — the classic
+local-sampling guarantee that makes plagiarism / near-dup overlap
+detection tractable.
+
+Relation to the neighbors: substring dedup (operators/substring.py)
+uses a fixed positional stride (cheap, no guarantee); MinHash
+(operators/dedup.py) estimates whole-document Jaccard. Winnowing sits
+between: position-local fingerprints with a *provable* shared-substring
+guarantee, the right primitive for "which training docs contain this
+eval passage VERBATIM-ish" forensics.
+
+100 TB design: the gram hashing and window minima are computed entirely
+inside per-row array HOFs — whole-stage codegen, zero shuffle, and the
+text itself never leaves its input partition. Only the winnowed
+fingerprints (density ≈ 2/(w+1) of grams, as (doc_id, long) pairs) hit
+an exchange. The overlap pair join is bucketed by fingerprint value —
+work is Σ_fp n_fp², never corpus² — with a ``max_df`` guard dropping
+boilerplate fingerprints (the same stop-gram suppression as
+substring dedup's ``max_gram_df``), and AQE splits any residual skew.
+
+The per-window ``slice`` scan costs O(n·w) hash comparisons per doc —
+JVM-side and branch-free; the alternative (two-pointer monotonic deque)
+needs per-row Python. At w ≤ 16 the HOF wins by a wide margin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.operators.dedup import _h64
+
+
+def _norm_text(col: Column) -> Column:
+    """Same normalization as the dedup family: lower, trim, collapse
+    whitespace runs — so fingerprints survive formatting drift."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+@register_stage("winnow_fingerprints")
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Distinct winnowed fingerprints: one ``(id_col, fp)`` row per
+    selected gram hash.
+
+    Documents shorter than a full window keep the minimum over the
+    grams they do have (so short docs still fingerprint); NULL text
+    yields no rows. ``hash_fn="md5_60"`` makes the fingerprints
+    engine-reproducible for the DuckDB oracle.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    txt = _norm_text(F.col(text_col))
+    # Materialize each derived array into a real column before the next
+    # HOF references it — a lambda re-referencing a computed array
+    # expression re-evaluates it per element (the documented O(n²)
+    # HOF-CSE pitfall).
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__txt", txt)
+        .withColumn(
+            "__ng", F.greatest(F.length(F.col("__txt")) - F.lit(k - 1), F.lit(1))
+        )
+        .withColumn(
+            "__hs",
+            F.transform(
+                F.sequence(F.lit(1), F.col("__ng")),
+                lambda i: _h64(hash_fn, F.col("__txt").substr(i, F.lit(k))),
+            ),
+        )
+    )
+    mins = F.when(
+        F.col("__ng") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__ng") - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("__hs"))))
+    # Explode the expression DIRECTLY in one select: binding it to an
+    # intermediate withColumn first makes the optimizer re-inline the
+    # whole hash-array expression under Generate — measured 150×
+    # slower (0.3 s → 47 s at 50 docs) than this shape.
+    return base.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+@register_stage("winnow_overlap")
+def winnow_overlap(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
+    ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before pairing (boilerplate headers/footers would
+    otherwise connect everything to everything — the Σ n_fp² blowup).
+    The join is a fingerprint-bucketed equi-join: candidate generation
+    never compares documents that share no fingerprint.
+    """
+    fps = winnow_fingerprints(df, k, w, text_col, id_col, hash_fn)
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_df))
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -224,3 +224,17 @@ def test_curation_composition_on_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, source string, text string")
     out = curate_corpus_dsir(empty, "source = 'x'")
     assert out.count() == 0
+
+
+def test_round3_operators_on_empty(spark):
+    from meds_transforms_spark.operators.ids import shuffle_shards
+    from meds_transforms_spark.operators.lm import bigram_logprob, fit_bigram_lm
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints, winnow_overlap
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert winnow_fingerprints(empty).count() == 0
+    assert winnow_overlap(empty).count() == 0
+    assert fit_bigram_lm(empty).count() == 0
+    out = bigram_logprob(empty)
+    assert out.count() == 0 and "avg_bigram_logprob" in out.columns
+    assert shuffle_shards(empty, n_shards=4).count() == 0

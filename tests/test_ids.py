@@ -49,3 +49,47 @@ def test_start_offset_and_empty(spark):
         spark.createDataFrame([], "v long"), ["v"]
     )
     assert empty.count() == 0
+
+
+def test_shuffle_shards_balanced_and_stable(spark):
+    from meds_transforms_spark.operators.ids import shuffle_shards
+
+    df = spark.range(1001).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, n_shards=8, seed=7, num_partitions=4)
+    rows = out.select("doc_id", "shard_id", "pos_in_shard").collect()
+    assert len(rows) == 1001
+    sizes = {}
+    for r in rows:
+        sizes[r.shard_id] = sizes.get(r.shard_id, 0) + 1
+    # round-robin: exact sizes +/-1 regardless of hash skew
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert set(sizes) == set(range(8))
+    # (shard_id, pos_in_shard) is a dense per-shard order
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+    # pure function of (data, seed): stable under repartitioning
+    again = {
+        r.doc_id: (r.shard_id, r.pos_in_shard)
+        for r in shuffle_shards(df.repartition(13), n_shards=8, seed=7, num_partitions=9).collect()
+    }
+    first = {r.doc_id: (r.shard_id, r.pos_in_shard) for r in rows}
+    assert first == again
+
+    # different seed -> different permutation
+    other = {
+        r.doc_id: (r.shard_id, r.pos_in_shard)
+        for r in shuffle_shards(df, n_shards=8, seed=8, num_partitions=4).collect()
+    }
+    assert other != first
+
+
+def test_shuffle_shards_rejects_bad_nshards(spark):
+    from meds_transforms_spark.operators.ids import shuffle_shards
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        shuffle_shards(df, n_shards=0)

@@ -1,0 +1,81 @@
+"""Tests for the interpolated bigram LM (operators/lm)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fit_counts_match_hand_count(spark):
+    from meds_transforms_spark.operators.lm import fit_bigram_lm
+
+    docs = _docs(spark, [(1, "a b a b c"), (2, "a b")])
+    lm = {(r.w1, r.w2): r.n for r in fit_bigram_lm(docs).collect()}
+    assert lm == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_score_matches_hand_formula(spark):
+    from meds_transforms_spark.operators.lm import bigram_logprob
+
+    docs = _docs(spark, [(1, "a b a b c"), (2, "a b")])
+    out = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(docs).collect()}
+    # model: c12 as above; c1: a->3, b->2; c2: b->3, a->1, c->1
+    # N=5, V=3 (distinct w2); lam=0.7 alpha=0.1
+    lam, alpha, N, V = 0.7, 0.1, 5.0, 3.0
+
+    def p(c12, c1, c2):
+        return lam * (c12 / c1) + (1.0 - lam) * ((c2 + alpha) / (N + alpha * V))
+
+    lp_ab = math.log(p(3, 3, 3))
+    lp_ba = math.log(p(1, 2, 1))
+    lp_bc = math.log(p(1, 2, 1))
+    expect_1 = (2 * lp_ab + lp_ba + lp_bc) / 4
+    assert out[1] == pytest.approx(expect_1, rel=1e-12)
+    assert out[2] == pytest.approx(lp_ab, rel=1e-12)
+
+
+def test_order_sensitivity_vs_unigram_blindness(spark):
+    """The signal unigrams cannot give: scrambled word order scores
+    lower than natural order under the bigram model."""
+    from meds_transforms_spark.operators.lm import bigram_logprob
+
+    natural = "the cat sat on the mat " * 10
+    scrambled = "mat the on sat the cat " * 10
+    corpus = [(i, natural) for i in range(10)] + [(100, natural), (101, scrambled)]
+    out = {
+        r.doc_id: r.avg_bigram_logprob
+        for r in bigram_logprob(_docs(spark, corpus)).collect()
+    }
+    assert out[101] < out[100]
+
+
+def test_short_docs_and_external_lm(spark):
+    from meds_transforms_spark.operators.lm import bigram_logprob, fit_bigram_lm
+
+    train = _docs(spark, [(1, "a b a b c")])
+    lm = fit_bigram_lm(train)
+    score = _docs(spark, [(10, "a b"), (11, "z z"), (12, "solo"), (13, None)])
+    out = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(score, lm=lm).collect()}
+    assert out[10] is not None
+    # unseen bigram: interpolation floor, finite and very negative
+    assert out[11] is not None and out[11] < out[10]
+    assert out[12] is None  # <2 tokens: no bigrams
+    assert out[13] is None
+
+
+def test_plan_single_corpus_scan_and_scalable(spark):
+    from meds_transforms_spark.operators.lm import bigram_logprob
+    from meds_transforms_spark.plan_guard import assert_scalable, plan_string
+
+    docs = _docs(spark, [(i, "a b c d e") for i in range(20)])
+    out = bigram_logprob(docs)
+    # allow_nested_loop: the only BNLJ is the broadcast cross join of
+    # the ONE-row (N, V) scalar totals — the documented-safe shape
+    # (same as unigram_logprob's totals ride-along)
+    assert_scalable(out, name="bigram_logprob", allow_nested_loop=True)

@@ -1,0 +1,97 @@
+"""Tests for winnowing fingerprints (operators/winnow)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_substring_guarantee(spark):
+    """Winnowing's core property: documents sharing a substring of
+    length >= w + k - 1 share at least one fingerprint."""
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    docs = _docs(
+        spark,
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"totally different opening {shared} and closing words"),
+            (3, "no overlap here at all just unrelated content entirely"),
+        ],
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    sets = {
+        r.doc_id: set(x.fp for x in fps.filter(F.col("doc_id") == r.doc_id).collect())
+        for r in docs.select("doc_id").collect()
+    }
+    assert sets[1] & sets[2]  # guaranteed shared fingerprint
+    # density: ~2/(w+1) of grams survive, far below 1 per gram
+    n_grams = len(f"prefix one {shared} suffix alpha") - 4
+    assert len(sets[1]) < n_grams
+
+
+def test_pure_function_of_text(spark):
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    docs = _docs(spark, [(i, f"some repeated body text number {i % 3}") for i in range(30)])
+    a = sorted((r.doc_id, r.fp) for r in winnow_fingerprints(docs, k=4, w=3).collect())
+    b = sorted(
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(docs.repartition(7), k=4, w=3).collect()
+    )
+    assert a == b
+    # identical (mod whitespace/case) texts get identical fingerprint sets
+    c = _docs(spark, [(1, "Hello   World  Foo"), (2, "hello world foo")])
+    fps = winnow_fingerprints(c, k=4, w=3).collect()
+    s1 = {r.fp for r in fps if r.doc_id == 1}
+    s2 = {r.fp for r in fps if r.doc_id == 2}
+    assert s1 == s2
+
+
+def test_short_and_null_docs(spark):
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    docs = _docs(spark, [(1, "ab"), (2, None), (3, "abcdefg")])
+    out = winnow_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.fp)
+    assert len(by_doc.get(1, [])) == 1  # shorter than k: one whole-text gram
+    assert 2 not in by_doc              # null text: no rows
+    assert len(by_doc[3]) == 1          # 3 grams < w: single min
+
+
+def test_overlap_pairs_and_max_df(spark):
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    # 0 and 1 share a long passage; 2 is unrelated; 3..12 all carry the
+    # same boilerplate header, which max_df suppresses.
+    passage = "copied paragraph that is plenty long enough to fingerprint"
+    boiler = "standard legal disclaimer header used everywhere"
+    rows = [
+        (0, f"{passage} plus doc zero extras"),
+        (1, f"doc one intro {passage}"),
+        (2, "completely independent text with nothing shared at all"),
+    ] + [(3 + i, f"{boiler} unique tail {i}") for i in range(10)]
+    out = winnow_overlap(
+        _docs(spark, rows), k=5, w=4, min_shared=1, max_df=5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (0, 1) in pairs
+    assert not any(a == 2 or b == 2 for a, b in pairs)
+    # boilerplate-only pairs were suppressed by max_df (10 docs > 5)
+    boiler_ids = set(range(3, 13))
+    assert not any(a in boiler_ids and b in boiler_ids for a, b in pairs)
+
+
+def test_plan_is_scalable(spark):
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+    from meds_transforms_spark.plan_guard import assert_scalable
+
+    docs = _docs(spark, [(i, f"text body {i}") for i in range(10)])
+    assert_scalable(winnow_overlap(docs), name="winnow_overlap")
