@@ -1112,6 +1112,37 @@ def q_docs_shuffle_shards(spark, sf_dir):
     return out.select("doc_id", "shard_id", "pos_in_shard")
 
 
+def q_docs_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail selection (operators/lm.ccnet_buckets):
+    per-language perplexity terciles of the bigram-LM score. Cut points
+    come from distributed exact nearest-rank quantiles (distinct-value
+    cumulative ranks — never an ntile window that funnels a whole
+    language through one reducer) and broadcast back. Scores pre-round
+    to 6 so both engines bucket identical values."""
+    from meds_transforms_spark.operators.lm import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ccnet_buckets(docs, lam=0.7, alpha=0.1, round_to=6)
+    return out.select("doc_id", "avg_bigram_logprob", "ppl_bucket")
+
+
+def q_docs_winnow_contains(spark, sf_dir):
+    """Cross-corpus passage forensics (operators/winnow.
+    winnow_contains): even-id docs play the training corpus, ids ≡1
+    (mod 10) the eval probes; winnowed-fingerprint containment with the
+    probe side broadcast — the corpus fingerprint stream never
+    shuffles. Same md5 gram hashing as docs_winnow_overlap."""
+    from meds_transforms_spark.operators.winnow import winnow_contains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 10 == 1)
+    out = winnow_contains(
+        corpus, probes, k=10, w=8, min_shared=3, max_df=500, hash_fn="md5_60"
+    )
+    return out.select("doc_id", "probe_id", "n_shared")
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1607,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_overlap": q_docs_winnow_overlap,
         "docs_bigram_ppl": q_docs_bigram_ppl,
         "docs_shuffle_shards": q_docs_shuffle_shards,
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,
+        "docs_winnow_contains": q_docs_winnow_contains,
         # --- green tail (driver-green in r01/r02, unchanged) ---
         **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
         "docs_tfidf": q_docs_tfidf,
@@ -1715,6 +1748,72 @@ def _minhash_bands_sql(source: str = "documents") -> str:
                           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY slot)), 1, 15) AS BIGINT) AS bucket
               FROM slots GROUP BY doc_id, slot // 4
             )"""
+
+
+#: Shared bigram-LM scoring pipeline (tokens → HOF-equivalent bigrams →
+#: per-doc counts → model + marginals + totals → interpolated mean
+#: log-prob) — the SQL mirror of operators/lm.bigram_logprob with the
+#: identical arithmetic order. Used by docs_bigram_ppl and
+#: docs_ccnet_buckets.
+_BIGRAM_SCORED_CTES = r"""toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, tk[CAST(i AS BIGINT)] AS w1, tk[CAST(i AS BIGINT) + 1] AS w2
+              FROM toks, unnest(range(1, greatest(len(tk), 1))) r(i)
+            ), per_doc AS (
+              SELECT doc_id, w1, w2, count(*) AS c_local
+              FROM bg GROUP BY doc_id, w1, w2
+            ), lm AS (
+              SELECT w1, w2, sum(c_local) AS n FROM per_doc GROUP BY w1, w2
+            ), m1 AS (
+              SELECT w1, sum(n) AS c1 FROM lm GROUP BY w1
+            ), m2 AS (
+              SELECT w2, sum(n) AS c2 FROM lm GROUP BY w2
+            ), tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                     CAST(count(DISTINCT w2) AS DOUBLE) AS vv
+              FROM lm
+            ), scored AS (
+              SELECT p.doc_id,
+                     sum(p.c_local * ln(0.7 * (CAST(lm.n AS DOUBLE) / CAST(m1.c1 AS DOUBLE))
+                         + (1.0 - 0.7) * ((CAST(m2.c2 AS DOUBLE) + 0.1) / (tot.nn + 0.1 * tot.vv))))
+                       / sum(p.c_local) AS lp
+              FROM per_doc p
+              JOIN lm USING (w1, w2) JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+              GROUP BY p.doc_id
+            )"""
+
+
+def _winnow_fps_sql(source: str, k: int, w: int) -> str:
+    """Subquery yielding the winnowed ``(doc_id, fp)`` set of
+    ``source`` — the SQL mirror of operators/winnow.
+    winnow_fingerprints(hash_fn="md5_60") at gram size ``k``, window
+    ``w`` (full-window minima for long docs, whole-text minimum for
+    docs with fewer than ``w`` grams)."""
+    return rf"""
+              WITH norm AS (
+                SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+                FROM {source}
+              ), g AS (
+                SELECT doc_id, txt, greatest(len(txt) - {k - 1}, 1) AS ng FROM norm
+              ), pos AS (
+                SELECT doc_id, txt, ng, unnest(range(1, ng + 1)) AS i FROM g
+              ), h AS (
+                SELECT doc_id, ng, CAST(i AS BIGINT) AS i,
+                       CAST('0x' || substr(md5(substr(txt, CAST(i AS BIGINT), {k})), 1, 15) AS BIGINT) AS hv
+                FROM pos
+              ), wm AS (
+                SELECT doc_id, ng, i,
+                       min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
+                FROM h
+              )
+              SELECT DISTINCT doc_id, mh AS fp FROM wm WHERE ng >= {w} AND i <= ng - {w - 1}
+              UNION
+              SELECT doc_id, min(hv) AS fp FROM h WHERE ng < {w} GROUP BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2987,27 +3086,8 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS pack_offset
             FROM c
         """,
-        "docs_winnow_overlap": r"""
-            WITH norm AS (
-              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
-              FROM documents WHERE text IS NOT NULL
-            ), g AS (
-              SELECT doc_id, txt, greatest(len(txt) - 9, 1) AS ng FROM norm
-            ), pos AS (
-              SELECT doc_id, txt, ng, unnest(range(1, ng + 1)) AS i FROM g
-            ), h AS (
-              SELECT doc_id, ng, CAST(i AS BIGINT) AS i,
-                     CAST('0x' || substr(md5(substr(txt, CAST(i AS BIGINT), 10)), 1, 15) AS BIGINT) AS hv
-              FROM pos
-            ), wm AS (
-              SELECT doc_id, ng, i,
-                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
-                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
-              FROM h
-            ), fps AS (
-              SELECT DISTINCT doc_id, mh AS fp FROM wm WHERE ng >= 8 AND i <= ng - 7
-              UNION
-              SELECT doc_id, min(hv) AS fp FROM h WHERE ng < 8 GROUP BY doc_id
+        "docs_winnow_overlap": f"""
+            WITH fps AS ({_winnow_fps_sql("documents WHERE text IS NOT NULL", 10, 8)}
             ), kept AS (
               SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 500
             ), kfps AS (
@@ -3019,39 +3099,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 5
         """,
-        "docs_bigram_ppl": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> x <> '') AS tk
-              FROM documents
-            ), bg AS (
-              SELECT doc_id, tk[CAST(i AS BIGINT)] AS w1, tk[CAST(i AS BIGINT) + 1] AS w2
-              FROM toks, unnest(range(1, greatest(len(tk), 1))) r(i)
-            ), per_doc AS (
-              SELECT doc_id, w1, w2, count(*) AS c_local
-              FROM bg GROUP BY doc_id, w1, w2
-            ), lm AS (
-              SELECT w1, w2, sum(c_local) AS n FROM per_doc GROUP BY w1, w2
-            ), m1 AS (
-              SELECT w1, sum(n) AS c1 FROM lm GROUP BY w1
-            ), m2 AS (
-              SELECT w2, sum(n) AS c2 FROM lm GROUP BY w2
-            ), tot AS (
-              SELECT CAST(sum(n) AS DOUBLE) AS nn,
-                     CAST(count(DISTINCT w2) AS DOUBLE) AS vv
-              FROM lm
-            ), scored AS (
-              SELECT p.doc_id,
-                     sum(p.c_local * ln(0.7 * (CAST(lm.n AS DOUBLE) / CAST(m1.c1 AS DOUBLE))
-                         + (1.0 - 0.7) * ((CAST(m2.c2 AS DOUBLE) + 0.1) / (tot.nn + 0.1 * tot.vv))))
-                       / sum(p.c_local) AS lp
-              FROM per_doc p
-              JOIN lm USING (w1, w2) JOIN m1 USING (w1) JOIN m2 USING (w2), tot
-              GROUP BY p.doc_id
-            )
+        "docs_bigram_ppl": f"""
+            WITH {_BIGRAM_SCORED_CTES}
             SELECT d.doc_id, round(s.lp, 6) AS avg_bigram_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "docs_ccnet_buckets": f"""
+            WITH {_BIGRAM_SCORED_CTES}, lp AS (
+              SELECT d.doc_id, d.lang, round(s.lp, 6) AS avg_bigram_logprob
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+            ), ranked AS (
+              SELECT lang, avg_bigram_logprob AS v,
+                     row_number() OVER (PARTITION BY lang ORDER BY avg_bigram_logprob) AS rn,
+                     count(avg_bigram_logprob) OVER (PARTITION BY lang) AS n
+              FROM lp WHERE avg_bigram_logprob IS NOT NULL
+            ), cuts AS (
+              SELECT lang,
+                     max(CASE WHEN rn = CAST(round((1.0/3.0) * (n-1)) AS BIGINT) + 1 THEN v END) AS cut_lo,
+                     max(CASE WHEN rn = CAST(round((2.0/3.0) * (n-1)) AS BIGINT) + 1 THEN v END) AS cut_hi
+              FROM ranked GROUP BY lang
+            )
+            SELECT l.doc_id, l.avg_bigram_logprob,
+                   CASE WHEN l.avg_bigram_logprob IS NULL THEN NULL
+                        WHEN l.avg_bigram_logprob >= c.cut_hi THEN 'head'
+                        WHEN l.avg_bigram_logprob >= c.cut_lo THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM lp l LEFT JOIN cuts c USING (lang)
+        """,
+        "docs_winnow_contains": f"""
+            WITH cf AS ({_winnow_fps_sql("documents WHERE text IS NOT NULL AND doc_id % 2 = 0", 10, 8)}
+            ), kept AS (
+              SELECT fp FROM cf GROUP BY fp HAVING count(*) <= 500
+            ), cfk AS (
+              SELECT c.doc_id, c.fp FROM cf c JOIN kept USING (fp)
+            ), pf AS ({_winnow_fps_sql("documents WHERE text IS NOT NULL AND doc_id % 10 = 1", 10, 8)}
+            )
+            SELECT c.doc_id, p.doc_id AS probe_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM cfk c JOIN pf p ON c.fp = p.fp
+            GROUP BY c.doc_id, p.doc_id
+            HAVING count(*) >= 3
         """,
         "docs_shuffle_shards": """
             WITH o AS (

@@ -139,3 +139,65 @@ def bigram_logprob(
             "avg_bigram_logprob", F.round("avg_bigram_logprob", int(round_to))
         )
     return df.join(scored, id_col, "left")
+
+
+@register_stage("ccnet_buckets")
+def ccnet_buckets(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lam: float = 0.7,
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet's selection step: per-language perplexity terciles — adds
+    ``avg_bigram_logprob`` and ``ppl_bucket`` ('head'/'middle'/'tail').
+
+    CCNet (Wenzek et al. 2020) keeps the lowest-perplexity third of
+    each language as premium training data. The naive per-language
+    ``ntile(3)`` window funnels each language through ONE reducer — a
+    single language can be most of a 100 TB corpus, so instead the two
+    cut points come from :func:`~meds_transforms_spark.operators.
+    quantiles.grouped_exact_quantiles` (distinct-value cumulative
+    ranks: the shuffle carries one row per distinct (lang, score), and
+    scores are pre-rounded so the distinct set is small) and are
+    broadcast back as a tiny (lang, lo, hi) table. Exact nearest-rank
+    quantiles — not approx — so the bucket assignment is a pure
+    function of the data and a SQL oracle reproduces it.
+
+    Docs with no score (<2 tokens / NULL text) get a NULL bucket.
+    Higher mean log-prob = lower perplexity = better: scores ≥ the 2/3
+    cut are 'head', ≥ the 1/3 cut 'middle', the rest 'tail'.
+    """
+    from meds_transforms_spark.operators.quantiles import grouped_exact_quantiles
+
+    scored = bigram_logprob(
+        df, lm=lm, text_col=text_col, id_col=id_col, lam=lam, alpha=alpha,
+        round_to=round_to,
+    )
+    cuts = grouped_exact_quantiles(
+        scored,
+        [1.0 / 3.0, 2.0 / 3.0],
+        keys=[lang_col],
+        value_col="avg_bigram_logprob",
+    )
+    qlo, qhi = cuts.columns[-2], cuts.columns[-1]
+    cuts = cuts.select(
+        F.col(lang_col),
+        F.col(f"`{qlo}`").alias("__cut_lo"),
+        F.col(f"`{qhi}`").alias("__cut_hi"),
+    )
+    lp = F.col("avg_bigram_logprob")
+    bucket = (
+        F.when(lp.isNull(), F.lit(None).cast("string"))
+        .when(lp >= F.col("__cut_hi"), F.lit("head"))
+        .when(lp >= F.col("__cut_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col, "left")
+        .withColumn("ppl_bucket", bucket)
+        .drop("__cut_lo", "__cut_hi")
+    )

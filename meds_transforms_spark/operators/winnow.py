@@ -135,3 +135,58 @@ def winnow_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+@register_stage("winnow_contains")
+def winnow_contains(
+    corpus_df: DataFrame,
+    probe_df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+    probe_id_col: str | None = None,
+    hash_fn: str = "xxhash64",
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Cross-corpus passage containment: which corpus documents share
+    ≥ ``min_shared`` winnowed fingerprints with which probe documents —
+    ``(id_col, probe_id, n_shared)``.
+
+    The decontamination FORENSIC next to decontaminate.py's flag/drop:
+    given an eval set (probes), find the training docs that contain its
+    passages (guaranteed hit for any verbatim overlap ≥ w + k − 1
+    chars) and HOW MUCH they share — evidence for audits, not just a
+    boolean. ``max_df`` (applied to the CORPUS side) suppresses
+    boilerplate fingerprints.
+
+    Scale: the corpus fingerprint stream stays map-side; with
+    ``broadcast_probe=True`` (eval sets are small by nature) the join
+    is a broadcast hash join — the 100 TB corpus never shuffles at
+    all. Set it False only when the probe side is itself corpus-sized.
+    """
+    p_text = probe_text_col or text_col
+    p_id = probe_id_col or id_col
+    fps_c = winnow_fingerprints(corpus_df, k, w, text_col, id_col, hash_fn)
+    if max_df is not None:
+        keep = (
+            fps_c.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_df))
+            .select("fp")
+        )
+        fps_c = fps_c.join(keep, "fp")
+    fps_p = winnow_fingerprints(probe_df, k, w, p_text, p_id, hash_fn).select(
+        F.col(p_id).alias("probe_id"), "fp"
+    )
+    if broadcast_probe:
+        fps_p = F.broadcast(fps_p)
+    return (
+        fps_c.join(fps_p, "fp")
+        .groupBy(id_col, "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

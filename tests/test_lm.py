@@ -79,3 +79,44 @@ def test_plan_single_corpus_scan_and_scalable(spark):
     # the ONE-row (N, V) scalar totals — the documented-safe shape
     # (same as unigram_logprob's totals ride-along)
     assert_scalable(out, name="bigram_logprob", allow_nested_loop=True)
+
+
+def test_ccnet_buckets_terciles(spark):
+    from meds_transforms_spark.operators.lm import ccnet_buckets
+
+    # one language, clearly separable quality tiers via repetition
+    good = "the cat sat on the mat and the dog lay by the door "
+    rows = [(i, good * 3, "en") for i in range(12)]          # fluent
+    rows += [(100 + i, "mat door cat the by dog on " * 3, "en") for i in range(6)]  # scrambled
+    rows += (
+        [(200, None, "en"), (201, "solo", "en")]             # unscored
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.ppl_bucket for r in ccnet_buckets(df).collect()}
+    assert out[200] is None and out[201] is None
+    # scrambled docs score worse: none of them may out-bucket fluent docs
+    assert all(out[100 + i] == "tail" for i in range(6))
+    buckets = [out[i] for i in range(12)]
+    assert "head" in buckets and "tail" not in buckets
+    # tercile sizes over the 18 scored docs: 6 tail (scrambled) and the
+    # fluent 12 split head/middle
+    from collections import Counter
+
+    c = Counter(out[k] for k in out if out[k] is not None)
+    assert c["tail"] == 6
+
+
+def test_ccnet_buckets_per_language_independence(spark):
+    """Cuts are per language: a language whose docs all score alike
+    still gets all three buckets only via ties; crucially another
+    language's scores must not shift its cuts."""
+    from meds_transforms_spark.operators.lm import ccnet_buckets
+
+    en = [(i, f"alpha beta gamma delta {'epsilon ' * (i % 4)}", "en") for i in range(9)]
+    de = [(100 + i, "ein zwei drei vier funf sechs", "de") for i in range(3)]
+    df = spark.createDataFrame(en + de, "doc_id long, text string, lang string")
+    out = ccnet_buckets(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    # identical-scoring de docs: all share one bucket boundary behavior
+    de_buckets = {rows[100 + i].ppl_bucket for i in range(3)}
+    assert de_buckets == {"head"}  # all tie at the cut -> all >= cut_hi

@@ -95,3 +95,47 @@ def test_plan_is_scalable(spark):
 
     docs = _docs(spark, [(i, f"text body {i}") for i in range(10)])
     assert_scalable(winnow_overlap(docs), name="winnow_overlap")
+
+
+def test_contains_finds_planted_eval_passage(spark):
+    from meds_transforms_spark.operators.winnow import winnow_contains
+
+    passage = "this exact evaluation passage must be detected in training data"
+    train = _docs(
+        spark,
+        [
+            (0, f"training document zero embeds {passage} inside its body"),
+            # no substring of length >= w+k-1 shared with any probe
+            # (the first draft said "a training document", and the
+            # passage ends "in training data" — the guarantee FIRED,
+            # correctly, on the shared " training " run)
+            (1, "an unrelated clean record about completely other topics"),
+            (2, f"{passage} leading another contaminated training doc"),
+        ],
+    )
+    evals = spark.createDataFrame(
+        [(100, f"eval question: {passage}"), (101, "clean eval item nothing shared")],
+        "eval_id long, prompt string",
+    )
+    # min_shared=2: at k=5 a single chance gram (e.g. "ation" inside
+    # both "evaluation" and "contamination") is a legitimate 1-fp hit;
+    # two shared fingerprints separates the planted passage cleanly
+    out = winnow_contains(
+        train, evals, k=5, w=4, min_shared=2,
+        probe_text_col="prompt", probe_id_col="eval_id",
+    ).collect()
+    hits = {(r.doc_id, r.probe_id) for r in out}
+    assert (0, 100) in hits and (2, 100) in hits
+    assert not any(p == 101 for _, p in hits)
+    assert not any(d == 1 for d, _ in hits)
+
+
+def test_contains_probe_broadcast_plan(spark):
+    from meds_transforms_spark.operators.winnow import winnow_contains
+    from meds_transforms_spark.plan_guard import assert_scalable, plan_string
+
+    train = _docs(spark, [(i, f"train text {i}") for i in range(10)])
+    evals = _docs(spark, [(100, "probe text")])
+    out = winnow_contains(train, evals)
+    assert_scalable(out, name="winnow_contains")
+    assert "BroadcastHashJoin" in plan_string(out)  # probe side broadcast
