@@ -105,8 +105,33 @@ def bigram_logprob(
     replaying the same order reproduces the doubles bit-for-bit;
     ``round_to`` absorbs the cross-engine ln() ULP.
     """
+    scored = _bigram_scores(df, lm, text_col, id_col, lam, alpha, round_to)
+    return df.join(scored, id_col, "left")
+
+
+def _bigram_scores(
+    df: DataFrame,
+    lm: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    lam: float,
+    alpha: float,
+    round_to: int | None,
+) -> DataFrame:
+    """The slim ``(id_col, avg_bigram_logprob)`` scoring frame — shared
+    by :func:`bigram_logprob` (which joins it back onto ``df``) and
+    :func:`ccnet_buckets` (which persists it so the quantile pass and
+    the output join evaluate the scoring pipeline once)."""
     per_doc = _per_doc_bigrams(df, text_col, id_col)
     if lm is None:
+        # Self-fit: per_doc feeds FIVE consumers (the score join, lm,
+        # and through lm both marginals and the totals) and their
+        # subtrees do not canonicalize into ReusedExchange — unpinned,
+        # the corpus explode ran 5× (measured: 5 Generate nodes).
+        # Persist the aggregated (id, w1, w2, n) frame — one thin row
+        # per distinct bigram per doc — so the explode runs once and
+        # everything else is a re-aggregation of the cache.
+        per_doc = per_doc.persist()
         lm = per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
     c1 = lm.groupBy("w1").agg(F.sum("n").alias("__c1"))
     c2 = lm.groupBy("w2").agg(F.sum("n").alias("__c2"))
@@ -138,7 +163,7 @@ def bigram_logprob(
         scored = scored.withColumn(
             "avg_bigram_logprob", F.round("avg_bigram_logprob", int(round_to))
         )
-    return df.join(scored, id_col, "left")
+    return scored
 
 
 @register_stage("ccnet_buckets")
@@ -173,12 +198,13 @@ def ccnet_buckets(
     """
     from meds_transforms_spark.operators.quantiles import grouped_exact_quantiles
 
-    scored = bigram_logprob(
-        df, lm=lm, text_col=text_col, id_col=id_col, lam=lam, alpha=alpha,
-        round_to=round_to,
-    )
+    # Score once into the slim (id, score) frame and persist it: both
+    # the quantile pass and the output join consume it, and without the
+    # pin each would re-run the whole scoring pipeline (measured 2×).
+    slim = _bigram_scores(df, lm, text_col, id_col, lam, alpha, round_to).persist()
+    scored = df.join(slim, id_col, "left")
     cuts = grouped_exact_quantiles(
-        scored,
+        scored.select(lang_col, "avg_bigram_logprob"),
         [1.0 / 3.0, 2.0 / 3.0],
         keys=[lang_col],
         value_col="avg_bigram_logprob",

@@ -58,6 +58,11 @@ REVIEW = {
     "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
     "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
+    "docs_winnow_overlap": "gram hashing + window minima entirely inside per-row array HOFs (zero shuffle until fingerprints; the array expr explodes DIRECTLY in one select — the withColumn form re-inlines under Generate, measured 150×); pair join bucketed by fingerprint with the max_df boilerplate guard",
+    "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles; same max_df guard before pairing",
+    "docs_bigram_ppl": "bigrams form in a per-row HOF (no lag window over exploded tokens); the per-doc aggregate is PERSISTED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — explode runs once, everything else re-aggregates the cache",
+    "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
+    "docs_shuffle_shards": "seeded-hash rank via two-phase prefix (range exchange + local row_number + broadcast offsets); round-robin deal makes shard sizes exact — no SinglePartition window, no rand(), pure function of (data, seed)",
 }
 
 
