@@ -1154,7 +1154,10 @@ def q_docs_bpe_tokens(spark, sf_dir):
     pipeline: Counter-based word counts + sequential-in-rank-order
     merge application (the classic Sennrich formulation, vs the
     engine's GPT-2 lowest-rank-first loop). The golden keys on total
-    corpus chars so the same SQL picks the right slice at any sf.
+    corpus chars so the same SQL picks the right slice at any sf THE
+    GOLDEN COVERS (all generated testdata sfs: 0.001/0.01/0.1 — re-run
+    the build script if new scale factors appear; an uncovered sf
+    yields zero oracle rows, a loud mismatch rather than a wrong pass).
     Further covered by tests/test_tokenizer.py (reference-encode
     equality + lossless roundtrip property)."""
     from meds_transforms_spark.operators.tokenizer import bpe_encode, fit_bpe_merges
@@ -2963,10 +2966,16 @@ def oracle_sql() -> dict[str, str]:
                           THEN round((value - mean) / sqrt(var), 6) END AS z_score
               FROM m
             )
-            SELECT event_id, CAST(n AS BIGINT) AS w_n, round(mean, 6) AS w_mean,
-                   z_score,
-                   n >= 10 AND z_score IS NOT NULL AND z_score > 2.0 AS is_anomaly
-            FROM z
+            -- NULL-ts rows pass through unjudged (engine mirror: they
+            -- would otherwise share one NULL-tus RANGE peer frame)
+            SELECT z.event_id,
+                   CASE WHEN e.ts IS NOT NULL THEN CAST(n AS BIGINT) END AS w_n,
+                   CASE WHEN e.ts IS NOT NULL THEN round(mean, 6) END AS w_mean,
+                   CASE WHEN e.ts IS NOT NULL THEN z_score END AS z_score,
+                   coalesce(e.ts IS NOT NULL AND n >= 10
+                            AND z_score IS NOT NULL AND z_score > 2.0,
+                            FALSE) AS is_anomaly
+            FROM z JOIN events e ON z.event_id = e.event_id
         """,
         "docs_assign_ids": r"""
             SELECT doc_id,

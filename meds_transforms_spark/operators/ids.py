@@ -98,7 +98,7 @@ def assign_stable_ids(
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(id_name, (F.col("__lrn") - 1 + F.col("__off")).cast("long"))
-        .drop("__pid", "__lrn")
+        .drop("__pid", "__lrn", "__off")
     )
 
 

@@ -127,11 +127,13 @@ def _bigram_scores(
         # Self-fit: per_doc feeds FIVE consumers (the score join, lm,
         # and through lm both marginals and the totals) and their
         # subtrees do not canonicalize into ReusedExchange — unpinned,
-        # the corpus explode ran 5× (measured: 5 Generate nodes).
-        # Persist the aggregated (id, w1, w2, n) frame — one thin row
-        # per distinct bigram per doc — so the explode runs once and
-        # everything else is a re-aggregation of the cache.
-        per_doc = per_doc.persist()
+        # the corpus explode ran 5× (measured: 5 Generate nodes). Pin
+        # the aggregated (id, w1, w2, n) frame — one thin row per
+        # distinct bigram per doc — so the explode runs once and
+        # everything else is a re-aggregation. localCheckpoint, not
+        # persist: blocks release with the frame (no session-lifetime
+        # cache leak).
+        per_doc = per_doc.localCheckpoint(eager=False)
         lm = per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
     c1 = lm.groupBy("w1").agg(F.sum("n").alias("__c1"))
     c2 = lm.groupBy("w2").agg(F.sum("n").alias("__c2"))
@@ -198,10 +200,13 @@ def ccnet_buckets(
     """
     from meds_transforms_spark.operators.quantiles import grouped_exact_quantiles
 
-    # Score once into the slim (id, score) frame and persist it: both
-    # the quantile pass and the output join consume it, and without the
+    # Score once into the slim (id, score) frame and pin it: both the
+    # quantile pass and the output join consume it, and without the
     # pin each would re-run the whole scoring pipeline (measured 2×).
-    slim = _bigram_scores(df, lm, text_col, id_col, lam, alpha, round_to).persist()
+    # GC-released checkpoint, not a session-lifetime persist.
+    slim = _bigram_scores(df, lm, text_col, id_col, lam, alpha, round_to).localCheckpoint(
+        eager=False
+    )
     scored = df.join(slim, id_col, "left")
     cuts = grouped_exact_quantiles(
         scored.select(lang_col, "avg_bigram_logprob"),

@@ -36,13 +36,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from meds_transforms_spark.operators.base import register_stage
-from meds_transforms_spark.operators.dedup import _h64
+from meds_transforms_spark.operators.dedup import _h64, _normalized
 
 
-def _norm_text(col: Column) -> Column:
-    """Same normalization as the dedup family: lower, trim, collapse
-    whitespace runs — so fingerprints survive formatting drift."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+def _apply_max_df(fps: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop fingerprints present in more than ``max_df`` documents —
+    the boilerplate guard shared by overlap and containment (one copy
+    so the df-count semantics cannot drift between the two paths)."""
+    if max_df is None:
+        return fps
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= int(max_df))
+        .select("fp")
+    )
+    return fps.join(keep, "fp")
 
 
 @register_stage("winnow_fingerprints")
@@ -64,7 +73,9 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
-    txt = _norm_text(F.col(text_col))
+    # dedup-family normalization (ONE shared definition — fingerprints
+    # must stay hash-compatible with the dedup/oracle mirrors)
+    txt = _normalized(F.col(text_col))
     # Materialize each derived array into a real column before the next
     # HOF references it — a lambda re-referencing a computed array
     # expression re-evaluates it per element (the documented O(n²)
@@ -117,15 +128,15 @@ def winnow_overlap(
     The join is a fingerprint-bucketed equi-join: candidate generation
     never compares documents that share no fingerprint.
     """
-    fps = winnow_fingerprints(df, k, w, text_col, id_col, hash_fn)
-    if max_df is not None:
-        keep = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= int(max_df))
-            .select("fp")
-        )
-        fps = fps.join(keep, "fp")
+    # Pin the fingerprint frame: the max_df aggregation plus BOTH pair
+    # sides consume it, and the subtrees don't canonicalize into one
+    # ReusedExchange — unpinned, the O(n·w) gram-hash HOF pipeline ran
+    # 4× per job. localCheckpoint (not persist): blocks are GC-released
+    # with the frame instead of pinning session-lifetime cache entries.
+    fps = winnow_fingerprints(df, k, w, text_col, id_col, hash_fn).localCheckpoint(
+        eager=False
+    )
+    fps = _apply_max_df(fps, max_df)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (
@@ -172,13 +183,9 @@ def winnow_contains(
     p_id = probe_id_col or id_col
     fps_c = winnow_fingerprints(corpus_df, k, w, text_col, id_col, hash_fn)
     if max_df is not None:
-        keep = (
-            fps_c.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= int(max_df))
-            .select("fp")
-        )
-        fps_c = fps_c.join(keep, "fp")
+        # two consumers (the df-count agg and the probe join) — pin so
+        # the corpus fingerprinting runs once; GC-released checkpoint
+        fps_c = _apply_max_df(fps_c.localCheckpoint(eager=False), max_df)
     fps_p = winnow_fingerprints(probe_df, k, w, p_text, p_id, hash_fn).select(
         F.col(p_id).alias("probe_id"), "fp"
     )

@@ -119,7 +119,38 @@ def compact_parquet(
             n_target, *pcols, *sort_cols
         ).sortWithinPartitions(*pcols, *sort_cols)
     elif pcols:
-        out = df.repartition(n_target, *pcols)
+        # Hashing by pcols alone puts each partition VALUE in one task:
+        # a hot value (one language holding most of the corpus) becomes
+        # one giant file and one straggler/OOM task, and target_mb is
+        # ignored. Salt each value proportionally to its row share of
+        # n_target instead — file count stays ≈ n_target and hot values
+        # split across tasks. The per-value count table is bounded by
+        # hive-partition cardinality (small by definition).
+        from pyspark.sql import functions as F
+
+        counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__rows")).collect()
+        total = sum(r["__rows"] for r in counts) or 1
+        splits = [
+            tuple(r[c] for c in pcols)
+            + (max(1, round(r["__rows"] / total * n_target)),)
+            for r in counts
+        ]
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        # fresh StructType (never .add onto a DataFrame's cached schema)
+        splits_schema = StructType(
+            [df.schema[c] for c in pcols] + [StructField("__splits", IntegerType())]
+        )
+        splits_df = spark.createDataFrame(splits, splits_schema)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__splits")
+        )
+        out = (
+            df.join(F.broadcast(splits_df), pcols)
+            .withColumn("__salt", salt)
+            .repartition(n_target, *pcols, "__salt")
+            .drop("__splits", "__salt")
+        )
     else:
         out = df.repartition(n_target)
     tmp = path.rstrip("/") + "._compact_tmp"

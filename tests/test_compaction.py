@@ -127,3 +127,31 @@ def test_retain_old_keeps_backup(spark, tmp_path):
     from meds_transforms_spark.sources.compaction import recover_compaction
 
     assert recover_compaction(path) == "dropped_old"
+
+
+def test_partitioned_hot_value_splits_by_target(spark, tmp_path):
+    """A hot partition value must split across ~its byte share of the
+    target, not collapse into one giant file/task."""
+    import os
+
+    from meds_transforms_spark.sources.compaction import _partition_cols
+
+    path = str(tmp_path / "hot")
+    # lang=0 holds 95% of rows
+    spark.range(100_000).select(
+        F.when(F.col("id") % 20 == 0, "1").otherwise("0").alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+        "id",
+    ).repartition(16).write.partitionBy("lang").parquet(path)
+    assert _partition_cols(path) == ["lang"]
+    before = dir_stats(path)
+    # tiny target -> multiple files demanded; the hot value must get
+    # nearly all of them
+    report = compact_parquet(spark, path, target_mb=1)
+    assert report["after"]["rows"] == before["rows"] == 100_000
+    hot_files = glob.glob(path + "/lang=0/*.parquet")
+    cold_files = glob.glob(path + "/lang=1/*.parquet")
+    assert len(hot_files) > 1          # hot value split across tasks
+    assert len(cold_files) >= 1
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("lang") == "0").count() == 95_000
