@@ -1143,6 +1143,31 @@ def q_docs_winnow_contains(spark, sf_dir):
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def q_docs_corpus_diff(spark, sf_dir):
+    """Snapshot diff (operators/diff.corpus_diff): docs with id ∤ 7
+    play the old snapshot, id ∤ 5 the new one, and every 11th new doc
+    gets ' v2' appended — added/removed/changed/unchanged per source
+    plus entering/leaving char mass. One ~40-byte-row full outer join
+    on the id (text never shuffles), one small-key agg. The oracle
+    compares normalized text directly in place of the xxhash64
+    fingerprint (equal text ⇔ equal hash, the corpus_report
+    precedent)."""
+    from meds_transforms_spark.operators.diff import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new).select(
+        "group", "n_added", "n_removed", "n_changed", "n_unchanged",
+        "chars_added", "chars_removed",
+    )
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Real BPE tokenization (operators/tokenizer): fit 60 merges from
     the corpus word-frequency table (distributed count, driver merge
@@ -1643,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "docs_winnow_contains": q_docs_winnow_contains,
+        "docs_corpus_diff": q_docs_corpus_diff,
         # --- green tail (driver-green in r01/r02, unchanged) ---
         **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
         "docs_tfidf": q_docs_tfidf,
@@ -3160,6 +3186,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rnk % 8 AS INT) AS shard_id,
                    CAST(rnk // 8 AS BIGINT) AS pos_in_shard
             FROM r
+        """,
+        "docs_corpus_diff": r"""
+            WITH o AS (
+              SELECT doc_id, source,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+                     coalesce(length(text), 0) AS len
+              FROM documents WHERE doc_id % 7 <> 0
+            ), n0 AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0
+            ), n AS (
+              SELECT doc_id, source,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+                     coalesce(length(text), 0) AS len
+              FROM n0
+            ), j AS (
+              SELECT coalesce(n.source, o.source) AS grp,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.nt <> n.nt THEN 'changed'
+                          ELSE 'unchanged' END AS st,
+                     coalesce(o.len, 0) AS lo, coalesce(n.len, 0) AS ln
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            )
+            SELECT grp AS "group",
+                   CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+                   CAST(sum(CASE WHEN st IN ('added', 'changed') THEN ln ELSE 0 END) AS BIGINT) AS chars_added,
+                   CAST(sum(CASE WHEN st IN ('removed', 'changed') THEN lo ELSE 0 END) AS BIGINT) AS chars_removed
+            FROM j GROUP BY grp
         """,
         "docs_bpe_tokens": """
             SELECT g.doc_id, g.n_bpe_tokens

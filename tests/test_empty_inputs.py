@@ -238,3 +238,15 @@ def test_round3_operators_on_empty(spark):
     out = bigram_logprob(empty)
     assert out.count() == 0 and "avg_bigram_logprob" in out.columns
     assert shuffle_shards(empty, n_shards=4).count() == 0
+
+
+def test_corpus_diff_on_empty(spark):
+    from meds_transforms_spark.operators.diff import corpus_diff
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    some = spark.createDataFrame([(1, "t", "a")], "doc_id long, text string, source string")
+    assert corpus_diff(empty, empty).count() == 0
+    rep = corpus_diff(empty, some).collect()
+    assert rep[0].n_added == 1 and rep[0].n_removed == 0
+    rep = corpus_diff(some, empty).collect()
+    assert rep[0].n_removed == 1 and rep[0].n_added == 0

@@ -59,6 +59,11 @@ GUARDED = [
     "emb_topk_cosine",
     "docs_unigram_logprob",
     "emb_covariance",
+    "docs_winnow_overlap",
+    "docs_winnow_contains",
+    "docs_bigram_ppl",
+    "docs_ccnet_buckets",
+    "docs_shuffle_shards",
 ]
 
 # docs_unigram_logprob / emb_covariance: scalar totals (1-row aggs)
@@ -70,6 +75,10 @@ BNLJ_OK = {
     "tpch_q22",
     "docs_unigram_logprob",
     "emb_covariance",
+    # bigram LM rides its 1-row (N, V) scalar totals in as a broadcast
+    # cross join, same shape as unigram
+    "docs_bigram_ppl",
+    "docs_ccnet_buckets",
 }
 
 
