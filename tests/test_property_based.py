@@ -323,3 +323,105 @@ def test_duplicated_span_stats_matches_python(spark, docs, k, stride):
         for r in duplicated_span_stats(df, k=k, stride=stride).collect()
     }
     assert got == _span_stats_python(docs, k, stride, 2)
+
+
+# ---------------------------------------------------------------- round 3
+
+
+@st.composite
+def winnow_corpus(draw):
+    """Random doc pairs with a planted shared substring of length
+    >= w + k - 1 (k=4, w=3 -> 6 chars guarantee threshold)."""
+    alpha = "abcdef "
+    shared = draw(st.text(alphabet="xyz", min_size=6, max_size=20))
+    pre_a = draw(st.text(alphabet=alpha, min_size=0, max_size=30))
+    suf_a = draw(st.text(alphabet=alpha, min_size=0, max_size=30))
+    pre_b = draw(st.text(alphabet=alpha, min_size=0, max_size=30))
+    suf_b = draw(st.text(alphabet=alpha, min_size=0, max_size=30))
+    return (pre_a + shared + suf_a, pre_b + shared + suf_b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(pair=winnow_corpus())
+def test_winnowing_shared_substring_guarantee(spark, pair):
+    """Schleimer et al.'s theorem, fuzzed: any shared substring of
+    length >= w + k - 1 guarantees a shared fingerprint. (The shared
+    run uses a disjoint alphabet so normalization cannot shorten it.)"""
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    a, b = pair
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=3).collect()
+    s1 = {r.fp for r in fps if r.doc_id == 1}
+    s2 = {r.fp for r in fps if r.doc_id == 2}
+    assert s1 & s2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    n_shards=st.integers(1, 16),
+    seed=st.integers(0, 5),
+)
+def test_shuffle_shards_invariants(spark, n, n_shards, seed):
+    """Exact balance (+/-1), dense per-shard positions, determinism."""
+    from meds_transforms_spark.operators.ids import shuffle_shards
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    rows = shuffle_shards(df, n_shards=n_shards, seed=seed, num_partitions=3).collect()
+    assert len(rows) == n
+    sizes: dict[int, list[int]] = {}
+    for r in rows:
+        sizes.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    counts = [len(v) for v in sizes.values()]
+    assert max(counts) - min(counts) <= 1
+    for poss in sizes.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=25), min_size=1, max_size=12
+    )
+)
+def test_bigram_logprob_matches_python_reference(spark, texts):
+    """Self-fit interpolated bigram scores vs a from-scratch python
+    implementation of the same formula."""
+    from collections import Counter
+
+    from meds_transforms_spark.operators.lm import bigram_logprob
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(df).collect()}
+
+    docs_toks = {i: [w for w in t.lower().split() if w] for i, t in rows}
+    lm = Counter()
+    for toks in docs_toks.values():
+        lm.update(zip(toks, toks[1:]))
+    if not lm:
+        assert all(v is None for v in got.values())
+        return
+    c1 = Counter()
+    c2 = Counter()
+    for (w1, w2), c in lm.items():
+        c1[w1] += c
+        c2[w2] += c
+    N = float(sum(lm.values()))
+    V = float(len({w2 for _, w2 in lm}))
+    lam, alpha = 0.7, 0.1
+    for i, toks in docs_toks.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert got[i] is None
+            continue
+        tot = 0.0
+        for bg in bgs:
+            p = lam * (lm[bg] / c1[bg[0]]) + (1.0 - lam) * (
+                (c2[bg[1]] + alpha) / (N + alpha * V)
+            )
+            tot += math.log(p)
+        assert got[i] == pytest.approx(tot / len(bgs), rel=1e-9, abs=1e-9)
