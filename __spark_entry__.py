@@ -1143,6 +1143,33 @@ def q_docs_winnow_contains(spark, sf_dir):
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def q_docs_ccnet_e2e(spark, sf_dir):
+    """The CCNet-shaped curation composition (plans/corpus.
+    curate_corpus_ccnet): Gopher rules → per-language bigram-perplexity
+    terciles (keep head+middle) → winnow decontamination against docs
+    ≡3 (mod 97) as the eval set → deterministic shuffle into 8 shards.
+    Every stage is the registered operator; the oracle replays the
+    whole chain from the shared gopher/bigram/winnow CTE helpers."""
+    from meds_transforms_spark.plans.corpus import curate_corpus_ccnet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.filter(F.col("doc_id") % 97 == 3)
+    out = curate_corpus_ccnet(
+        docs,
+        probes,
+        gopher_kwargs={"min_words": 40, "min_required_stopwords": 1},
+        winnow_k=12,
+        winnow_w=8,
+        min_shared=10,
+        max_df=500,
+        n_shards=8,
+        seed=42,
+        hash_fn="md5_60",
+        round_to=6,
+    )
+    return out.select("doc_id", "lang", "ppl_bucket", "shard_id", "pos_in_shard")
+
+
 def q_docs_corpus_diff(spark, sf_dir):
     """Snapshot diff (operators/diff.corpus_diff): docs with id ∤ 7
     play the old snapshot, id ∤ 5 the new one, and every 11th new doc
@@ -1669,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "docs_winnow_contains": q_docs_winnow_contains,
         "docs_corpus_diff": q_docs_corpus_diff,
+        "docs_ccnet_e2e": q_docs_ccnet_e2e,
         # --- green tail (driver-green in r01/r02, unchanged) ---
         **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
         "docs_tfidf": q_docs_tfidf,
@@ -1779,16 +1807,18 @@ def _minhash_bands_sql(source: str = "documents") -> str:
             )"""
 
 
-#: Shared bigram-LM scoring pipeline (tokens → HOF-equivalent bigrams →
-#: per-doc counts → model + marginals + totals → interpolated mean
-#: log-prob) — the SQL mirror of operators/lm.bigram_logprob with the
-#: identical arithmetic order. Used by docs_bigram_ppl and
-#: docs_ccnet_buckets.
-_BIGRAM_SCORED_CTES = r"""toks AS (
+def _bigram_scored_ctes(source: str = "documents") -> str:
+    """Shared bigram-LM scoring pipeline (tokens → HOF-equivalent
+    bigrams → per-doc counts → model + marginals + totals →
+    interpolated mean log-prob) — the SQL mirror of
+    operators/lm.bigram_logprob with the identical arithmetic order,
+    fit on ``source``. Used by docs_bigram_ppl, docs_ccnet_buckets and
+    the ccnet e2e composition."""
+    return rf"""toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\s+'),
                                  x -> x <> '') AS tk
-              FROM documents
+              FROM {source}
             ), bg AS (
               SELECT doc_id, tk[CAST(i AS BIGINT)] AS w1, tk[CAST(i AS BIGINT) + 1] AS w2
               FROM toks, unnest(range(1, greatest(len(tk), 1))) r(i)
@@ -1813,6 +1843,55 @@ _BIGRAM_SCORED_CTES = r"""toks AS (
               FROM per_doc p
               JOIN lm USING (w1, w2) JOIN m1 USING (w1) JOIN m2 USING (w2), tot
               GROUP BY p.doc_id
+            )"""
+
+
+def _gopher_rules_ctes(source: str) -> str:
+    """CTE chain ``base, m, r`` computing the Gopher rule booleans per
+    doc of ``source`` — the SQL mirror of
+    operators/text.gopher_quality_filter. ``r`` carries one boolean per
+    rule; ANDing them is ``gopher_pass``. Shared by docs_gopher_filter
+    and the ccnet e2e composition."""
+    return rf"""base AS (
+              SELECT doc_id,
+                     text IS NOT NULL AS nn,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                 x -> x != '') AS toks,
+                     string_split(coalesce(text, ''), chr(10)) AS lines,
+                     len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS n_sym
+              FROM {source}
+            ), m AS (
+              SELECT doc_id, nn, toks, lines, n_sym,
+                     len(toks) AS n_words,
+                     greatest(len(lines), 1) AS n_lines,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                               / len(toks)
+                          ELSE 0.0 END AS mean_len
+              FROM base
+            ), r AS (
+              SELECT doc_id,
+                     CAST(n_words AS BIGINT) AS n_words,
+                     nn AND n_words >= 40 AND n_words <= 100000 AS rule_word_count,
+                     nn AND mean_len >= 3.0 AND mean_len <= 10.0 AS rule_mean_word_len,
+                     nn AND CASE WHEN n_words > 0
+                          THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                          ELSE FALSE END AS rule_symbol_ratio,
+                     nn AND CAST(len(list_filter(lines,
+                         l -> regexp_matches(l, '^\s*[•*-]\s'))) AS DOUBLE)
+                       / n_lines < 0.9 AS rule_bullet_lines,
+                     nn AND CAST(len(list_filter(lines,
+                         l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                       / n_lines <= 0.3 AS rule_ellipsis_lines,
+                     nn AND CASE WHEN n_words > 0
+                          THEN CAST(len(list_filter(toks,
+                                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                                 / n_words >= 0.8
+                          ELSE FALSE END AS rule_alpha_words,
+                     nn AND len(list_intersect(list_transform(toks, t -> lower(t)),
+                         ['the','be','to','of','and','that','have','with']))
+                       >= 1 AS rule_stopwords
+              FROM m
             )"""
 
 
@@ -2785,48 +2864,8 @@ def oracle_sql() -> dict[str, str]:
         + r""" AS simhash
             FROM hs GROUP BY doc_id
         """,
-        "docs_gopher_filter": r"""
-            WITH base AS (
-              SELECT doc_id,
-                     text IS NOT NULL AS nn,
-                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
-                                 x -> x != '') AS toks,
-                     string_split(coalesce(text, ''), chr(10)) AS lines,
-                     len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS n_sym
-              FROM documents
-            ), m AS (
-              SELECT doc_id, nn, toks, lines, n_sym,
-                     len(toks) AS n_words,
-                     greatest(len(lines), 1) AS n_lines,
-                     CASE WHEN len(toks) > 0
-                          THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-                               / len(toks)
-                          ELSE 0.0 END AS mean_len
-              FROM base
-            ), r AS (
-              SELECT doc_id,
-                     CAST(n_words AS BIGINT) AS n_words,
-                     nn AND n_words >= 40 AND n_words <= 100000 AS rule_word_count,
-                     nn AND mean_len >= 3.0 AND mean_len <= 10.0 AS rule_mean_word_len,
-                     nn AND CASE WHEN n_words > 0
-                          THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
-                          ELSE FALSE END AS rule_symbol_ratio,
-                     nn AND CAST(len(list_filter(lines,
-                         l -> regexp_matches(l, '^\s*[•*-]\s'))) AS DOUBLE)
-                       / n_lines < 0.9 AS rule_bullet_lines,
-                     nn AND CAST(len(list_filter(lines,
-                         l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
-                       / n_lines <= 0.3 AS rule_ellipsis_lines,
-                     nn AND CASE WHEN n_words > 0
-                          THEN CAST(len(list_filter(toks,
-                                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-                                 / n_words >= 0.8
-                          ELSE FALSE END AS rule_alpha_words,
-                     nn AND len(list_intersect(list_transform(toks, t -> lower(t)),
-                         ['the','be','to','of','and','that','have','with']))
-                       >= 1 AS rule_stopwords
-              FROM m
-            )
+        "docs_gopher_filter": f"""
+            WITH {_gopher_rules_ctes("documents")}
             SELECT doc_id, n_words, rule_word_count, rule_mean_word_len,
                    rule_symbol_ratio, rule_bullet_lines, rule_ellipsis_lines,
                    rule_alpha_words, rule_stopwords,
@@ -3135,12 +3174,12 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 5
         """,
         "docs_bigram_ppl": f"""
-            WITH {_BIGRAM_SCORED_CTES}
+            WITH {_bigram_scored_ctes()}
             SELECT d.doc_id, round(s.lp, 6) AS avg_bigram_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "docs_ccnet_buckets": f"""
-            WITH {_BIGRAM_SCORED_CTES}, lp AS (
+            WITH {_bigram_scored_ctes()}, lp AS (
               SELECT d.doc_id, d.lang, round(s.lp, 6) AS avg_bigram_logprob
               FROM documents d LEFT JOIN scored s USING (doc_id)
             ), ranked AS (
@@ -3186,6 +3225,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rnk % 8 AS INT) AS shard_id,
                    CAST(rnk // 8 AS BIGINT) AS pos_in_shard
             FROM r
+        """,
+        "docs_ccnet_e2e": f"""
+            WITH {_gopher_rules_ctes("documents")}, keep AS (
+              SELECT doc_id FROM r
+              WHERE rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                AND rule_bullet_lines AND rule_ellipsis_lines
+                AND rule_alpha_words AND rule_stopwords
+            ), surv AS (
+              SELECT d.* FROM documents d JOIN keep USING (doc_id)
+            ), {_bigram_scored_ctes("surv")}, lp AS (
+              SELECT s2.doc_id, s2.lang, round(s.lp, 6) AS lpv
+              FROM surv s2 LEFT JOIN scored s USING (doc_id)
+            ), rankedq AS (
+              SELECT lang, lpv,
+                     row_number() OVER (PARTITION BY lang ORDER BY lpv) AS rn,
+                     count(lpv) OVER (PARTITION BY lang) AS n
+              FROM lp WHERE lpv IS NOT NULL
+            ), cuts AS (
+              SELECT lang,
+                     max(CASE WHEN rn = CAST(round((1.0/3.0) * (n-1)) AS BIGINT) + 1 THEN lpv END) AS cut_lo,
+                     max(CASE WHEN rn = CAST(round((2.0/3.0) * (n-1)) AS BIGINT) + 1 THEN lpv END) AS cut_hi
+              FROM rankedq GROUP BY lang
+            ), selk AS (
+              SELECT l.doc_id, l.lang,
+                     CASE WHEN l.lpv >= c.cut_hi THEN 'head'
+                          WHEN l.lpv >= c.cut_lo THEN 'middle'
+                          ELSE 'tail' END AS ppl_bucket
+              FROM lp l LEFT JOIN cuts c USING (lang)
+              WHERE l.lpv IS NOT NULL
+                AND (CASE WHEN l.lpv >= c.cut_hi THEN 'head'
+                          WHEN l.lpv >= c.cut_lo THEN 'middle'
+                          ELSE 'tail' END) IN ('head', 'middle')
+            ), cf AS ({_winnow_fps_sql(
+                "(SELECT d.doc_id, d.text FROM documents d JOIN selk USING (doc_id)) src WHERE text IS NOT NULL",
+                12, 8)}
+            ), kept2 AS (
+              SELECT fp FROM cf GROUP BY fp HAVING count(*) <= 500
+            ), cfk AS (
+              SELECT c.doc_id, c.fp FROM cf c JOIN kept2 USING (fp)
+            ), pf AS ({_winnow_fps_sql(
+                "documents WHERE text IS NOT NULL AND doc_id % 97 = 3", 12, 8)}
+            ), cont AS (
+              SELECT DISTINCT c.doc_id FROM cfk c JOIN pf p ON c.fp = p.fp
+              GROUP BY c.doc_id, p.doc_id HAVING count(*) >= 10
+            ), clean AS (
+              SELECT * FROM selk
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+            ), ordr AS (
+              SELECT doc_id, lang, ppl_bucket,
+                     CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+              FROM clean
+            ), rr AS (
+              SELECT doc_id, lang, ppl_bucket,
+                     row_number() OVER (ORDER BY hk, doc_id) - 1 AS rnk
+              FROM ordr
+            )
+            SELECT doc_id, lang, ppl_bucket,
+                   CAST(rnk % 8 AS INT) AS shard_id,
+                   CAST(rnk // 8 AS BIGINT) AS pos_in_shard
+            FROM rr
         """,
         "docs_corpus_diff": r"""
             WITH o AS (

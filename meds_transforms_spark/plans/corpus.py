@@ -116,3 +116,77 @@ def curate_corpus_dsir(
     ).limit(int(top_k))
     counted = token_count(sel)
     return pack_sequences(counted, budget=int(budget), order="hash", hash_fn=hash_fn)
+
+
+def curate_corpus_ccnet(
+    docs: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    keep_buckets: tuple[str, ...] = ("head", "middle"),
+    gopher_kwargs: dict | None = None,
+    n_shards: int = 8,
+    seed: int = 42,
+    winnow_k: int = 10,
+    winnow_w: int = 8,
+    min_shared: int = 3,
+    max_df: int | None = 500,
+    probe_text_col: str | None = None,
+    probe_id_col: str | None = None,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = None,
+) -> DataFrame:
+    """The CCNet-shaped curation composition, end to end:
+
+        raw docs
+          → gopher_quality_filter            (codegen rule projection)
+          → ccnet_buckets                    (bigram-LM perplexity terciles
+                                              per language; keep head+middle)
+          → winnow_contains vs probe_df      (eval-passage decontamination:
+                                              drop any doc sharing
+                                              ≥ min_shared fingerprints)
+          → shuffle_shards                   (deterministic training order)
+
+    Returns ``(id_col, lang, ppl_bucket, shard_id, pos_in_shard)`` —
+    the trainable manifest. Every stage is the registered operator; the
+    composition adds NO new shuffle classes: gopher is a projection,
+    ccnet's model tables derive from one pinned explode, the probe side
+    of the decontamination broadcast, and the shard rank is the
+    two-phase prefix.
+
+    ``hash_fn="md5_60"`` + ``round_to`` give the engine-reproducible
+    mode the driver oracle replays.
+    """
+    from meds_transforms_spark.operators.ids import shuffle_shards
+    from meds_transforms_spark.operators.lm import ccnet_buckets
+    from meds_transforms_spark.operators.text import gopher_quality_filter
+    from meds_transforms_spark.operators.winnow import winnow_contains
+
+    survivors = gopher_quality_filter(
+        docs, text_col=text_col, **(gopher_kwargs or {})
+    ).filter(F.col("gopher_pass"))
+    # keep only the pipeline's own columns — the rule booleans served
+    # their purpose
+    survivors = survivors.select(*docs.columns)
+    bucketed = ccnet_buckets(
+        survivors, text_col=text_col, id_col=id_col, lang_col=lang_col,
+        round_to=round_to if round_to is not None else 6,
+    )
+    selected = bucketed.filter(F.col("ppl_bucket").isin(*keep_buckets))
+    contaminated = (
+        winnow_contains(
+            selected, probe_df, k=winnow_k, w=winnow_w,
+            min_shared=min_shared, max_df=max_df,
+            text_col=text_col, id_col=id_col,
+            probe_text_col=probe_text_col, probe_id_col=probe_id_col,
+            hash_fn=hash_fn,
+        )
+        .select(id_col)
+        .distinct()
+    )
+    clean = selected.join(contaminated, id_col, "left_anti")
+    sharded = shuffle_shards(
+        clean, n_shards=n_shards, seed=seed, id_col=id_col, hash_fn=hash_fn
+    )
+    return sharded.select(id_col, lang_col, "ppl_bucket", "shard_id", "pos_in_shard")

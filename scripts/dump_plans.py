@@ -63,6 +63,7 @@ REVIEW = {
     "docs_bigram_ppl": "bigrams form in a per-row HOF (no lag window over exploded tokens); the per-doc aggregate is PERSISTED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — explode runs once, everything else re-aggregates the cache",
     "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
     "docs_shuffle_shards": "seeded-hash rank via two-phase prefix (range exchange + local row_number + broadcast offsets); round-robin deal makes shard sizes exact — no SinglePartition window, no rand(), pure function of (data, seed)",
+    "docs_ccnet_e2e": "the four curation stages chain with NO new shuffle classes: gopher is a projection, ccnet derives model+cuts from one pinned explode, the eval probes broadcast into the decontamination join, and the shard rank is the two-phase prefix — the corpus text shuffles ZERO times end to end",
     "docs_corpus_diff": "both snapshots pre-project to (id, group, 64-bit fingerprint, length) ~40-byte rows before the single full-outer id join — text never shuffles; classification + char mass fold into one small-key aggregate, output is |groups| rows",
 }
 
