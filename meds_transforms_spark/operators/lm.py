@@ -232,3 +232,120 @@ def ccnet_buckets(
         .withColumn("ppl_bucket", bucket)
         .drop("__cut_lo", "__cut_hi")
     )
+
+
+@register_stage("bigram_logprob_projection")
+def bigram_logprob_projection(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 15,
+    max_entries: int = 250_000,
+    lam: float = 0.7,
+    alpha: float = 0.1,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Serve a fitted bigram LM as a PURE PROJECTION — the
+    streaming-native scoring path (``bigram_logprob``'s relational form
+    needs a per-doc aggregation + model joins, which a watermarkless
+    stream can't run).
+
+    The model's interpolated log-probabilities are precomputed
+    driver-side and inlined as ONE dense array literal indexed by
+    ``h(w1:w2) mod n_buckets`` (the dsir_score_projection pattern);
+    per-row scoring is an array aggregate over the HOF-built bigram
+    stream — no explode, no groupBy, no join, zero shuffle. Attach to a
+    readStream like any stateless text operator.
+
+    Hashed-serving approximations, documented: colliding bigrams share
+    a slot (last-written wins by ascending count, so the most frequent
+    bigram owns contested slots), the model is capped at the top
+    ``max_entries`` bigrams by count, and unseen/out-of-model bigrams
+    score the interpolation FLOOR ``ln((1−λ)·α/(N+αV))`` rather than
+    the per-``w2`` backoff the exact scorer gives them. Self-fit
+    corpora with vocab ≪ n_buckets reproduce the exact scores.
+
+    The collect here is the MODEL (≤ max_entries rows), never data.
+    """
+    import math
+
+    from meds_transforms_spark.operators.dedup import _h64
+
+    b = int(n_buckets)
+    rows = (
+        lm.orderBy(F.col("n").desc(), "w1", "w2").limit(int(max_entries)).collect()
+    )
+    totals = lm.agg(
+        F.sum("n").alias("N"), F.count_distinct("w2").alias("V")
+    ).collect()[0]
+    N = float(totals["N"] or 0.0)
+    V = float(totals["V"] or 0.0)
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for r in rows:
+        c1[r["w1"]] = c1.get(r["w1"], 0) + r["n"]
+        c2[r["w2"]] = c2.get(r["w2"], 0) + r["n"]
+    lam_f, alpha_f = float(lam), float(alpha)
+    denom = N + alpha_f * V
+    floor = (
+        math.log((1.0 - lam_f) * alpha_f / denom) if denom > 0 else 0.0
+    )
+    dense = [floor] * b
+    slots = _model_slots(
+        lm.sparkSession, [f"{r['w1']}:{r['w2']}" for r in rows], b, hash_fn
+    )
+    # ascending count so the most frequent bigram wins contested slots
+    for r in sorted(rows, key=lambda r: r["n"]):
+        key = f"{r['w1']}:{r['w2']}"
+        p = lam_f * (r["n"] / c1[r["w1"]]) + (1.0 - lam_f) * (
+            (c2[r["w2"]] + alpha_f) / denom
+        )
+        dense[slots[key]] = math.log(p)
+    lut = F.lit(dense)
+
+    toks_expr = _tokens(F.lower(F.col(text_col)))
+    base = df.withColumn("__toks", toks_expr)
+    n = F.size(F.col("__toks"))
+    bgs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("__toks"), i),
+                F.lit(":"),
+                F.element_at(F.col("__toks"), i + 1),
+            ),
+        ),
+    )
+    total_lp = F.aggregate(
+        bgs,
+        F.lit(0.0),
+        lambda acc, f: acc
+        + F.element_at(lut, (F.pmod(_h64(hash_fn, f), F.lit(b)) + 1).cast("int")),
+    )
+    avg = F.when(n >= 2, total_lp / (n - 1).cast("double"))
+    if round_to is not None:
+        avg = F.round(avg, int(round_to))
+    return base.withColumn("avg_bigram_logprob", avg.cast("double")).drop("__toks")
+
+
+def _model_slots(spark, keys: list[str], b: int, hash_fn: str) -> dict[str, int]:
+    """LUT slot per model key, computed with the SAME hash family the
+    projection probes with. md5_60 has an exact python mirror; xxhash64
+    does not (no stdlib implementation), so its slots come from one
+    tiny Spark job over the key list — model-sized, driver-bounded,
+    and paid once at build time."""
+    if not keys:
+        return {}
+    if hash_fn == "md5_60":
+        import hashlib
+
+        return {k: int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % b for k in keys}
+    from meds_transforms_spark.operators.dedup import _h64
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = kdf.select(
+        "k", F.pmod(_h64(hash_fn, F.col("k")), F.lit(b)).cast("int").alias("s")
+    ).collect()
+    return {r["k"]: r["s"] for r in rows}

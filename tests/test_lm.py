@@ -120,3 +120,74 @@ def test_ccnet_buckets_per_language_independence(spark):
     # identical-scoring de docs: all share one bucket boundary behavior
     de_buckets = {rows[100 + i].ppl_bucket for i in range(3)}
     assert de_buckets == {"head"}  # all tie at the cut -> all >= cut_hi
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_60"])
+def test_projection_matches_exact_scorer_when_collision_free(spark, hash_fn):
+    """With vocab << n_buckets and a self-fit model (no unseen
+    bigrams), the hashed projection reproduces the exact relational
+    scores."""
+    from meds_transforms_spark.operators.lm import (
+        bigram_logprob,
+        bigram_logprob_projection,
+        fit_bigram_lm,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the cat"),
+            (3, "mat the on sat dog"),
+            (4, "solo"),
+            (5, None),
+        ],
+    )
+    lm = fit_bigram_lm(docs)
+    exact = {
+        r.doc_id: r.avg_bigram_logprob
+        for r in bigram_logprob(docs, lm=lm, round_to=9).collect()
+    }
+    proj = {
+        r.doc_id: r.avg_bigram_logprob
+        for r in bigram_logprob_projection(
+            docs, lm, n_buckets=1 << 18, hash_fn=hash_fn, round_to=9
+        ).collect()
+    }
+    for k, v in exact.items():
+        if v is None:
+            assert proj[k] is None
+        else:
+            assert proj[k] == pytest.approx(v, abs=2e-9)
+
+
+def test_projection_scores_streams(spark, tmp_path):
+    """The projection is a pure codegen expression — it must attach to
+    a readStream unchanged (the relational scorer cannot)."""
+    from meds_transforms_spark.operators.lm import (
+        bigram_logprob_projection,
+        fit_bigram_lm,
+    )
+
+    train = _docs(spark, [(1, "a b a b c"), (2, "b c a b")])
+    lm = fit_bigram_lm(train)
+    src = str(tmp_path / "src")
+    _docs(spark, [(10, "a b c"), (11, "zz qq")]).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = bigram_logprob_projection(stream, lm, round_to=6)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bigram_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.doc_id: r.avg_bigram_logprob
+            for r in spark.sql("SELECT * FROM bigram_stream").collect()
+        }
+        assert rows[10] is not None and rows[10] > rows[11]  # unseen floor
+    finally:
+        q.stop()
