@@ -261,12 +261,17 @@ def bigram_logprob_projection(
     Hashed-serving approximations, documented: colliding bigrams share
     a slot (last-written wins by ascending count, so the most frequent
     bigram owns contested slots), the model is capped at the top
-    ``max_entries`` bigrams by count, and unseen/out-of-model bigrams
-    score the interpolation FLOOR ``ln((1−λ)·α/(N+αV))`` rather than
-    the per-``w2`` backoff the exact scorer gives them. Self-fit
-    corpora with vocab ≪ n_buckets reproduce the exact scores.
+    ``max_entries`` bigrams by count — the served model IS that capped
+    table (marginals, N, and V are all computed from the SAME retained
+    rows, so the probabilities stay internally consistent; a capped
+    model is a smaller model, not a corrupted one) — and
+    unseen/out-of-model bigrams score the interpolation FLOOR
+    ``ln((1−λ)·α/(N+αV))`` rather than the per-``w2`` backoff the exact
+    scorer gives them. Self-fit corpora with vocab ≪ n_buckets and
+    ≤ max_entries reproduce the exact scores.
 
-    The collect here is the MODEL (≤ max_entries rows), never data.
+    The collect here is the MODEL (≤ max_entries rows, ONE job even
+    when ``lm`` is the lazy fit pipeline), never data.
     """
     import math
 
@@ -276,11 +281,9 @@ def bigram_logprob_projection(
     rows = (
         lm.orderBy(F.col("n").desc(), "w1", "w2").limit(int(max_entries)).collect()
     )
-    totals = lm.agg(
-        F.sum("n").alias("N"), F.count_distinct("w2").alias("V")
-    ).collect()[0]
-    N = float(totals["N"] or 0.0)
-    V = float(totals["V"] or 0.0)
+    # every model statistic derives from the retained rows — one collect
+    N = float(sum(r["n"] for r in rows))
+    V = float(len({r["w2"] for r in rows}))
     c1: dict[str, int] = {}
     c2: dict[str, int] = {}
     for r in rows:

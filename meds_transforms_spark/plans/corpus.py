@@ -174,6 +174,11 @@ def curate_corpus_ccnet(
         round_to=round_to if round_to is not None else 6,
     )
     selected = bucketed.filter(F.col("ppl_bucket").isin(*keep_buckets))
+    # `selected` feeds both the decontamination fingerprint branch and
+    # the final anti-join probe — unpinned, the docs scan + gopher rule
+    # projection + bucket joins would re-execute per branch (the
+    # round's measured fan-out class); GC-released checkpoint.
+    selected = selected.localCheckpoint(eager=False)
     contaminated = (
         winnow_contains(
             selected, probe_df, k=winnow_k, w=winnow_w,

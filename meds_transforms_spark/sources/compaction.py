@@ -124,32 +124,29 @@ def compact_parquet(
         # one giant file and one straggler/OOM task, and target_mb is
         # ignored. Salt each value proportionally to its row share of
         # n_target instead — file count stays ≈ n_target and hot values
-        # split across tasks. The per-value count table is bounded by
-        # hive-partition cardinality (small by definition).
+        # split across tasks. Per-value row counts come from the
+        # parquet FOOTERS already walked (no extra data pass — the
+        # module contract), and each row finds its value's split count
+        # through its SOURCE FILE PATH (input_file_name contains the
+        # name=value dir chain) — no typed join, so NULL partition
+        # values (__HIVE_DEFAULT_PARTITION__ dirs) and exotic value
+        # types cannot fall out of an equi-join.
         from pyspark.sql import functions as F
 
-        counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__rows")).collect()
-        total = sum(r["__rows"] for r in counts) or 1
-        splits = [
-            tuple(r[c] for c in pcols)
-            + (max(1, round(r["__rows"] / total * n_target)),)
-            for r in counts
-        ]
-        from pyspark.sql.types import IntegerType, StructField, StructType
-
-        # fresh StructType (never .add onto a DataFrame's cached schema)
-        splits_schema = StructType(
-            [df.schema[c] for c in pcols] + [StructField("__splits", IntegerType())]
-        )
-        splits_df = spark.createDataFrame(splits, splits_schema)
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__splits")
-        )
+        value_rows = _partition_value_rows(path)
+        total = sum(value_rows.values()) or 1
+        fname = F.input_file_name()
+        splits_col = F.lit(1)
+        for chain, rows in value_rows.items():
+            n_splits = max(1, round(rows / total * n_target))
+            splits_col = F.when(
+                fname.contains("/" + chain + "/"), F.lit(n_splits)
+            ).otherwise(splits_col)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), splits_col)
         out = (
-            df.join(F.broadcast(splits_df), pcols)
-            .withColumn("__salt", salt)
+            df.withColumn("__salt", salt)
             .repartition(n_target, *pcols, "__salt")
-            .drop("__splits", "__salt")
+            .drop("__salt")
         )
     else:
         out = df.repartition(n_target)
@@ -176,6 +173,28 @@ def compact_parquet(
     if not retain_old:
         shutil.rmtree(old)
     return {"before": before, "after": after, "compacted": True}
+
+
+def _partition_value_rows(path: str) -> dict[str, int]:
+    """Row count per hive partition value, straight from parquet
+    footers: maps the relative ``name=value[/name=value…]`` directory
+    chain of every leaf that holds parquet files to its row total.
+    Bounded by partition cardinality; zero Spark jobs."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    root = path.rstrip("/")
+    for d, _dirs, fnames in os.walk(root):
+        rows = sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in fnames
+            if f.endswith(".parquet")
+        )
+        if rows and d != root:
+            chain = os.path.relpath(d, root)
+            if "=" in chain:
+                out[chain] = out.get(chain, 0) + rows
+    return out
 
 
 def _partition_cols(path: str) -> list[str]:

@@ -155,3 +155,25 @@ def test_partitioned_hot_value_splits_by_target(spark, tmp_path):
     assert len(cold_files) >= 1
     got = spark.read.parquet(path)
     assert got.filter(F.col("lang") == "0").count() == 95_000
+
+
+def test_partitioned_null_value_rows_survive(spark, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__ dirs;
+    the salted rewrite must keep them (a typed equi-join on the
+    partition cols would silently drop them and trip the audit)."""
+    path = str(tmp_path / "nullpart")
+    spark.range(30_000).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(
+            (F.col("id") % 2).cast("string")
+        ).alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+        "id",
+    ).repartition(12).write.partitionBy("lang").parquet(path)
+    before = dir_stats(path)
+    assert before["rows"] == 30_000
+    report = compact_parquet(spark, path, target_mb=1)
+    assert report["compacted"]
+    assert report["after"]["rows"] == 30_000
+    got = spark.read.parquet(path)
+    assert got.count() == 30_000
+    assert got.filter(F.col("lang").isNull()).count() == 10_000
