@@ -116,5 +116,67 @@ def main():
     )
 
 
+def extra(n_docs: int = 200_000) -> None:
+    """Round-3b spot-checks: corpus_diff and the ccnet e2e composition.
+    Run: python -c "import scripts.scale_round3 as s; s.extra()" or
+    python scripts/scale_round3.py extra [n_docs]."""
+    spark = get_spark("scale_round3b")
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(60)),
+        lambda i: F.concat(
+            F.lit("the w"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("id").cast("string"), F.lit(":"), i.cast("string"))
+                    ),
+                    1,
+                    3,
+                ),
+                16,
+                10,
+            ),
+        ),
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+            F.concat(F.lit("l"), (F.col("id") % 4).cast("string")).alias("lang"),
+            F.concat(F.lit("s"), (F.col("id") % 8).cast("string")).alias("source"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    print(f"docs: {docs.count():,}")
+
+    from meds_transforms_spark.operators.diff import corpus_diff
+
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    timed(f"corpus_diff {n_docs:,} x {n_docs:,} docs", corpus_diff(old, new))
+
+    from meds_transforms_spark.plans.corpus import curate_corpus_ccnet
+
+    probes = docs.filter(F.col("doc_id") % 997 == 3)
+    timed(
+        f"curate_corpus_ccnet e2e {n_docs:,} docs, {n_docs // 997} probes",
+        curate_corpus_ccnet(
+            docs, probes,
+            gopher_kwargs={"min_words": 20, "min_required_stopwords": 1},
+            winnow_k=12, min_shared=10,
+        ),
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "extra":
+        extra(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    else:
+        main()
