@@ -425,3 +425,68 @@ def test_bigram_logprob_matches_python_reference(spark, texts):
             )
             tot += math.log(p)
         assert got[i] == pytest.approx(tot / len(bgs), rel=1e-9, abs=1e-9)
+
+
+@st.composite
+def snapshot_pair(draw):
+    ids = draw(st.lists(st.integers(0, 30), min_size=1, max_size=25, unique=True))
+    texts = {i: draw(st.text(alphabet="ab ", min_size=0, max_size=12)) for i in ids}
+    keep_old = {i for i in ids if draw(st.booleans())}
+    keep_new = {i for i in ids if draw(st.booleans())}
+    changed = {i for i in keep_new if draw(st.booleans())}
+    old = [(i, texts[i], f"g{i % 2}") for i in keep_old]
+    new = [
+        (i, texts[i] + (" X" if i in changed else ""), f"g{i % 2}") for i in keep_new
+    ]
+    return old, new
+
+
+@settings(max_examples=12, deadline=None)
+@given(pair=snapshot_pair())
+def test_corpus_diff_matches_python_reference(spark, pair):
+    from meds_transforms_spark.operators.diff import corpus_diff
+
+    old, new = pair
+    o = spark.createDataFrame(old, "doc_id long, text string, source string") if old else \
+        spark.createDataFrame([], "doc_id long, text string, source string")
+    n = spark.createDataFrame(new, "doc_id long, text string, source string") if new else \
+        spark.createDataFrame([], "doc_id long, text string, source string")
+    got = {r.group: r for r in corpus_diff(o, n).collect()}
+
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    om = {i: (t, g) for i, t, g in old}
+    nm = {i: (t, g) for i, t, g in new}
+    exp: dict[str, dict[str, int]] = {}
+
+    def bump(g, key, amt=1):
+        d = exp.setdefault(
+            g,
+            dict(n_added=0, n_removed=0, n_changed=0, n_unchanged=0,
+                 chars_added=0, chars_removed=0),
+        )
+        d[key] += amt
+
+    for i in set(om) | set(nm):
+        if i not in om:
+            t, g = nm[i]
+            bump(g, "n_added"); bump(g, "chars_added", len(t))
+        elif i not in nm:
+            t, g = om[i]
+            bump(g, "n_removed"); bump(g, "chars_removed", len(t))
+        else:
+            to, _go = om[i]
+            tn, gn = nm[i]  # group of record: where the doc lives NOW
+            if norm(to) != norm(tn):
+                bump(gn, "n_changed")
+                bump(gn, "chars_added", len(tn)); bump(gn, "chars_removed", len(to))
+            else:
+                bump(gn, "n_unchanged")
+
+    assert set(got) == set(exp)
+    for g, d in exp.items():
+        for k, v in d.items():
+            assert getattr(got[g], k) == v, (g, k)
