@@ -161,7 +161,7 @@ def q_emb_ivf_topk(spark, sf_dir):
         emb, queries, k=10, n_cells=16, n_probe=4,
         corpus_vec="emb_d", query_vec="embedding",
     )
-    return out.select("query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank")
+    return out.select("query_id", "vec_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos_r"), "rank")
 
 
 def q_meds_filter_subjects(spark, sf_dir):
@@ -1467,7 +1467,7 @@ def q_emb_topk_cosine(spark, sf_dir):
         emb, queries, k=10, corpus_vec="emb_d", query_vec="embedding"
     )
     return out.select(
-        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+        "query_id", "vec_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos_r"), "rank"
     )
 
 
@@ -1533,7 +1533,7 @@ def q_docs_semantic_search(spark, sf_dir):
         corpus, queries, k=5, corpus_vec="emb_d", query_vec="embedding"
     )
     return out.select(
-        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+        "query_id", "vec_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos_r"), "rank"
     )
 
 
@@ -1606,7 +1606,7 @@ def q_emb_topk_vectorized(spark, sf_dir):
         emb, queries, k=10, corpus_vec="emb_d", query_vec="embedding"
     )
     return out.select(
-        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+        "query_id", "vec_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos_r"), "rank"
     )
 
 
@@ -1628,7 +1628,7 @@ def q_emb_lsh_topk(spark, sf_dir):
         corpus_vec="emb_d", query_vec="embedding", bucket_fn="exact",
     )
     return out.select(
-        "query_id", "vec_id", F.round("cos", 4).alias("cos_r"), "rank"
+        "query_id", "vec_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos_r"), "rank"
     )
 
 
@@ -2011,7 +2011,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e, cent c WHERE e.vec_id < 5
               ) WHERE rn <= 4
             )
-            SELECT query_id, vec_id, round(cos, 4) AS cos_r, rank FROM (
+            SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos_r, rank FROM (
               SELECT q.query_id, c.vec_id,
                      list_cosine_similarity(c.emb, q.qemb) AS cos,
                      CAST(row_number() OVER (
@@ -2641,7 +2641,7 @@ def oracle_sql() -> dict[str, str]:
               FROM per p JOIN lm USING (tok), tot
               GROUP BY p.doc_id
             )
-            SELECT d.doc_id, round(sc.lp, 6) AS avg_logprob
+            SELECT d.doc_id, round(sc.lp, 6) + 0.0 AS avg_logprob
             FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "docs_domain_stats": r"""
@@ -2711,7 +2711,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.i, p.j,
                    round((CAST(p.sxy AS DOUBLE) / 1000000000000.0) / nn
                          - ((CAST(mi.sx AS DOUBLE) / 1000000.0) / nn)
-                           * ((CAST(mj.sx AS DOUBLE) / 1000000.0) / nn), 6) AS cov
+                           * ((CAST(mj.sx AS DOUBLE) / 1000000.0) / nn), 6) + 0.0 AS cov
             FROM p, n
             JOIN m mi ON mi.k = p.i
             JOIN m mj ON mj.k = p.j
@@ -2723,7 +2723,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
             ),
             c_assign AS (
-              SELECT vec_id, cell AS cluster_id FROM (
+              SELECT vec_id, CAST(cell AS INT) AS cluster_id FROM (
                 SELECT e.vec_id, c.cell,
                        row_number() OVER (
                          PARTITION BY e.vec_id
@@ -2842,7 +2842,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN e ce ON ce.vec_id = c.vec_id
               JOIN e qe ON qe.vec_id = q.vec_id
             )
-            SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+            SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos_r,
                    CAST(row_number() OVER (
                      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
             FROM cand QUALIFY rank <= 10
@@ -2914,7 +2914,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT per.doc_id, sum(per.n * lr.lr) AS w
               FROM per JOIN lr USING (b) GROUP BY per.doc_id
             )
-            SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) AS dsir_logweight
+            SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) + 0.0 AS dsir_logweight
             FROM documents d LEFT JOIN w USING (doc_id)
         """,
         "events_zorder": r"""
@@ -2940,17 +2940,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
-                   round(min(CAST(event_id AS DOUBLE)), 6) AS min_value,
-                   round(max(CAST(event_id AS DOUBLE)), 6) AS max_value,
-                   round(avg(CAST(event_id AS DOUBLE)), 6) AS mean_value
+                   round(min(CAST(event_id AS DOUBLE)), 6) + 0.0 AS min_value,
+                   round(max(CAST(event_id AS DOUBLE)), 6) + 0.0 AS max_value,
+                   round(avg(CAST(event_id AS DOUBLE)), 6) + 0.0 AS mean_value
             FROM events
             UNION ALL
             SELECT 'user_id', CAST(count(*) AS BIGINT),
                    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    CAST(count(DISTINCT user_id) AS BIGINT),
-                   round(min(CAST(user_id AS DOUBLE)), 6),
-                   round(max(CAST(user_id AS DOUBLE)), 6),
-                   round(avg(CAST(user_id AS DOUBLE)), 6)
+                   round(min(CAST(user_id AS DOUBLE)), 6) + 0.0,
+                   round(max(CAST(user_id AS DOUBLE)), 6) + 0.0,
+                   round(avg(CAST(user_id AS DOUBLE)), 6) + 0.0
             FROM events
             UNION ALL
             SELECT 'event_type', CAST(count(*) AS BIGINT),
@@ -2962,9 +2962,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', CAST(count(*) AS BIGINT),
                    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    CAST(count(DISTINCT value) AS BIGINT),
-                   round(min(CAST(value AS DOUBLE)), 6),
-                   round(max(CAST(value AS DOUBLE)), 6),
-                   round(avg(CAST(value AS DOUBLE)), 6)
+                   round(min(CAST(value AS DOUBLE)), 6) + 0.0,
+                   round(max(CAST(value AS DOUBLE)), 6) + 0.0,
+                   round(avg(CAST(value AS DOUBLE)), 6) + 0.0
             FROM events
         """,
         "emb_semantic_dedup": r"""
@@ -3031,14 +3031,14 @@ def oracle_sql() -> dict[str, str]:
             ), z AS (
               SELECT event_id, n, mean,
                      CASE WHEN var > 0
-                          THEN round((value - mean) / sqrt(var), 6) END AS z_score
+                          THEN round((value - mean) / sqrt(var), 6) + 0.0 END AS z_score
               FROM m
             )
             -- NULL-ts rows pass through unjudged (engine mirror: they
             -- would otherwise share one NULL-tus RANGE peer frame)
             SELECT z.event_id,
                    CASE WHEN e.ts IS NOT NULL THEN CAST(n AS BIGINT) END AS w_n,
-                   CASE WHEN e.ts IS NOT NULL THEN round(mean, 6) END AS w_mean,
+                   CASE WHEN e.ts IS NOT NULL THEN round(mean, 6) + 0.0 END AS w_mean,
                    CASE WHEN e.ts IS NOT NULL THEN z_score END AS z_score,
                    coalesce(e.ts IS NOT NULL AND n >= 10
                             AND z_score IS NOT NULL AND z_score > 2.0,
@@ -3132,7 +3132,7 @@ def oracle_sql() -> dict[str, str]:
             ), per AS (
               SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b
             ), w AS (
-              SELECT d.doc_id, round(coalesce(s.w, 0.0), 6) AS wgt
+              SELECT d.doc_id, round(coalesce(s.w, 0.0), 6) + 0.0 AS wgt
               FROM dd d LEFT JOIN (
                 SELECT per.doc_id, sum(per.n * lr.lr) AS w
                 FROM per JOIN lr USING (b) GROUP BY per.doc_id
@@ -3178,12 +3178,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_bigram_ppl": f"""
             WITH {_bigram_scored_ctes()}
-            SELECT d.doc_id, round(s.lp, 6) AS avg_bigram_logprob
+            SELECT d.doc_id, round(s.lp, 6) + 0.0 AS avg_bigram_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "docs_ccnet_buckets": f"""
             WITH {_bigram_scored_ctes()}, lp AS (
-              SELECT d.doc_id, d.lang, round(s.lp, 6) AS avg_bigram_logprob
+              SELECT d.doc_id, d.lang, round(s.lp, 6) + 0.0 AS avg_bigram_logprob
               FROM documents d LEFT JOIN scored s USING (doc_id)
             ), ranked AS (
               SELECT lang, avg_bigram_logprob AS v,
@@ -3238,7 +3238,7 @@ def oracle_sql() -> dict[str, str]:
             ), surv AS (
               SELECT d.* FROM documents d JOIN keep USING (doc_id)
             ), {_bigram_scored_ctes("surv")}, lp AS (
-              SELECT s2.doc_id, s2.lang, round(s.lp, 6) AS lpv
+              SELECT s2.doc_id, s2.lang, round(s.lp, 6) + 0.0 AS lpv
               FROM surv s2 LEFT JOIN scored s USING (doc_id)
             ), rankedq AS (
               SELECT lang, lpv,
@@ -3308,7 +3308,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT coalesce(n.source, o.source) AS grp,
                      CASE WHEN o.doc_id IS NULL THEN 'added'
                           WHEN n.doc_id IS NULL THEN 'removed'
-                          WHEN o.nt <> n.nt THEN 'changed'
+                          WHEN o.nt IS DISTINCT FROM n.nt THEN 'changed'
                           ELSE 'unchanged' END AS st,
                      coalesce(o.len, 0) AS lo, coalesce(n.len, 0) AS ln
               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
@@ -3453,7 +3453,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.n_ab AS BIGINT) AS n_ab,
                    CAST(da.df AS BIGINT) AS df_a,
                    CAST(db.df AS BIGINT) AS df_b,
-                   round(ln(p.n_ab * n.nn / (da.df * CAST(db.df AS DOUBLE))), 6) AS pmi
+                   round(ln(p.n_ab * n.nn / (da.df * CAST(db.df AS DOUBLE))), 6) + 0.0 AS pmi
             FROM p, n
             JOIN d da ON da.tok = p.tok_a
             JOIN d db ON db.tok = p.tok_b
@@ -3545,7 +3545,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id < 3
             )
             SELECT qv.query_id, c.vec_id,
-                   round(list_cosine_similarity(c.emb, qv.emb), 4) AS cos_r,
+                   round(list_cosine_similarity(c.emb, qv.emb), 4) + 0.0 AS cos_r,
                    CAST(row_number() OVER (
                      PARTITION BY qv.query_id
                      ORDER BY list_cosine_similarity(c.emb, qv.emb) DESC, c.vec_id) AS INT) AS rank
@@ -3616,7 +3616,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.doc_id, f.n_tokens, round(f.quality, 6) AS quality_r,
                    l.lang_pred,
-                   least(CAST(floor(f.quality * 10) AS INT), 9) AS quality_bucket
+                   CAST(least(CAST(floor(f.quality * 10) AS INT), 9) AS INT) AS quality_bucket
             FROM final f JOIN lang l USING (doc_id)
         """,
         "docs_minhash_transitive": r"""
@@ -3682,7 +3682,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_cosine": """
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos_r,
+                                                CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_r,
                    CAST(row_number() OVER (
                      PARTITION BY q.vec_id
                      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
@@ -3694,7 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_vectorized": """
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos_r,
+                                                CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_r,
                    CAST(row_number() OVER (
                      PARTITION BY q.vec_id
                      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),

@@ -80,11 +80,13 @@ def rolling_anomaly(
     n = F.col("__wn")
     mean = (F.col("__ws").cast("double") / scale) / n
     var = (F.col("__ws2").cast("double") / (scale * scale)) / n - mean * mean
-    z = F.round(F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var)), int(round_to))
+    z = F.round(F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var)), int(round_to)) + F.lit(
+        0.0
+    )
     has_ts = F.col(time_col).isNotNull()
     return (
         base.withColumn("w_n", F.when(has_ts, n.cast("long")))
-        .withColumn("w_mean", F.when(has_ts, F.round(mean, int(round_to))))
+        .withColumn("w_mean", F.when(has_ts, F.round(mean, int(round_to)) + F.lit(0.0)))
         .withColumn("z_score", F.when(has_ts, z))
         .withColumn(
             "is_anomaly",

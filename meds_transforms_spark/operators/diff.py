@@ -26,7 +26,15 @@ def _fingerprinted(
 ) -> DataFrame:
     cols = [
         F.col(id_col).alias("__id"),
-        _h64("xxhash64", _normalized(F.col(text_col))).alias(f"__fp_{side}"),
+        # fp stays NULL for NULL text (xxhash64(NULL) would return the
+        # seed constant, silently equating NULL with a real document) —
+        # the status comparison is null-safe so NULL<->non-NULL counts
+        # as 'changed' and NULL<->NULL as 'unchanged', matching SQL's
+        # IS DISTINCT FROM on the normalized text.
+        F.when(
+            F.col(text_col).isNotNull(),
+            _h64("xxhash64", _normalized(F.col(text_col))),
+        ).alias(f"__fp_{side}"),
         F.coalesce(F.length(text_col), F.lit(0)).cast("long").alias(f"__len_{side}"),
         F.lit(1).alias(f"__in_{side}"),
     ]
@@ -57,6 +65,15 @@ def corpus_diff(
     record is where the doc lives now, falling back to the old group
     for removed docs).
 
+    A NULL text is distinct from every non-NULL text (NULL<->non-NULL
+    transitions count as 'changed'; NULL<->NULL is 'unchanged').
+
+    Precondition: ``id_col`` must be unique within each snapshot —
+    duplicate ids multiply through the full-outer join and inflate
+    every counter. Run :func:`~meds_transforms_spark.operators.ids.
+    assign_stable_ids` (which validates uniqueness) upstream if ids
+    are not already trusted.
+
     ``group_col=None`` produces the single-row whole-corpus report
     (group = '<all>').
     """
@@ -66,7 +83,7 @@ def corpus_diff(
     status = (
         F.when(F.col("__in_o").isNull(), F.lit("added"))
         .when(F.col("__in_n").isNull(), F.lit("removed"))
-        .when(F.col("__fp_o") != F.col("__fp_n"), F.lit("changed"))
+        .when(~F.col("__fp_o").eqNullSafe(F.col("__fp_n")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     if group_col is not None:

@@ -161,7 +161,7 @@ def dsir_score(
     )
     w = F.coalesce(F.col("__w"), F.lit(0.0))
     if round_to is not None:
-        w = F.round(w, int(round_to))
+        w = F.round(w, int(round_to)) + F.lit(0.0)
     return (
         df.join(weights, id_col, "left")
         .withColumn("dsir_logweight", w.cast("double"))
@@ -209,7 +209,7 @@ def dsir_score_projection(
     )
     w = F.coalesce(w, F.lit(0.0))
     if round_to is not None:
-        w = F.round(w, int(round_to))
+        w = F.round(w, int(round_to)) + F.lit(0.0)
     return df.withColumn("dsir_logweight", w.cast("double"))
 
 
@@ -285,7 +285,7 @@ def dsir_weights(
     )
     w = F.coalesce(F.col("__w"), F.lit(0.0))
     if round_to is not None:
-        w = F.round(w, int(round_to))
+        w = F.round(w, int(round_to)) + F.lit(0.0)
     return (
         df.join(weights, id_col, "left")
         .withColumn("dsir_logweight", w.cast("double"))

@@ -173,7 +173,11 @@ def embedding_covariance(
     if upper_only:
         cov = cov.filter(F.col("i") <= F.col("j"))
     if round_to is not None:
-        cov = cov.withColumn("cov", F.round("cov", int(round_to)))
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0: round(-1e-9, 6) yields
+        # -0.0, which is ==-equal to the oracle's +0.0 but differs under
+        # any byte-level hash (the r2/r3 driver red). The oracle SQL
+        # applies the identical `+ 0.0` so both engines emit +0.0.
+        cov = cov.withColumn("cov", F.round("cov", int(round_to)) + F.lit(0.0))
     return cov
 
 

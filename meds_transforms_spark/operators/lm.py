@@ -135,6 +135,12 @@ def _bigram_scores(
         # cache leak).
         per_doc = per_doc.localCheckpoint(eager=False)
         lm = per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
+    else:
+        # External lm: the frame feeds FOUR consumers below (c1, c2,
+        # totals, score join). When it is itself a lazy fit pipeline
+        # over a large corpus, the whole fit aggregation would re-run
+        # per consumer — pin it like the self-fit path pins per_doc.
+        lm = lm.localCheckpoint(eager=False)
     c1 = lm.groupBy("w1").agg(F.sum("n").alias("__c1"))
     c2 = lm.groupBy("w2").agg(F.sum("n").alias("__c2"))
     totals = lm.agg(
@@ -163,7 +169,8 @@ def _bigram_scores(
     )
     if round_to is not None:
         scored = scored.withColumn(
-            "avg_bigram_logprob", F.round("avg_bigram_logprob", int(round_to))
+            "avg_bigram_logprob",
+            F.round("avg_bigram_logprob", int(round_to)) + F.lit(0.0),
         )
     return scored
 
@@ -329,7 +336,7 @@ def bigram_logprob_projection(
     )
     avg = F.when(n >= 2, total_lp / (n - 1).cast("double"))
     if round_to is not None:
-        avg = F.round(avg, int(round_to))
+        avg = F.round(avg, int(round_to)) + F.lit(0.0)
     return base.withColumn("avg_bigram_logprob", avg.cast("double")).drop("__toks")
 
 

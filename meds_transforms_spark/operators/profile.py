@@ -67,7 +67,7 @@ def profile_table(
             num = F.lit(None).cast("double")
         mn, mx, av = F.min(num), F.max(num), F.avg(num)
         if round_to is not None:
-            mn, mx, av = (F.round(x, int(round_to)) for x in (mn, mx, av))
+            mn, mx, av = (F.round(x, int(round_to)) + F.lit(0.0) for x in (mn, mx, av))
         aggs += [mn.alias(f"__min_{c}"), mx.alias(f"__max_{c}"), av.alias(f"__mean_{c}")]
     one = df.agg(*aggs)
     # long format: one struct per column, exploded on the 1-row frame

@@ -496,7 +496,9 @@ def unigram_logprob(
         ).alias("avg_logprob")
     )
     if round_to is not None:
-        scored = scored.withColumn("avg_logprob", F.round("avg_logprob", int(round_to)))
+        scored = scored.withColumn(
+            "avg_logprob", F.round("avg_logprob", int(round_to)) + F.lit(0.0)
+        )
     return df.join(scored, id_col, "left")
 
 
@@ -621,7 +623,7 @@ def token_pmi(
         .select("tok_a", "tok_b", "n_ab", "df_a", "df_b", "pmi")
     )
     if round_to is not None:
-        out = out.withColumn("pmi", F.round("pmi", int(round_to)))
+        out = out.withColumn("pmi", F.round("pmi", int(round_to)) + F.lit(0.0))
     return out
 
 

@@ -492,7 +492,7 @@ ORACLES: dict[str, str] = {
                CAST(sum(volume) AS DOUBLE) AS revenue
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                 year(l_shipdate) AS l_year, {_REV} AS volume
+                 CAST(year(l_shipdate) AS INT) AS l_year, {_REV} AS volume
           FROM lineitem
           JOIN supplier ON s_suppkey = l_suppkey
           JOIN orders ON o_orderkey = l_orderkey
@@ -506,7 +506,7 @@ ORACLES: dict[str, str] = {
         ) GROUP BY supp_nation, cust_nation, l_year
     """,
     "tpch_q8": f"""
-        SELECT year(o_orderdate) AS o_year,
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                CAST(sum(CASE WHEN n1.n_name = 'NATION_2'
                              THEN CAST({_REV} AS DECIMAL(38,6))
                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
@@ -525,7 +525,7 @@ ORACLES: dict[str, str] = {
         GROUP BY o_year
     """,
     "tpch_q9": f"""
-        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
                CAST(sum({_REV}) AS DOUBLE) AS sum_profit
         FROM lineitem
         JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'

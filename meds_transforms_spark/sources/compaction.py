@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 
 from pyspark.sql import SparkSession
 
@@ -51,8 +52,23 @@ def dir_stats(path: str) -> dict:
     return {"files": files, "rows": rows, "bytes": nbytes}
 
 
-def recover_compaction(path: str) -> str | None:
+#: ``._compact_tmp`` younger than this is assumed in-flight and left
+#: alone by :func:`recover_compaction` (mtime refreshes as the rewrite
+#: streams files in, so an active job's tmp always looks fresh).
+TMP_GRACE_SECONDS = 3600.0
+
+
+def recover_compaction(path: str, tmp_grace_seconds: float = TMP_GRACE_SECONDS) -> str | None:
     """Roll a crashed publish forward or back; returns the action taken.
+
+    SINGLE-WRITER ASSUMPTION: compaction of a given ``path`` must have
+    at most one writer at a time — this module journals with renames,
+    not locks. Recovery is fail-safe against a *concurrent* writer in
+    one way only: a ``._compact_tmp`` whose mtime is within
+    ``tmp_grace_seconds`` is treated as in-flight and kept. A retained
+    ``._compact_old`` backup (``retain_old=True``) is dropped by the
+    next recovery once the dataset itself is present — finish any
+    out-of-band verification before re-entering compaction.
 
     The two-rename publish has one non-atomic window; ``._compact_old``
     doubles as its journal:
@@ -62,7 +78,8 @@ def recover_compaction(path: str) -> str | None:
       is discarded).
     - old present, dataset present → crashed after the swap (or
       ``retain_old`` leftover): the publish completed; drop the old.
-    - stale ``._compact_tmp`` with no in-flight job → drop it.
+    - ``._compact_tmp`` older than the grace window → stale crash
+      debris: drop it.
     """
     old = path.rstrip("/") + "._compact_old"
     tmp = path.rstrip("/") + "._compact_tmp"
@@ -75,8 +92,15 @@ def recover_compaction(path: str) -> str | None:
             os.rename(old, path)
             action = "rolled_back"
     if os.path.exists(tmp):
-        shutil.rmtree(tmp, ignore_errors=True)
-        action = action or "dropped_tmp"
+        newest = max(
+            (os.path.getmtime(os.path.join(r, f)) for r, _d, fs in os.walk(tmp) for f in fs),
+            default=os.path.getmtime(tmp),
+        )
+        if time.time() - newest >= tmp_grace_seconds:
+            shutil.rmtree(tmp, ignore_errors=True)
+            action = action or "dropped_tmp"
+        else:
+            action = action or "kept_tmp_in_flight"
     return action
 
 
@@ -135,7 +159,16 @@ def compact_parquet(
 
         value_rows = _partition_value_rows(path)
         total = sum(value_rows.values()) or 1
-        fname = F.input_file_name()
+        # input_file_name() is a URI (file:/..., percent-encoded) while
+        # the chain is the raw on-disk dir name from os.walk — decode
+        # the URI once so values with spaces/%/unicode still match and
+        # keep their salt (an unmatched row silently falls back to
+        # splits=1, quietly disabling the skew mitigation). url_decode
+        # is java URLDecoder, which also maps '+' to space — pre-escape
+        # literal '+' (never a URI encoding artifact in a path) first.
+        fname = F.url_decode(
+            F.replace(F.input_file_name(), F.lit("+"), F.lit("%2B"))
+        )
         splits_col = F.lit(1)
         for chain, rows in value_rows.items():
             n_splits = max(1, round(rows / total * n_target))

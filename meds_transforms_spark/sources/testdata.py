@@ -79,6 +79,6 @@ def events_as_meds(
     if with_modifier:
         out = out.withColumn(
             "kk",
-            F.expr("cast(regexp_extract(props, '([0-9]+)', 1) as int) div 10"),
+            F.expr("cast(cast(regexp_extract(props, '([0-9]+)', 1) as int) div 10 as int)"),
         )
     return out.drop("props")

@@ -21,6 +21,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize ONLY what the driver's hash canonicalizes.
+
+    The driver hashes serialized values, so differences the old replica
+    normalized away were driver-visible: integer WIDTH (r2 HUGEINT reds)
+    and float SIGN-OF-ZERO (r3 emb_covariance red). Integer dtypes are
+    therefore kept at declared width (nullable Int64 only when NULLs
+    force it), and floats are compared bitwise in compare().
+    """
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -29,11 +37,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == np.float32:
             df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # unify int widths/nullability
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+            # object columns from toPandas() may hold Python ints when the
+            # column is nullable — leave numeric objects numeric so width
+            # checks stay meaningful, stringify the rest
+            if not all(isinstance(x, (int, np.integer)) or pd.isna(x) for x in df[c]):
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _int_width(dtype) -> str | None:
+    """Declared integer width class ('int8'...'int64'), ignoring
+    nullability (pandas Int64 vs numpy int64 both mean BIGINT)."""
+    s = str(dtype).lower()
+    for w in ("int8", "int16", "int32", "int64"):
+        if s == w or s == "u" + w:
+            return w
+    return None
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
@@ -49,14 +69,48 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        s_int, o_int = _int_width(sv.dtype), _int_width(ov.dtype)
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
-            eq = (sv.values == ov.values) | (pd.isna(sv.values) & pd.isna(ov.values))
+            # BITWISE comparison — the driver hashes serialized bytes, so
+            # -0.0 vs +0.0 (IEEE ==-equal) is a driver FAIL. NaNs: both
+            # engines emit the canonical quiet NaN through float64, and
+            # pandas stores NULL doubles as NaN too, so NaN==NaN is fine.
+            sb = np.asarray(sv.values, dtype=np.float64).view(np.int64)
+            ob = np.asarray(ov.values, dtype=np.float64).view(np.int64)
+            eq = (sb == ob) | (np.isnan(sv.values) & np.isnan(ov.values))
             if not eq.all():
                 bad = (~eq).sum()
                 with np.errstate(invalid="ignore"):
                     maxdiff = np.nanmax(np.abs(sv.values - ov.values))
-                problems.append(f"col {c}: {bad} mismatches (max abs diff {maxdiff:.3e})")
+                nz = int(
+                    (np.signbit(sv.values[~eq]) != np.signbit(ov.values[~eq])).sum()
+                )
+                problems.append(
+                    f"col {c}: {bad} bitwise mismatches (max abs diff "
+                    f"{maxdiff:.3e}; {nz} sign-of-zero/sign diffs)"
+                )
+        elif s_int and o_int:
+            if s_int != o_int:
+                problems.append(
+                    f"col {c}: integer width {sv.dtype} vs {ov.dtype} — "
+                    f"driver hash WILL differ (cast both sides to the same width)"
+                )
+                continue
+            sv2 = sv.astype("Int64")
+            ov2 = ov.astype("Int64")
+            eq = (sv2.values == ov2.values) | (pd.isna(sv2.values) & pd.isna(ov2.values))
+            eq = np.asarray(eq, dtype=bool)
+            if not eq.all():
+                idx = int(np.argmax(~eq))
+                problems.append(
+                    f"col {c}: {(~eq).sum()} mismatches e.g. {sv.iloc[idx]!r} vs {ov.iloc[idx]!r}"
+                )
         else:
+            if (s_int is None) != (o_int is None) and not (
+                sv.dtype == object and ov.dtype == object
+            ):
+                problems.append(f"col {c}: dtype class {sv.dtype} vs {ov.dtype}")
+                continue
             eq = (sv.astype(str).values == ov.astype(str).values)
             if not eq.all():
                 idx = int(np.argmax(~eq))

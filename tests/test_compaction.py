@@ -102,10 +102,13 @@ def test_recover_compaction_rolls_back_and_forward(spark, tmp_path):
     assert recover_compaction(path) == "dropped_old"
     assert os.path.exists(path) and not os.path.exists(old)
 
-    # stale tmp from an aborted write is cleaned
+    # fresh tmp looks in-flight (single-writer grace window): kept
     tmp = path + "._compact_tmp"
     os.makedirs(tmp)
-    assert recover_compaction(path) == "dropped_tmp"
+    assert recover_compaction(path) == "kept_tmp_in_flight"
+    assert os.path.exists(tmp)
+    # past the grace window it is crash debris: dropped
+    assert recover_compaction(path, tmp_grace_seconds=0) == "dropped_tmp"
     assert not os.path.exists(tmp)
 
     # compact_parquet itself self-heals before running
@@ -177,3 +180,33 @@ def test_partitioned_null_value_rows_survive(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 30_000
     assert got.filter(F.col("lang").isNull()).count() == 10_000
+
+
+def test_partitioned_special_char_value_keeps_salt(spark, tmp_path):
+    """Partition values with spaces/percent signs produce URI-encoded
+    input_file_name() paths; the salting match must normalize them —
+    an unmatched hot value silently falls back to splits=1 and lands
+    in a single giant file."""
+    import os
+
+    path = str(tmp_path / "specialpart")
+    # 'a b' (space; hot, 95%) and 'c%d' (percent; cold)
+    spark.range(100_000).select(
+        F.when(F.col("id") % 20 == 0, "c%d").otherwise("a b").alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+        "id",
+    ).repartition(16).write.partitionBy("lang").parquet(path)
+    before = dir_stats(path)
+    report = compact_parquet(spark, path, target_mb=1)
+    assert report["compacted"]
+    assert report["after"]["rows"] == before["rows"] == 100_000
+    import glob as _g
+
+    # on disk: space stays raw ('lang=a b'), '%' escapes to 'lang=c%25d'
+    hot_dirs = [d for d in os.listdir(path) if d == "lang=a b"]
+    assert len(hot_dirs) == 1
+    hot_files = _g.glob(os.path.join(path, hot_dirs[0], "*.parquet"))
+    assert len(hot_files) > 1  # the space-valued hot partition still split
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("lang") == "a b").count() == 95_000
+    assert got.filter(F.col("lang") == "c%d").count() == 5_000

@@ -430,13 +430,22 @@ def test_bigram_logprob_matches_python_reference(spark, texts):
 @st.composite
 def snapshot_pair(draw):
     ids = draw(st.lists(st.integers(0, 30), min_size=1, max_size=25, unique=True))
-    texts = {i: draw(st.text(alphabet="ab ", min_size=0, max_size=12)) for i in ids}
+    texts = {
+        i: draw(st.one_of(st.none(), st.text(alphabet="ab ", min_size=0, max_size=12)))
+        for i in ids
+    }
     keep_old = {i for i in ids if draw(st.booleans())}
     keep_new = {i for i in ids if draw(st.booleans())}
     changed = {i for i in keep_new if draw(st.booleans())}
+
+    def mutate(t):
+        # a 'changed' doc may also transition NULL<->non-NULL
+        return " X" if t is None else t + " X"
+
     old = [(i, texts[i], f"g{i % 2}") for i in keep_old]
     new = [
-        (i, texts[i] + (" X" if i in changed else ""), f"g{i % 2}") for i in keep_new
+        (i, mutate(texts[i]) if i in changed else texts[i], f"g{i % 2}")
+        for i in keep_new
     ]
     return old, new
 
@@ -456,7 +465,12 @@ def test_corpus_diff_matches_python_reference(spark, pair):
     import re
 
     def norm(t):
-        return re.sub(r"\s+", " ", t.strip().lower())
+        # NULL text stays NULL: distinct from every non-NULL text,
+        # equal to itself (mirrors the engine's null-safe comparison)
+        return None if t is None else re.sub(r"\s+", " ", t.strip().lower())
+
+    def tlen(t):
+        return 0 if t is None else len(t)
 
     om = {i: (t, g) for i, t, g in old}
     nm = {i: (t, g) for i, t, g in new}
@@ -473,16 +487,16 @@ def test_corpus_diff_matches_python_reference(spark, pair):
     for i in set(om) | set(nm):
         if i not in om:
             t, g = nm[i]
-            bump(g, "n_added"); bump(g, "chars_added", len(t))
+            bump(g, "n_added"); bump(g, "chars_added", tlen(t))
         elif i not in nm:
             t, g = om[i]
-            bump(g, "n_removed"); bump(g, "chars_removed", len(t))
+            bump(g, "n_removed"); bump(g, "chars_removed", tlen(t))
         else:
             to, _go = om[i]
             tn, gn = nm[i]  # group of record: where the doc lives NOW
             if norm(to) != norm(tn):
                 bump(gn, "n_changed")
-                bump(gn, "chars_added", len(tn)); bump(gn, "chars_removed", len(to))
+                bump(gn, "chars_added", tlen(tn)); bump(gn, "chars_removed", tlen(to))
             else:
                 bump(gn, "n_unchanged")
 
