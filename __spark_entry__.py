@@ -1666,33 +1666,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order matters: the driver's CORRECTNESS gate checks a
-    # capped prefix (~50) of this dict, so queries without a green
-    # driver row register FIRST. Round-3 window (18 priority slots): the
-    # 4 r02 hash-parity fixes (tpch_q12/docs_pack/docs_curation_e2e:
-    # BIGINT oracle casts; emb_covariance: integer-exact quantize mode),
-    # the 6 never-checked round-2c queries (profile, anomaly,
-    # assign_ids, frames, validate, bpe — bpe now carries a golden-table
-    # oracle), then the 8 round-3 additions (winnow overlap/contains,
-    # bigram ppl, ccnet buckets + e2e, shuffle shards, corpus diff);
-    # previously-green unchanged queries fill slots 19-50 as
-    # re-confirmations and the tail beyond. Everything is locally
-    # verified by scripts/check_oracles.py before registration (full
-    # replay this round: all queries hash-match at sf0.01).
+    # Registration order matters: the driver's CORRECTNESS gate checks
+    # a capped prefix (~50) of this dict, so each round the prefix
+    # ROTATES to the queries whose latest driver row is oldest.
+    # Round-6 window (slots 1-50): the 9 queries whose code changed in
+    # round 4 (docs_dsir_weights / docs_gopher_filter / docs_pmi via
+    # lm.py+dsir.py+text.py edits; meds_agg_code_metadata /
+    # meds_agg_quantiles / meds_agg_rollup / meds_filter_measurements
+    # via the testdata kk-modifier; emb_quantize, events_rolling),
+    # then 41 of the 49 queries whose latest driver row is r01. The 12
+    # remaining <=r02-latest queries fill slots 51-62 and lead the
+    # round-7 rotation; the 50 queries driver-green in r05 form the
+    # tail. Before this rotation the full 112-query replica gate
+    # (scripts/check_oracles.py, bitwise-strict) was re-run at sf0.01:
+    # 112/112 green — evidence committed as REPLAY_r06.txt.
     return {
-        # --- round-3 driver window: 4 r02 hash-parity fixes ---
+        # --- slots 1-9: round-4-changed, driver-unseen since ---
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_pmi": q_docs_pmi,
+        "meds_agg_code_metadata": q_meds_agg_code_metadata,
+        "meds_agg_quantiles": q_meds_agg_quantiles,
+        "meds_agg_rollup": q_meds_agg_rollup,
+        "meds_filter_measurements": q_meds_filter_measurements,
+        "emb_quantize": q_emb_quantize,
+        "events_rolling": q_events_rolling,
+        # --- slots 10-50: oldest driver rows (latest = r01) ---
+        "meds_filter_subjects": q_meds_filter_subjects,
+        "meds_occlude_outliers": q_meds_occlude_outliers,
+        "meds_normalization": q_meds_normalization,
+        "meds_fit_vocab": q_meds_fit_vocab,
+        "meds_timeline_deltas": q_meds_timeline_deltas,
+        "meds_time_of_day": q_meds_time_of_day,
+        "meds_age": q_meds_age,
+        "meds_bin_numeric": q_meds_bin_numeric,
+        "meds_match_revise": q_meds_match_revise,
+        "meds_extract_values": q_meds_extract_values,
+        "meds_code_priority": q_meds_code_priority,
+        "meds_pipeline_e2e": q_meds_pipeline_e2e,
+        "meds_quantiles_distributed": q_meds_quantiles_distributed,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
+        "events_pivot": q_events_pivot,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_rows_window": q_events_rows_window,
+        "events_sliding_windows": q_events_sliding_windows,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "docs_boilerplate": q_docs_boilerplate,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_group_cap": q_docs_group_cap,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_top_tokens": q_docs_top_tokens,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_corpus_prep": q_docs_corpus_prep,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_topk_vectorized": q_emb_topk_vectorized,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_label_stats": q_emb_label_stats,
+        "multimodal_decode": q_multimodal_decode,
+        # --- slots 51-62: remaining <=r02-latest (round-7 rotation) ---
+        "supplier_balance": q_supplier_balance,
+        "tpch_exists": q_tpch_exists,
+        "tpch_parts_by_brand": q_tpch_parts_by_brand,
+        "docs_chunk": q_docs_chunk,
+        "docs_corpus_report": q_docs_corpus_report,
+        "docs_domain_stats": q_docs_domain_stats,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_quality_classifier": q_docs_quality_classifier,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "events_keep_latest": q_events_keep_latest,
+        "events_transitions": q_events_transitions,
+        "events_zorder": q_events_zorder,
+        # --- tail: driver-green in r05, unchanged since ---
         "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
         "docs_pack": q_docs_pack,
         "docs_curation_e2e": q_docs_curation_e2e,
         "emb_covariance": q_emb_covariance,
-        # --- 6 never-driver-checked round-2c queries ---
         "events_profile": q_events_profile,
         "events_anomaly": q_events_anomaly,
         "docs_assign_ids": q_docs_assign_ids,
         "multimodal_frames": q_multimodal_frames,
         "docs_validate": q_docs_validate,
         "docs_bpe_tokens": q_docs_bpe_tokens,
-        # --- new round-3 queries go here (before the green tail) ---
         "docs_winnow_overlap": q_docs_winnow_overlap,
         "docs_bigram_ppl": q_docs_bigram_ppl,
         "docs_shuffle_shards": q_docs_shuffle_shards,
@@ -1700,7 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_contains": q_docs_winnow_contains,
         "docs_corpus_diff": q_docs_corpus_diff,
         "docs_ccnet_e2e": q_docs_ccnet_e2e,
-        # --- green tail (driver-green in r01/r02, unchanged) ---
         **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
         "docs_tfidf": q_docs_tfidf,
         "docs_semantic_search": q_docs_semantic_search,
@@ -1718,68 +1781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
-        "docs_domain_stats": q_docs_domain_stats,
-        "docs_quality_classifier": q_docs_quality_classifier,
-        "docs_incremental_dedup": q_docs_incremental_dedup,
-        "docs_chunk": q_docs_chunk,
-        "events_keep_latest": q_events_keep_latest,
-        "events_transitions": q_events_transitions,
-        "docs_pmi": q_docs_pmi,
-        "emb_quantize": q_emb_quantize,
-        "docs_corpus_report": q_docs_corpus_report,
-        "docs_gopher_filter": q_docs_gopher_filter,
-        "docs_dsir_weights": q_docs_dsir_weights,
-        "events_zorder": q_events_zorder,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "meds_agg_code_metadata": q_meds_agg_code_metadata,
-        "meds_agg_rollup": q_meds_agg_rollup,
-        "meds_agg_quantiles": q_meds_agg_quantiles,
-        "meds_quantiles_distributed": q_meds_quantiles_distributed,
-        "meds_filter_subjects": q_meds_filter_subjects,
-        "meds_filter_measurements": q_meds_filter_measurements,
-        "meds_occlude_outliers": q_meds_occlude_outliers,
-        "meds_normalization": q_meds_normalization,
-        "meds_fit_vocab": q_meds_fit_vocab,
-        "meds_timeline_deltas": q_meds_timeline_deltas,
-        "meds_time_of_day": q_meds_time_of_day,
-        "meds_age": q_meds_age,
-        "meds_bin_numeric": q_meds_bin_numeric,
-        "meds_match_revise": q_meds_match_revise,
-        "meds_extract_values": q_meds_extract_values,
-        "meds_code_priority": q_meds_code_priority,
-        "meds_pipeline_e2e": q_meds_pipeline_e2e,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_exists": q_tpch_exists,
-        "tpch_parts_by_brand": q_tpch_parts_by_brand,
-        "supplier_balance": q_supplier_balance,
-        "events_hourly": q_events_hourly,
-        "events_asof": q_events_asof,
-        "events_interval_join": q_events_interval_join,
-        "events_rolling": q_events_rolling,
-        "events_pivot": q_events_pivot,
-        "events_grouping_sets": q_events_grouping_sets,
-        "events_rows_window": q_events_rows_window,
-        "events_sliding_windows": q_events_sliding_windows,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_repetition": q_docs_repetition,
-        "docs_boilerplate": q_docs_boilerplate,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_group_cap": q_docs_group_cap,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_lang_id": q_docs_lang_id,
-        "docs_top_tokens": q_docs_top_tokens,
-        "docs_jaccard_pairs": q_docs_jaccard_pairs,
-        "emb_topk_cosine": q_emb_topk_cosine,
-        "emb_topk_vectorized": q_emb_topk_vectorized,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_label_stats": q_emb_label_stats,
-        "multimodal_decode": q_multimodal_decode,
-        "docs_corpus_prep": q_docs_corpus_prep,
     }
 
 

@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "emb_topk_cosine",
     "emb_covariance",
     "emb_semantic_dedup",
+    # round-6 additions: e2e CCNet composition, winnowing overlap,
+    # snapshot diff, sequence packing — previously perf-untracked.
+    "docs_ccnet_e2e",
+    "docs_winnow_overlap",
+    "docs_corpus_diff",
+    "docs_pack",
 ]
 
 
@@ -68,22 +74,30 @@ def main():
     # Warm the JVM/codegen path once with the cheapest query.
     qs["meds_fit_vocab"](spark, SF_DIR).count()
 
-    # Best-of-N per query, INTERLEAVED (full passes over the list, min
-    # across passes): single-shot timings on a shared VM show rare
-    # 10-30× blips (host steal / GC bursts lasting tens of seconds) that
-    # say nothing about the plan. Back-to-back repeats land inside the
-    # same burst; a later full pass does not.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    times: dict[str, float] = {}
+    # N runs per query, INTERLEAVED (full passes over the list), MEDIAN
+    # reported: single-shot timings on a shared VM show rare 10-30×
+    # blips (host steal / GC bursts lasting tens of seconds) that say
+    # nothing about the plan, and back-to-back repeats land inside the
+    # same burst — interleaving decorrelates them. Rounds 3-5 showed
+    # best-of-2 cannot separate noise from regression (±30-45% phantom
+    # per-query swings on byte-identical code); n>=5 medians put the
+    # per-query noise floor at a few percent (see SCALING.md).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     raw: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(runs):
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            raw[name].append(round(elapsed, 3))
-            times[name] = round(min(times.get(name, float("inf")), elapsed), 3)
+            raw[name].append(round(time.time() - t0, 3))
+
+    def median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        mid = len(ys) // 2
+        return ys[mid] if len(ys) % 2 else (ys[mid - 1] + ys[mid]) / 2.0
+
+    times = {name: round(median(ts), 3) for name, ts in raw.items()}
+    best = {name: round(min(ts), 3) for name, ts in raw.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
@@ -94,8 +108,12 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                # Per-pass raw timings so variance (not just min) stays
-                # visible across rounds.
+                "aggregation": "median",
+                # Best-of-N alongside the median for continuity with
+                # r01-r05 (which reported best-of-2), plus per-pass raw
+                # timings so variance stays visible across rounds.
+                "best_of_n": best,
+                "total_best": round(sum(best.values()), 3),
                 "raw_timings": raw,
                 "runs_per_query": runs,
                 # Headline-set size — totals are only comparable across

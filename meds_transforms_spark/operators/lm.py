@@ -89,6 +89,7 @@ def bigram_logprob(
     lam: float = 0.7,
     alpha: float = 0.1,
     round_to: int | None = None,
+    pin_lm: bool = True,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under the interpolated
     model — adds ``avg_bigram_logprob`` (NULL for docs with <2 tokens).
@@ -105,7 +106,7 @@ def bigram_logprob(
     replaying the same order reproduces the doubles bit-for-bit;
     ``round_to`` absorbs the cross-engine ln() ULP.
     """
-    scored = _bigram_scores(df, lm, text_col, id_col, lam, alpha, round_to)
+    scored = _bigram_scores(df, lm, text_col, id_col, lam, alpha, round_to, pin_lm)
     return df.join(scored, id_col, "left")
 
 
@@ -117,6 +118,7 @@ def _bigram_scores(
     lam: float,
     alpha: float,
     round_to: int | None,
+    pin_lm: bool = True,
 ) -> DataFrame:
     """The slim ``(id_col, avg_bigram_logprob)`` scoring frame — shared
     by :func:`bigram_logprob` (which joins it back onto ``df``) and
@@ -135,11 +137,16 @@ def _bigram_scores(
         # cache leak).
         per_doc = per_doc.localCheckpoint(eager=False)
         lm = per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
-    else:
+    elif pin_lm:
         # External lm: the frame feeds FOUR consumers below (c1, c2,
         # totals, score join). When it is itself a lazy fit pipeline
         # over a large corpus, the whole fit aggregation would re-run
         # per consumer — pin it like the self-fit path pins per_doc.
+        # Callers holding an lm that is already materialized (a tiny
+        # literal table, a cached/persisted frame, a parquet read of a
+        # saved model) pass ``pin_lm=False`` to skip the executor-local
+        # materialization and keep the job recoverable on executor
+        # loss.
         lm = lm.localCheckpoint(eager=False)
     c1 = lm.groupBy("w1").agg(F.sum("n").alias("__c1"))
     c2 = lm.groupBy("w2").agg(F.sum("n").alias("__c2"))
@@ -185,6 +192,7 @@ def ccnet_buckets(
     lam: float = 0.7,
     alpha: float = 0.1,
     round_to: int = 6,
+    pin_lm: bool = True,
 ) -> DataFrame:
     """CCNet's selection step: per-language perplexity terciles — adds
     ``avg_bigram_logprob`` and ``ppl_bucket`` ('head'/'middle'/'tail').
@@ -211,9 +219,9 @@ def ccnet_buckets(
     # quantile pass and the output join consume it, and without the
     # pin each would re-run the whole scoring pipeline (measured 2×).
     # GC-released checkpoint, not a session-lifetime persist.
-    slim = _bigram_scores(df, lm, text_col, id_col, lam, alpha, round_to).localCheckpoint(
-        eager=False
-    )
+    slim = _bigram_scores(
+        df, lm, text_col, id_col, lam, alpha, round_to, pin_lm
+    ).localCheckpoint(eager=False)
     scored = df.join(slim, id_col, "left")
     cuts = grouped_exact_quantiles(
         scored.select(lang_col, "avg_bigram_logprob"),

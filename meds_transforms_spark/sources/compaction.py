@@ -92,9 +92,19 @@ def recover_compaction(path: str, tmp_grace_seconds: float = TMP_GRACE_SECONDS) 
             os.rename(old, path)
             action = "rolled_back"
     if os.path.exists(tmp):
+        # A file vanishing between the os.walk listing and its stat
+        # means a live writer just renamed/committed it — exactly the
+        # in-flight case the grace window protects. Treat it as fresh
+        # activity (mtime = now) instead of crashing recovery.
+        def _mtime(p: str) -> float:
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return time.time()
+
         newest = max(
-            (os.path.getmtime(os.path.join(r, f)) for r, _d, fs in os.walk(tmp) for f in fs),
-            default=os.path.getmtime(tmp),
+            (_mtime(os.path.join(r, f)) for r, _d, fs in os.walk(tmp) for f in fs),
+            default=_mtime(tmp),
         )
         if time.time() - newest >= tmp_grace_seconds:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -130,7 +140,20 @@ def compact_parquet(
     value). Pass ``retain_old=True`` to keep the pre-compaction data in
     ``._compact_old`` until the next run verifies and drops it.
     """
+    # Recovery drops stale tmp debris; a ``._compact_tmp`` that
+    # SURVIVES it is within the grace window, i.e. another compaction
+    # of this path may still be streaming into it — overwriting it
+    # here would clobber a live writer's output mid-publish. Refuse
+    # and report instead; the caller retries after the grace window
+    # (or after confirming single-writer ownership).
     recover_compaction(path)
+    if os.path.exists(path.rstrip("/") + "._compact_tmp"):
+        return {
+            "before": dir_stats(path),
+            "after": None,
+            "compacted": False,
+            "skipped": "tmp_in_flight",
+        }
     before = dir_stats(path)
     n_target = max(1, math.ceil(before["bytes"] / (target_mb * 1024 * 1024)))
     if before["files"] <= max(min_files, n_target):

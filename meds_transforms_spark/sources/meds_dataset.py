@@ -135,6 +135,7 @@ class MEDSDataset:
         self,
         subject_splits: DataFrame,
         n_subjects_per_shard: int = 25_000,
+        max_subjects: int = 10_000_000,
     ) -> dict[str, list[int]]:
         """Write a reference-compatible ``metadata/.shards.json``.
 
@@ -148,7 +149,26 @@ class MEDSDataset:
         COMPOSITION is deterministic-by-id here rather than
         permutation-ordered — a layout detail; split membership is the
         semantic contract and matches ``assign_splits`` exactly.
+
+        The ``.shards.json`` format itself is driver-bounded: it is ONE
+        json file enumerating every subject id, so writing it requires
+        collecting all ids (~16 bytes/subject in this dict). The
+        ``max_subjects`` guard (default 1e7 ≈ a few hundred MB of
+        driver heap) fails fast with guidance instead of silently
+        attempting a multi-GB collect; above it, the interop file stops
+        making sense — use the parquet split column, which carries the
+        same membership distributed.
         """
+        n = subject_splits.count()
+        if n > max_subjects:
+            raise ValueError(
+                f"write_shards_json: {n} subjects exceeds max_subjects="
+                f"{max_subjects}. The .shards.json interop format is a "
+                "single driver-written json enumerating every subject id "
+                "and does not scale to this size — read split membership "
+                "from the dataset's split partition column instead, or "
+                "raise max_subjects explicitly if the driver has the heap."
+            )
         rows = subject_splits.select(SUBJECT_ID, "split").collect()
         by_split: dict[str, list[int]] = {}
         for r in rows:

@@ -40,10 +40,37 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             # object columns from toPandas() may hold Python ints when the
             # column is nullable — leave numeric objects numeric so width
-            # checks stay meaningful, stringify the rest
-            if not all(isinstance(x, (int, np.integer)) or pd.isna(x) for x in df[c]):
-                df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+            # checks stay meaningful, stringify the rest. Guard is_scalar
+            # first: pd.isna(list/ndarray) returns an ARRAY (ambiguous
+            # truth value) for sequence cells, e.g. an array column.
+            def _numeric_cell(x):
+                return isinstance(x, (int, np.integer)) or (
+                    pd.api.types.is_scalar(x) and pd.isna(x)
+                )
+
+            if not all(_numeric_cell(x) for x in df[c]):
+                df[c] = df[c].map(
+                    lambda x: str(x.tolist() if isinstance(x, np.ndarray) else x)
+                )
+    # Row alignment must match the BITWISE comparison semantics below:
+    # sort float columns by bit pattern, not ==, so -0.0/+0.0 (and any
+    # NaN payloads) order identically in both frames instead of tying
+    # and keeping each engine's original order.
+    sort_keys = {}
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            sort_keys[c] = pd.Series(
+                np.asarray(df[c].values, dtype=np.float64).view(np.int64),
+                index=df.index,
+            )
+        else:
+            sort_keys[c] = df[c]
+    order = (
+        pd.DataFrame(sort_keys)
+        .sort_values(list(df.columns), kind="mergesort")
+        .index
+    )
+    return df.loc[order].reset_index(drop=True)
 
 
 def _int_width(dtype) -> str | None:

@@ -210,3 +210,61 @@ def test_partitioned_special_char_value_keeps_salt(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.filter(F.col("lang") == "a b").count() == 95_000
     assert got.filter(F.col("lang") == "c%d").count() == 5_000
+
+
+def test_compact_refuses_in_flight_tmp(spark, tmp_path):
+    """A fresh ._compact_tmp (possible live writer) must NOT be
+    clobbered by compact_parquet — it skips with a report instead."""
+    import os
+
+    path = str(tmp_path / "busy")
+    spark.range(5_000).repartition(10).write.parquet(path)
+    tmp = path + "._compact_tmp"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-live.parquet"), "wb") as f:
+        f.write(b"live")
+    report = compact_parquet(spark, path, target_mb=256)
+    assert not report["compacted"]
+    assert report["skipped"] == "tmp_in_flight"
+    # the live writer's tmp survives untouched
+    with open(os.path.join(tmp, "part-live.parquet"), "rb") as f:
+        assert f.read() == b"live"
+    # once the tmp is stale debris, compaction proceeds normally
+    report = compact_parquet(spark, path, target_mb=256)  # still fresh
+    assert report["skipped"] == "tmp_in_flight"
+    os.utime(tmp)
+    for fn in os.listdir(tmp):
+        os.utime(os.path.join(tmp, fn), (0, 0))
+    os.utime(tmp, (0, 0))
+    report = compact_parquet(spark, path, target_mb=256)
+    assert report["compacted"]
+
+
+def test_recover_tolerates_vanishing_tmp_file(spark, tmp_path, monkeypatch):
+    """A file renamed away between os.walk and its stat (concurrent
+    writer committing) must read as fresh activity, not crash."""
+    import os
+
+    from meds_transforms_spark.sources import compaction
+
+    path = str(tmp_path / "race")
+    spark.range(100).coalesce(1).write.parquet(path)
+    tmp = path + "._compact_tmp"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(tmp, (0, 0))
+    os.utime(os.path.join(tmp, "part-0.parquet"), (0, 0))
+
+    real_getmtime = os.path.getmtime
+
+    def racy_getmtime(p):
+        if p.endswith("part-0.parquet"):
+            raise FileNotFoundError(p)  # vanished between walk and stat
+        return real_getmtime(p)
+
+    monkeypatch.setattr(compaction.os.path, "getmtime", racy_getmtime)
+    # every statable file is ancient, but the vanished one counts as
+    # fresh activity -> tmp kept in-flight (old code: FileNotFoundError)
+    assert compaction.recover_compaction(path) == "kept_tmp_in_flight"
+    assert os.path.exists(tmp)

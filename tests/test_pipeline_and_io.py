@@ -417,3 +417,22 @@ stages:
     rows = {r.doc_id: r for r in out.collect()}
     assert set(rows) == {1, 2}                       # doc 3 gopher-filtered
     assert rows[1].dsir_logweight > rows[2].dsir_logweight
+
+
+def test_write_shards_json_max_subjects_guard(spark, tmp_path):
+    """The single-file interop manifest is driver-bounded: above
+    max_subjects it must fail fast with guidance, not attempt a
+    multi-GB collect (sources/meds_dataset.py write_shards_json)."""
+    import pytest
+
+    from meds_transforms_spark.sources.meds_dataset import MEDSDataset
+
+    ds = MEDSDataset(spark, str(tmp_path / "ds"))
+    splits = spark.range(10).selectExpr(
+        "id AS subject_id", "CASE WHEN id % 2 = 0 THEN 'train' ELSE 'held_out' END AS split"
+    )
+    with pytest.raises(ValueError, match="max_subjects"):
+        ds.write_shards_json(splits, max_subjects=5)
+    # under the cap the manifest writes as before
+    out = ds.write_shards_json(splits, n_subjects_per_shard=100, max_subjects=1000)
+    assert sum(len(v) for v in out.values()) == 10
