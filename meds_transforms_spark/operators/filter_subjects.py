@@ -12,10 +12,20 @@ Spark plan: window aggregates partitioned by ``subject_id``. Because the
 event table is subject-partitioned at ingest, both windows are
 shuffle-free after one exchange (and AQE coalesces it); no join, no
 second scan. ``countDistinct`` is not allowed over a window, so the
-distinct-count uses ``size(collect_set(...))`` — bounded by the number
-of distinct timestamps per subject, which is small relative to memory.
-At extreme per-subject cardinality, swap to groupBy+semi-join; the
-default windowed form avoids the extra shuffle of the join build side.
+distinct-count is ``max(dense_rank() over (subject order by time))``
+minus a null adjustment: the rank streams in O(n log n) per subject and
+each row's window output is a LONG.
+
+Do NOT use ``size(collect_set(time)).over(w)`` here: WindowExec
+evaluates the aggregate's output per ROW and collect_set's eval copies
+the whole accumulated set into a fresh array each time — O(n²) element
+copies inside the hot subject's single task. Measured
+(scripts/measure_filter_subjects_skew.py, local[32], 1M normal rows +
+one hot subject): 0.17 s with no hot subject → 29 s at 100k hot events
+→ did-not-finish (>1 h/run) at 1M, while the dense_rank form stays
+0.2–2 s from 0 to 5M hot events and the groupBy+semi-join alternative
+(fully distributed partials, two more shuffles) tracks within 2×.
+``tests/test_plan_guards.py`` pins the choice.
 """
 
 from __future__ import annotations
@@ -42,11 +52,19 @@ def filter_subjects(
             .drop("__n_meas")
         )
     if min_events_per_subject:
-        # collect_set skips nulls — matches n_unique over non-null times
-        # for event counting (static rows don't define events).
+        # Distinct non-null times per subject (static rows don't define
+        # events), via streaming dense_rank — see module docstring for
+        # why NOT collect_set. NULL times sort first (asc_nulls_first)
+        # and share rank 1, so max(rank) overcounts by exactly 1 when
+        # any null time exists; subtract that indicator. Both max()
+        # frames are unbounded over the same partitioning, so the whole
+        # computation is ONE exchange + one in-task sort.
+        wo = W.partitionBy(SUBJECT_ID).orderBy(F.col(TIME).asc_nulls_first())
+        has_null = F.max(F.when(F.col(TIME).isNull(), 1).otherwise(0)).over(w)
         df = (
-            df.withColumn("__n_events", F.size(F.collect_set(TIME).over(w)))
+            df.withColumn("__rk", F.dense_rank().over(wo))
+            .withColumn("__n_events", F.max("__rk").over(w) - has_null)
             .filter(F.col("__n_events") >= int(min_events_per_subject))
-            .drop("__n_events")
+            .drop("__rk", "__n_events")
         )
     return df

@@ -91,3 +91,30 @@ def test_no_unplanned_nested_loops(spark, name):
     assert "CartesianProduct" not in plan, name
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_filter_subjects_distinct_count_is_not_collect_set(spark):
+    """Skew guard: the distinct-event count must use the streaming
+    dense_rank form, never a windowed collect_set. WindowExec evaluates
+    an aggregate's OUTPUT per row, and collect_set's eval copies the
+    accumulated set into a fresh array each time — O(n^2) element
+    copies in the hot subject's single task. Measured
+    (scripts/measure_filter_subjects_skew.py): 0.17s with no hot
+    subject -> 29s at one subject with 100k events -> >1h/run at 1M,
+    vs flat 0.2-2s for dense_rank across 0..5M. One exchange either
+    way; also assert no join crept in (the groupBy+semi-join fallback
+    costs two more shuffles and is not the default)."""
+    from meds_transforms_spark.operators.filter_subjects import filter_subjects
+    from meds_transforms_spark.sources.testdata import events_as_meds
+
+    df = filter_subjects(
+        events_as_meds(spark, SF_DIR), min_events_per_subject=2,
+        min_measurements_per_subject=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    assert "dense_rank" in plan
+    assert "Join" not in plan
+    # one exchange total: both window frames and the rank share the
+    # subject_id partitioning
+    assert plan.count("Exchange") <= 1, plan
