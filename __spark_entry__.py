@@ -1073,13 +1073,15 @@ def q_docs_winnow_overlap(spark, sf_dir):
     al. 2003 / MOSS): k=10-char gram md5 hashes, per-doc window-of-8
     minima as fingerprints (all inside array HOFs — zero shuffle until
     the winnowed (id, long) rows), boilerplate fingerprints with
-    df > 500 dropped, then pairs sharing ≥5 fingerprints. The oracle
+    df > 100 (2% of the sf0.1 corpus — the standard winnowing
+    stop-fingerprint threshold) dropped, then pairs sharing ≥5
+    fingerprints via the packed-pair-key aggregate. The oracle
     replays the identical pipeline with an unnest + window min."""
     from meds_transforms_spark.operators.winnow import winnow_overlap
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return winnow_overlap(
-        docs, k=10, w=8, min_shared=5, max_df=500, hash_fn="md5_60"
+        docs, k=10, w=8, min_shared=5, max_df=100, hash_fn="md5_60"
     ).select("id_a", "id_b", "n_shared")
 
 
@@ -3167,7 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnow_overlap": f"""
             WITH fps AS ({_winnow_fps_sql("documents WHERE text IS NOT NULL", 10, 8)}
             ), kept AS (
-              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 500
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100
             ), kfps AS (
               SELECT f.doc_id, f.fp FROM fps f JOIN kept USING (fp)
             )
