@@ -976,6 +976,34 @@ def q_emb_semantic_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q_emb_semantic_dedup_arrow(spark, sf_dir):
+    """SemDeDup with the Arrow/BLAS cell assignment (operators/ivf.
+    assign_cells_arrow) — the scale path for n_cells ∝ N, one matmul
+    per Arrow batch instead of an interpreted dot per (vector,
+    centroid) pair (measured ~40× on the assignment at 640 cells,
+    SCALING.md round-6). The within-cell collapse is the identical
+    integer-exact cosine machinery, and on well-separated cosines
+    (no last-ulp argmax ties — holds on all driver testdata, verified
+    hof==arrow at sf0.001/0.01/0.1) the survivor set is bit-identical
+    to the HOF path, so this query shares emb_semantic_dedup's oracle
+    verbatim."""
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    aug = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("emb_d"), lambda x: x * F.lit(1.01)).alias("emb_d"),
+    )
+    both = emb.unionByName(aug)
+    out = semantic_dedup(
+        both, vec_col="emb_d", id_col="vec_id",
+        n_cells=64, iters=0, threshold=0.9, exact=True, assign="arrow",
+    )
+    return out.select("vec_id")
+
+
 def q_events_anomaly(spark, sf_dir):
     """Trailing-window z-score monitoring (operators/anomaly.
     rolling_anomaly): per event type, each event's value against its
@@ -1676,12 +1704,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lm.py+dsir.py+text.py edits; meds_agg_code_metadata /
     # meds_agg_quantiles / meds_agg_rollup / meds_filter_measurements
     # via the testdata kk-modifier; emb_quantize, events_rolling),
-    # then 41 of the 49 queries whose latest driver row is r01. The 12
-    # remaining <=r02-latest queries fill slots 51-62 and lead the
-    # round-7 rotation; the 50 queries driver-green in r05 form the
-    # tail. Before this rotation the full 112-query replica gate
-    # (scripts/check_oracles.py, bitwise-strict) was re-run at sf0.01:
-    # 112/112 green — evidence committed as REPLAY_r06.txt.
+    # then the round-6-changed consumers (winnow.py packed-pair +
+    # least-chain, substring.py unique-complement, dedup.py
+    # semantic_dedup assign param, filter_subjects.py dense_rank —
+    # plus the NEW emb_semantic_dedup_arrow, no driver row yet), then
+    # 35 of the 49 queries whose latest driver row is r01. Displaced
+    # r01-cohort members + the 12 <=r02-latest queries fill slots 51+
+    # and lead the round-7 rotation; the queries driver-green in r05
+    # with unchanged code form the tail. Before this rotation the full
+    # replica gate (scripts/check_oracles.py, bitwise-strict) was
+    # re-run at sf0.01: 112/112 green — evidence committed as
+    # REPLAY_r06.txt (refreshed at end of round for the round-6 code).
     return {
         # --- slots 1-9: round-4-changed, driver-unseen since ---
         "docs_dsir_weights": q_docs_dsir_weights,
@@ -1693,8 +1726,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meds_filter_measurements": q_meds_filter_measurements,
         "emb_quantize": q_emb_quantize,
         "events_rolling": q_events_rolling,
-        # --- slots 10-50: oldest driver rows (latest = r01) ---
+        # --- slots 10-16: round-6-changed code paths + new query ---
+        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
+        "docs_winnow_overlap": q_docs_winnow_overlap,
+        "docs_winnow_contains": q_docs_winnow_contains,
+        "docs_ccnet_e2e": q_docs_ccnet_e2e,
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "meds_filter_subjects": q_meds_filter_subjects,
+        # --- slots 17-50: oldest driver rows (latest = r01) ---
         "meds_occlude_outliers": q_meds_occlude_outliers,
         "meds_normalization": q_meds_normalization,
         "meds_fit_vocab": q_meds_fit_vocab,
@@ -1728,6 +1768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_lang_id": q_docs_lang_id,
         "docs_top_tokens": q_docs_top_tokens,
+        # --- slots 51+: displaced r01-cohort (lead round-7 rotation),
+        # --- then remaining <=r02-latest ---
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_corpus_prep": q_docs_corpus_prep,
         "emb_topk_cosine": q_emb_topk_cosine,
@@ -1735,7 +1777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_label_stats": q_emb_label_stats,
         "multimodal_decode": q_multimodal_decode,
-        # --- slots 51-62: remaining <=r02-latest (round-7 rotation) ---
         "supplier_balance": q_supplier_balance,
         "tpch_exists": q_tpch_exists,
         "tpch_parts_by_brand": q_tpch_parts_by_brand,
@@ -1744,7 +1785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_stats": q_docs_domain_stats,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_quality_classifier": q_docs_quality_classifier,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
         "events_keep_latest": q_events_keep_latest,
         "events_transitions": q_events_transitions,
         "events_zorder": q_events_zorder,
@@ -1759,13 +1799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "docs_validate": q_docs_validate,
         "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_winnow_overlap": q_docs_winnow_overlap,
         "docs_bigram_ppl": q_docs_bigram_ppl,
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
-        "docs_winnow_contains": q_docs_winnow_contains,
         "docs_corpus_diff": q_docs_corpus_diff,
-        "docs_ccnet_e2e": q_docs_ccnet_e2e,
         **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
         "docs_tfidf": q_docs_tfidf,
         "docs_semantic_search": q_docs_semantic_search,
@@ -1779,7 +1816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "emb_cluster_balance": q_emb_cluster_balance,
         "docs_line_dedup": q_docs_line_dedup,
-        "docs_substring_dedup": q_docs_substring_dedup,
         "events_retention": q_events_retention,
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
@@ -1942,7 +1978,7 @@ def oracle_sql() -> dict[str, str]:
             f" + (strpos('{hexv}', substr(sha256(text), {2*i+2}, 1)) - 1))"
         )
 
-    return {
+    d = {
         "meds_agg_code_metadata": f"""
             SELECT code,
                    count(DISTINCT subject_id) AS "code/n_subjects",
@@ -3723,3 +3759,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_tpch_suite.ORACLES,
     }
+    # The Arrow-assignment SemDeDup computes the identical survivor set
+    # on data without last-ulp argmax ties (verified hof==arrow at
+    # sf0.001/0.01/0.1), so it shares the HOF query's oracle verbatim.
+    d["emb_semantic_dedup_arrow"] = d["emb_semantic_dedup"]
+    return d

@@ -605,6 +605,7 @@ def semantic_dedup(
     iters: int = 0,
     threshold: float = 0.9,
     exact: bool = False,
+    assign: str = "hof",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then remove near-duplicates WITHIN
@@ -629,23 +630,42 @@ def semantic_dedup(
     in the degenerate regime where a near-dup pair are BOTH seed
     centroids (iters=0 on a tiny frame) they anchor separate cells and
     are never compared. Real corpora use n_cells ≪ N (SemDeDup's own
-    setting: ~100k clusters for 100M+ docs)."""
+    setting: ~100k clusters for 100M+ docs). And n_cells must GROW
+    with N: fixed cells mean linearly growing cells and quadratically
+    growing within-cell pair volume (measured super-linear in
+    SCALING.md round-6; n_cells ∝ N restores linear wall).
+
+    ``assign`` picks the cell-assignment engine: ``"hof"`` (default)
+    is the interpreted per-pair dot product the DuckDB oracle replays
+    bit-for-bit; ``"arrow"`` is one BLAS matmul per Arrow batch
+    (:func:`~meds_transforms_spark.operators.ivf.assign_cells_arrow`)
+    — the scale path once n_cells is large (measured ~40× on the
+    assignment pass), identical up to float-summation-order ties.
+    """
     from meds_transforms_spark.operators.ivf import (
         _nearest_cells,
+        assign_cells_arrow,
         ivf_centroids,
         kmeans_refine,
         l2_norm,
     )
 
+    if assign not in ("hof", "arrow"):
+        raise ValueError(f"semantic_dedup: unknown assign={assign!r}")
     cents = (
         kmeans_refine(df, n_cells, iters, id_col, vec_col)
         if iters > 0
         else ivf_centroids(df, n_cells, id_col, vec_col)
     )
-    vecs = df.withColumn("__vnorm", l2_norm(F.col(vec_col)))
-    assigned = _nearest_cells(vecs, cents, id_col, vec_col, n_probe=1).withColumn(
-        "__bucket", F.col("__cell")
-    )
+    if assign == "arrow":
+        assigned = assign_cells_arrow(df, cents, id_col, vec_col).withColumn(
+            "__bucket", F.col("__cell")
+        )
+    else:
+        vecs = df.withColumn("__vnorm", l2_norm(F.col(vec_col)))
+        assigned = _nearest_cells(vecs, cents, id_col, vec_col, n_probe=1).withColumn(
+            "__bucket", F.col("__cell")
+        )
     # The pair self-join consumes the assignment subtree twice (sides
     # a/b don't canonicalize into one ReusedExchange), which would run
     # the scan + broadcast-nearest-cell assignment twice. Pin the

@@ -52,6 +52,80 @@ def _nearest_cells(
     )
 
 
+def assign_cells_arrow(
+    vec_df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell assignment as one BLAS matmul per Arrow batch:
+    ``(id, vec, __cell)``, map-side, zero shuffle.
+
+    The scale path for LARGE cell counts. The HOF path
+    (:func:`_nearest_cells`) evaluates an interpreted dot product per
+    (vector, centroid) pair — O(N · n_cells · dim) interpreted ops,
+    quadratic once n_cells scales with the corpus (SemDeDup's own
+    setting keeps cell size constant, i.e. n_cells ∝ N). Here each
+    Arrow batch becomes a (batch × dim) matrix and one ``B @ Cᵀ``
+    scores every pair; measured ~40× at 40k vectors × 640 cells
+    (77 s → 2 s cold, SCALING.md round-6).
+
+    The centroid matrix rides in the UDF closure — bounded by the
+    :func:`ivf_centroids` 1M guard; at SemDeDup's 100k cells × 768
+    dims it is ~600 MB, held once per executor, the documented cost
+    of constant cell size.
+
+    NOT the oracle path: numpy's pairwise summation rounds differently
+    from the HOF left-fold, so a vector whose two best cosines agree
+    to the last ulp may pick the other cell. Ties at EQUAL score break
+    to the lowest ``__cell`` in both paths (centroid rows are ordered,
+    argmax returns the first maximum).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    rows = centroids.select("__cell", "__cvec").orderBy("__cell").collect()
+    if not rows:
+        return vec_df.sparkSession.createDataFrame(
+            [], f"{id_col} long, {vec_col} array<double>, __cell int"
+        )
+    cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
+    C = np.array([r["__cvec"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    # zero-norm centroid → zero column → cosine 0 for every vector
+    # (the HOF path yields NULL, ranked last; identical outcome unless
+    # every other cosine is negative — documented edge)
+    Cn = np.divide(C, norms, out=np.zeros_like(C), where=norms > 0)
+    dim = C.shape[1]
+
+    out_schema = f"{id_col} long, {vec_col} array<double>, __cell int"
+
+    def assign(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            col = rb.column(1)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            V = flat.reshape(n, dim).astype(np.float64, copy=False)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
+            S = Vn @ Cn.T  # (batch, n_cells)
+            best = cells[S.argmax(axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), arr, pa.array(best.astype(np.int32))],
+                names=[id_col, vec_col, "__cell"],
+            )
+
+    src = vec_df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    return src.mapInArrow(assign, schema=out_schema)
+
+
 def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
     # The global row_number window below runs over the LIMIT n_cells
     # frame — bounded by construction, so the unpartitioned-window WARN

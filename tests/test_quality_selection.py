@@ -309,3 +309,52 @@ def test_embedding_cosine_dedup_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_cosine_dedup(empty).count() == 0
+
+
+def test_semantic_dedup_arrow_assignment_matches_hof(spark):
+    """assign="arrow" (BLAS matmul per Arrow batch) must produce the
+    identical survivor set as the interpreted HOF assignment on data
+    without last-ulp argmax ties — plus the same augmentation-collapse
+    behavior."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .limit(100)
+    )
+    aug = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("emb", lambda x: x * 1.01).alias("emb"),
+    )
+    both = emb.unionByName(aug)
+    kw = dict(vec_col="emb", id_col="vec_id", n_cells=8, threshold=0.95, exact=True)
+    hof = {r.vec_id for r in semantic_dedup(both, assign="hof", **kw).collect()}
+    arrow = {r.vec_id for r in semantic_dedup(both, assign="arrow", **kw).collect()}
+    assert arrow == hof
+    assert all(i < 1000 for i in arrow) and len(arrow) == 100
+
+
+def test_semantic_dedup_rejects_unknown_assign(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="assign"):
+        semantic_dedup(emb, vec_col="emb", id_col="vec_id", assign="nope")
+
+
+def test_assign_cells_arrow_empty_centroids(spark):
+    """No centroids (empty corpus seed) → empty assignment frame with
+    the contract schema, not a crash."""
+    from meds_transforms_spark.operators.ivf import assign_cells_arrow, ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = assign_cells_arrow(vecs, ivf_centroids(empty, 4))
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "embedding", "__cell"}
