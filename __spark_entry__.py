@@ -1026,6 +1026,31 @@ def q_events_anomaly(spark, sf_dir):
     return out.select("event_id", "w_n", "w_mean", "z_score", "is_anomaly")
 
 
+def q_events_anomaly_bucketed(spark, sf_dir):
+    """rolling_anomaly with the time-bucket decomposition
+    (bucket_seconds=86400): rows hash to (event_type, day) partitions
+    with boundary rows duplicated one bucket forward as frame context,
+    so parallelism scales with keys × buckets instead of being capped
+    at the event-type cardinality (5 window tasks at ANY cluster size
+    — measured 52 s → 13 s at 10M rows, SCALING.md round-6). Frame
+    content per judged row is identical by construction, so this
+    query's results — and its oracle — are bit-for-bit
+    events_anomaly's."""
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = rolling_anomaly(
+        ev, keys="event_type", time_col="ts", value_col="value",
+        window_seconds=21600, z_threshold=2.0, min_events=10,
+        bucket_seconds=86400,
+    )
+    return out.select("event_id", "w_n", "w_mean", "z_score", "is_anomaly")
+
+
 def q_docs_assign_ids(spark, sf_dir):
     """Deterministic dense ID assignment (operators/ids.
     assign_stable_ids): rank in (md5(text), doc_id) order via the
@@ -1726,15 +1751,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meds_filter_measurements": q_meds_filter_measurements,
         "emb_quantize": q_emb_quantize,
         "events_rolling": q_events_rolling,
-        # --- slots 10-16: round-6-changed code paths + new query ---
+        # --- slots 10-19: round-6-changed code paths + new queries ---
         "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
+        "events_anomaly_bucketed": q_events_anomaly_bucketed,
+        "events_anomaly": q_events_anomaly,
         "docs_winnow_overlap": q_docs_winnow_overlap,
         "docs_winnow_contains": q_docs_winnow_contains,
         "docs_ccnet_e2e": q_docs_ccnet_e2e,
         "docs_substring_dedup": q_docs_substring_dedup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "meds_filter_subjects": q_meds_filter_subjects,
-        # --- slots 17-50: oldest driver rows (latest = r01) ---
+        # --- slots 20-50: oldest driver rows (latest = r01) ---
         "meds_occlude_outliers": q_meds_occlude_outliers,
         "meds_normalization": q_meds_normalization,
         "meds_fit_vocab": q_meds_fit_vocab,
@@ -1766,10 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
         "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_lang_id": q_docs_lang_id,
-        "docs_top_tokens": q_docs_top_tokens,
         # --- slots 51+: displaced r01-cohort (lead round-7 rotation),
         # --- then remaining <=r02-latest ---
+        "docs_lang_id": q_docs_lang_id,
+        "docs_top_tokens": q_docs_top_tokens,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_corpus_prep": q_docs_corpus_prep,
         "emb_topk_cosine": q_emb_topk_cosine,
@@ -1794,7 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_e2e": q_docs_curation_e2e,
         "emb_covariance": q_emb_covariance,
         "events_profile": q_events_profile,
-        "events_anomaly": q_events_anomaly,
         "docs_assign_ids": q_docs_assign_ids,
         "multimodal_frames": q_multimodal_frames,
         "docs_validate": q_docs_validate,
@@ -3763,4 +3789,7 @@ def oracle_sql() -> dict[str, str]:
     # on data without last-ulp argmax ties (verified hof==arrow at
     # sf0.001/0.01/0.1), so it shares the HOF query's oracle verbatim.
     d["emb_semantic_dedup_arrow"] = d["emb_semantic_dedup"]
+    # The bucketed decomposition reproduces the plain window's frames
+    # exactly (boundary context rows), so it shares the oracle too.
+    d["events_anomaly_bucketed"] = d["events_anomaly"]
     return d

@@ -33,6 +33,7 @@ def rolling_anomaly(
     min_events: int = 10,
     decimal_scale: int = 3,
     round_to: int = 6,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Append ``w_n``, ``w_mean``, ``z_score`` (rounded), and
     ``is_anomaly`` to every row.
@@ -55,11 +56,46 @@ def rolling_anomaly(
     Overflow bound for the LONG square-sum: ``n · (10^s·v_max)² <
     2^63`` — at the default s=3 that is ~9M window rows for values up
     to 1000; raise/lower ``decimal_scale`` per the metric's range.
+
+    ``bucket_seconds`` is the SCALE knob. The plain window partitions
+    by ``keys`` alone, so parallelism is capped at the KEY CARDINALITY
+    — with 5 event types, 10M rows run as 5 window tasks no matter how
+    many executors exist (measured: the one sub-family outlier in
+    SCALING.md's 100× scale-up). Setting ``bucket_seconds`` (must be
+    ≥ ``window_seconds``) decomposes the window EXACTLY: rows are
+    hashed to (keys, time-bucket) partitions, and each row whose
+    trailing window could be read from the NEXT bucket (within
+    ``window_seconds`` of the boundary) is duplicated into it as a
+    context-only row — frame content per judged row is identical, so
+    results are bit-for-bit the plain window's. Cost: the exchange
+    carries up to ``window/bucket`` extra context copies (25% at
+    6 h / 24 h); gain: parallelism ∝ keys × buckets instead of keys.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     us = int(window_seconds) * 1_000_000
+    part_keys: list = list(keys)
+    if bucket_seconds is not None:
+        if int(bucket_seconds) < int(window_seconds):
+            raise ValueError(
+                "rolling_anomaly: bucket_seconds must be >= window_seconds "
+                "(context rows spill exactly one bucket forward)"
+            )
+        bus = int(bucket_seconds) * 1_000_000
+        t_us = F.unix_micros(F.col(time_col))
+        bucket = F.floor(t_us / F.lit(bus))
+        own = df.withColumn("__bucket", bucket).withColumn("__ctx", F.lit(False))
+        ctx = (
+            df.filter(
+                F.col(time_col).isNotNull()
+                & (t_us >= (F.floor(t_us / F.lit(bus)) + 1) * F.lit(bus) - F.lit(us))
+            )
+            .withColumn("__bucket", bucket + F.lit(1))
+            .withColumn("__ctx", F.lit(True))
+        )
+        df = own.unionByName(ctx)
+        part_keys.append("__bucket")
     w = (
-        W.partitionBy(*keys)
+        W.partitionBy(*part_keys)
         .orderBy(F.unix_micros(F.col(time_col)))
         .rangeBetween(-us, 0)
     )
@@ -84,6 +120,8 @@ def rolling_anomaly(
         0.0
     )
     has_ts = F.col(time_col).isNotNull()
+    if bucket_seconds is not None:
+        base = base.filter(~F.col("__ctx")).drop("__bucket", "__ctx")
     return (
         base.withColumn("w_n", F.when(has_ts, n.cast("long")))
         .withColumn("w_mean", F.when(has_ts, F.round(mean, int(round_to)) + F.lit(0.0)))

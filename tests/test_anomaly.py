@@ -73,3 +73,46 @@ def test_anomaly_null_timestamp_rows_pass_through_unjudged(spark):
         assert out[eid].is_anomaly is False
     # timestamped rows judged as before, unaffected by the null-ts rows
     assert out[11].w_n == 12
+
+
+def test_rolling_anomaly_bucketed_matches_plain(spark):
+    """bucket_seconds decomposition must be bit-identical to the plain
+    keys-only window: boundary rows are duplicated forward as frame
+    context so every judged row sees the same trailing frame."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    kw = dict(
+        keys="event_type", time_col="ts", value_col="value",
+        window_seconds=21600, z_threshold=2.0, min_events=10,
+    )
+    cols = ["event_id", "w_n", "w_mean", "z_score", "is_anomaly"]
+    plain = rolling_anomaly(ev, **kw).select(cols).orderBy("event_id").toPandas()
+    bucketed = (
+        rolling_anomaly(ev, bucket_seconds=86400, **kw)
+        .select(cols).orderBy("event_id").toPandas()
+    )
+    assert plain.equals(bucketed)
+    # and the output row count is the input row count (context rows
+    # never leak out)
+    assert len(bucketed) == ev.count()
+
+
+def test_rolling_anomaly_bucket_smaller_than_window_raises(spark):
+    import pytest
+
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    df = spark.createDataFrame(
+        [(1, "a", None, 1.0)], "event_id long, event_type string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        rolling_anomaly(
+            df, keys="event_type", time_col="ts", value_col="value",
+            window_seconds=3600, bucket_seconds=60,
+        )
