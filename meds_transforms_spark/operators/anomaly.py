@@ -71,28 +71,15 @@ def rolling_anomaly(
     carries up to ``window/bucket`` extra context copies (25% at
     6 h / 24 h); gain: parallelism ∝ keys × buckets instead of keys.
     """
+    from meds_transforms_spark.operators.rolling import (
+        bucketize_for_trailing_window,
+    )
+
     keys = [keys] if isinstance(keys, str) else list(keys)
     us = int(window_seconds) * 1_000_000
     part_keys: list = list(keys)
     if bucket_seconds is not None:
-        if int(bucket_seconds) < int(window_seconds):
-            raise ValueError(
-                "rolling_anomaly: bucket_seconds must be >= window_seconds "
-                "(context rows spill exactly one bucket forward)"
-            )
-        bus = int(bucket_seconds) * 1_000_000
-        t_us = F.unix_micros(F.col(time_col))
-        bucket = F.floor(t_us / F.lit(bus))
-        own = df.withColumn("__bucket", bucket).withColumn("__ctx", F.lit(False))
-        ctx = (
-            df.filter(
-                F.col(time_col).isNotNull()
-                & (t_us >= (F.floor(t_us / F.lit(bus)) + 1) * F.lit(bus) - F.lit(us))
-            )
-            .withColumn("__bucket", bucket + F.lit(1))
-            .withColumn("__ctx", F.lit(True))
-        )
-        df = own.unionByName(ctx)
+        df = bucketize_for_trailing_window(df, time_col, window_seconds, bucket_seconds)
         part_keys.append("__bucket")
     w = (
         W.partitionBy(*part_keys)

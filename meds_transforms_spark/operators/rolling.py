@@ -29,6 +29,53 @@ from pyspark.sql import functions as F
 from meds_transforms_spark.operators.base import register_stage
 
 
+def bucketize_for_trailing_window(
+    df: DataFrame,
+    time_col: str,
+    window_seconds: int,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Decompose a trailing RANGE window over time into (keys, bucket)
+    partitions EXACTLY: adds ``__bucket`` (floor(epoch-µs / bucket))
+    and ``__ctx`` (True for the duplicated context copies).
+
+    A keys-only window caps parallelism at the key cardinality — a
+    5-value key runs 5 window tasks on ANY cluster size (measured in
+    SCALING.md round-6). Appending ``__bucket`` to the partition keys
+    restores parallelism ∝ keys × buckets; every row within
+    ``window_seconds`` of a bucket boundary is duplicated one bucket
+    FORWARD as a context-only row, so each judged (non-context) row
+    still sees its full trailing frame. Requires ``bucket_seconds >=
+    window_seconds`` (context never needs to spill further than one
+    bucket). The caller windows over ``keys + ["__bucket"]``, then
+    filters ``~__ctx`` and drops both columns — output rows are
+    bit-identical to the keys-only window's.
+
+    NULL-``time_col`` rows get a NULL bucket (one partition per key)
+    and are never duplicated — same pass-through semantics as the
+    plain window.
+    """
+    if int(bucket_seconds) < int(window_seconds):
+        raise ValueError(
+            "bucket_seconds must be >= window_seconds "
+            "(context rows spill exactly one bucket forward)"
+        )
+    us = int(window_seconds) * 1_000_000
+    bus = int(bucket_seconds) * 1_000_000
+    t_us = F.unix_micros(F.col(time_col))
+    bucket = F.floor(t_us / F.lit(bus))
+    own = df.withColumn("__bucket", bucket).withColumn("__ctx", F.lit(False))
+    ctx = (
+        df.filter(
+            F.col(time_col).isNotNull()
+            & (t_us >= (F.floor(t_us / F.lit(bus)) + 1) * F.lit(bus) - F.lit(us))
+        )
+        .withColumn("__bucket", bucket + F.lit(1))
+        .withColumn("__ctx", F.lit(True))
+    )
+    return own.unionByName(ctx)
+
+
 @register_stage("rolling_time_stats")
 def rolling_time_stats(
     df: DataFrame,
@@ -38,6 +85,7 @@ def rolling_time_stats(
     window_seconds: int = 3600,
     decimal_scale: int = 6,
     prefix: str | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Append trailing-window count/sum columns to every row.
 
@@ -53,12 +101,21 @@ def rolling_time_stats(
     a DECIMAL sum over a *sliding* frame re-aggregates non-codegen
     decimal buffers every frame move — measured 2× slower at 10M rows
     (SCALING.md).
+
+    ``bucket_seconds``: low-cardinality-keys scale knob — see
+    :func:`bucketize_for_trailing_window`. Off by default (the extra
+    context copies only pay for themselves when the key cardinality
+    is below the cluster's task slots).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     p = prefix or f"w{window_seconds}s"
     us = int(window_seconds) * 1_000_000
+    part_keys = list(keys)
+    if bucket_seconds is not None:
+        df = bucketize_for_trailing_window(df, time_col, window_seconds, bucket_seconds)
+        part_keys.append("__bucket")
     w = (
-        W.partitionBy(*keys)
+        W.partitionBy(*part_keys)
         .orderBy(F.unix_micros(F.col(time_col)))
         .rangeBetween(-us, 0)
     )
@@ -69,6 +126,8 @@ def rolling_time_stats(
         out = out.withColumn(
             f"{p}_sum", F.sum(q).over(w).cast("double") / F.lit(scale)
         )
+    if bucket_seconds is not None:
+        out = out.filter(~F.col("__ctx")).drop("__bucket", "__ctx")
     return out
 
 

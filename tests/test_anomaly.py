@@ -116,3 +116,23 @@ def test_rolling_anomaly_bucket_smaller_than_window_raises(spark):
             df, keys="event_type", time_col="ts", value_col="value",
             window_seconds=3600, bucket_seconds=60,
         )
+
+
+def test_rolling_time_stats_bucketed_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.rolling import rolling_time_stats
+    from meds_transforms_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    kw = dict(keys="user_id", time_col="ts", value_col="value",
+              window_seconds=3600, prefix="h1")
+    cols = ["event_id", "h1_n", "h1_sum"]
+    plain = rolling_time_stats(ev, **kw).select(cols).orderBy("event_id").toPandas()
+    bucketed = (
+        rolling_time_stats(ev, bucket_seconds=7200, **kw)
+        .select(cols).orderBy("event_id").toPandas()
+    )
+    assert plain.equals(bucketed)
