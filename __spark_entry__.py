@@ -133,6 +133,29 @@ def q_meds_agg_quantiles(spark, sf_dir):
     )
 
 
+def q_meds_agg_quantiles_approx(spark, sf_dir):
+    """Sketch-based grouped quantiles (operators/quantiles.
+    grouped_approx_quantiles): ONE mergeable Greenwald-Khanna sketch
+    per group via percentile_approx — single hash-agg pass, no
+    per-group sort or cumulative window; the path for groups whose
+    DISTINCT-value stream is itself too hot for the exact two-level
+    formulation. Deliberately has NO oracle entry (sketch compression
+    is engine-internal — the driver records the rows-only check);
+    the rank-error guarantee (≤ n/accuracy) is pinned by
+    tests/test_approx_quantiles.py against exact ranks."""
+    from meds_transforms_spark.operators.quantiles import grouped_approx_quantiles
+
+    out = grouped_approx_quantiles(
+        _meds(spark, sf_dir), [0.25, 0.5, 0.75], accuracy=10_000
+    )
+    return out.select(
+        "code",
+        F.col("`q0.25`").alias("q25"),
+        F.col("`q0.5`").alias("q50"),
+        F.col("`q0.75`").alias("q75"),
+    )
+
+
 def q_meds_quantiles_distributed(spark, sf_dir):
     """Same nearest-rank quantiles as meds_agg_quantiles, via the
     array-free distributed formulation (operators/quantiles.py) — the
@@ -1761,7 +1784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": q_docs_substring_dedup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "meds_filter_subjects": q_meds_filter_subjects,
-        # --- slots 20-50: oldest driver rows (latest = r01) ---
+        # rows-only by design (sketch internals aren't SQL-replayable;
+        # rank-error bound pinned in tests/test_approx_quantiles.py)
+        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
+        # --- slots 21-50: oldest driver rows (latest = r01) ---
         "meds_occlude_outliers": q_meds_occlude_outliers,
         "meds_normalization": q_meds_normalization,
         "meds_fit_vocab": q_meds_fit_vocab,
@@ -1792,9 +1818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
-        "docs_exact_dedup": q_docs_exact_dedup,
         # --- slots 51+: displaced r01-cohort (lead round-7 rotation),
         # --- then remaining <=r02-latest ---
+        "docs_exact_dedup": q_docs_exact_dedup,
         "docs_lang_id": q_docs_lang_id,
         "docs_top_tokens": q_docs_top_tokens,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,

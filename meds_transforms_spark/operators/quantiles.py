@@ -63,3 +63,38 @@ def grouped_exact_quantiles(
             F.min(F.when(F.col("__cum") >= target, F.col(value_col))).alias(f"q{q}")
         )
     return ranked.groupBy(*keys).agg(*aggs)
+
+
+def grouped_approx_quantiles(
+    df: DataFrame,
+    quantiles: Sequence[float],
+    keys: Sequence[str] = (CODE,),
+    value_col: str = NUMERIC_VALUE,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based grouped quantiles: ONE hash-aggregation pass, no
+    per-group sort, no cumulative window — the single-pass path when
+    even the distinct-value stream of :func:`grouped_exact_quantiles`
+    is too hot (a code with billions of DISTINCT values makes the
+    cumulative window's per-group sort the bottleneck).
+
+    Wraps Spark's ``percentile_approx`` (Greenwald-Khanna sketch,
+    guarantee: rank error ≤ n/accuracy). The sketch is MERGEABLE, so
+    partial aggregation happens map-side and the shuffle carries one
+    ~accuracy-bounded sketch per (group, partition) — independent of
+    group row count. Memory per group is O(accuracy).
+
+    Column layout matches :func:`grouped_exact_quantiles` (``q<q>``),
+    so the two are drop-in swappable. Not oracle-replayable: sketch
+    compression decisions are engine-internal; correctness is pinned
+    by the rank-error-bound property test instead
+    (tests/test_approx_quantiles.py).
+    """
+    keys = list(keys)
+    v = F.col(value_col)
+    present = df.filter(v.isNotNull() & ~F.isnan(v))
+    aggs = [
+        F.percentile_approx(value_col, float(q), int(accuracy)).alias(f"q{q}")
+        for q in quantiles
+    ]
+    return present.groupBy(*keys).agg(*aggs)
