@@ -94,3 +94,55 @@ def test_md5_mode_matches_xxhash_mode(spark):
         for r in duplicated_span_stats(df, k=12, hash_fn="md5_60").collect()
     }
     assert a == b
+
+
+def _python_span_stats(texts: dict, k: int, stride: int, min_df: int):
+    """Brute-force reference for duplicated_span_stats."""
+    import re
+
+    norm = {
+        i: re.sub(r"\s+", " ", t.strip().lower()) for i, t in texts.items() if t is not None
+    }
+    grams = {
+        i: [t[p : p + k] for p in range(0, max(len(t) - k + 1, 0), stride)]
+        for i, t in norm.items()
+    }
+    df_docs = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            df_docs[g] = df_docs.get(g, 0) + 1
+    out = {}
+    for i, gs in grams.items():
+        n = len(gs)
+        nd = sum(1 for g in gs if df_docs[g] >= min_df)
+        out[i] = (n, nd)
+    return out
+
+
+@pytest.mark.parametrize("min_df", [2, 3])
+def test_span_stats_both_topologies_match_python(spark, min_df):
+    """min_df<=2 runs the skew-immune unique-complement topology,
+    min_df>2 the join topology — both must match a brute-force python
+    reference on data exercising shared, unique, and repeated grams."""
+    from meds_transforms_spark.operators.substring import duplicated_span_stats
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox naps under the lazy dog again and again",
+        3: "the quick brown fox jumps over the lazy dog again and again",
+        4: "completely unrelated text with no shared spans whatsoever xyz",
+        5: "short",
+        6: None,
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    k, stride = 10, 3
+    ref = _python_span_stats(texts, k, stride, min_df)
+    got = {
+        r.doc_id: (r.n_positions, r.n_dup_positions)
+        for r in duplicated_span_stats(df, k=k, stride=stride, min_df=min_df).collect()
+    }
+    for i in texts:
+        exp = ref.get(i, (0, 0))
+        assert got[i] == exp, f"doc {i} min_df={min_df}: {got[i]} != {exp}"

@@ -139,3 +139,54 @@ def test_contains_probe_broadcast_plan(spark):
     out = winnow_contains(train, evals)
     assert_scalable(out, name="winnow_contains")
     assert "BroadcastHashJoin" in plan_string(out)  # probe side broadcast
+
+
+def test_winnow_overlap_packed_matches_unpacked(spark):
+    """The packed 64-bit pair key must produce the identical pair set
+    as the two-column aggregate."""
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(k=10, w=8, min_shared=2, max_df=100)
+    packed = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_overlap(docs, packed_ids=True, **kw).collect()
+    }
+    unpacked = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_overlap(docs, packed_ids=False, **kw).collect()
+    }
+    assert packed == unpacked and packed
+
+
+def test_winnow_overlap_packed_rejects_out_of_range_ids(spark):
+    """ids >= 2^31 would silently merge different pairs under the
+    packed key — the in-plan guard must raise instead."""
+    import pytest
+
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    docs = spark.createDataFrame(
+        [(1 << 32, "abcdefghij" * 8), ((1 << 32) + 1, "abcdefghij" * 8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="packed_ids"):
+        winnow_overlap(docs, k=10, w=4, min_shared=1).collect()
+
+
+def test_winnow_fingerprints_wide_window_slice_path(spark):
+    """w>16 falls back to the array_min(slice) form — same fingerprints
+    as the least-chain on an overlapping-window comparison corpus."""
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 3)],
+        "doc_id long, text string",
+    )
+    # identical windows computed through both code paths: w=16 (chain)
+    # vs w=17/slice can't be compared directly, so check the invariant
+    # instead — every fingerprint is the min of SOME w-window, i.e.
+    # the fp set of w=18 is a subset of the w=9 set's candidate hashes
+    wide = {r.fp for r in winnow_fingerprints(docs, k=5, w=18).collect()}
+    narrow = {r.fp for r in winnow_fingerprints(docs, k=5, w=9).collect()}
+    assert wide and wide <= narrow
