@@ -36,7 +36,7 @@ REVIEW = {
     "events_funnel": "agg_join strategy: per-step full hash agg with map-side combine (shuffle carries one partial row per entity-partition), per-entity step table broadcast back into the next scan — zero full-data shuffles, no sort; window strategy available for unbroadcastable entity dims",
     "docs_pack": "two-phase prefix sum: range exchange on the order key, per-partition running sums, #partitions offset rows broadcast back — no SinglePartition exchange anywhere (the naive global-window cumsum is the anti-pattern this operator replaces)",
     "emb_cluster_balance": "centroids broadcast into a map-side scoring join (corpus never shuffles for assignment); the cap is group_cap's two-phase per-key top-k — phase 1 caps within (cluster, input-partition), phase 2 ranks only survivors",
-    "docs_substring_dedup": "ONE gram stream (explode over stride-sampled positions) feeds both the (id,hash) and hash-DF aggs; dup set joins back on the 64-bit hash; text never shuffles — total/dup counts both roll up from the same pre-agg",
+    "docs_substring_dedup": "ONE gram stream (explode over stride-sampled positions) feeds both per-doc totals and the per-hash agg; min_df<=2 runs the unique-complement form — df==1 grams attribute to their single owner INSIDE the hash agg (min(id)), so there is no join-back and every exchange is map-side combined (no skew-sensitive stage); text never shuffles",
     "docs_domain_mix": "running sums window on (source, monotone hash bucket) — a giant source spreads over all buckets; per-bucket totals agg to a tiny offsets table that re-enters via BroadcastHashJoin; quota-0 sources pruned at the scan",
     "docs_unigram_logprob": "(id,tok) pre-agg collapses repeats before the vocab join (AQE broadcasts the LM when small); scalar totals ride as a broadcast 1-row join — plan stays fully lazy",
     "docs_quality_classifier": "token explode → pmod bucket (codegen) → (id,bucket) partial counts → BroadcastHashJoin with the 4096-row model → per-id agg + sigmoid projection; serving has no Python operator anywhere",
@@ -58,13 +58,16 @@ REVIEW = {
     "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
     "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
-    "docs_winnow_overlap": "gram hashing + window minima entirely inside per-row array HOFs (zero shuffle until fingerprints; the array expr explodes DIRECTLY in one select — the withColumn form re-inlines under Generate, measured 150×); pair join bucketed by fingerprint with the max_df boilerplate guard",
+    "docs_winnow_overlap": "gram hashing + window minima entirely inside per-row array HOFs (zero shuffle until fingerprints; least-of-gets chain avoids per-window slice allocation; the array expr explodes DIRECTLY in one select — the withColumn form re-inlines under Generate, measured 150×); fp-bucketed pair join, then the pair aggregate runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle",
     "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles; same max_df guard before pairing",
     "docs_bigram_ppl": "bigrams form in a per-row HOF (no lag window over exploded tokens); the per-doc aggregate is PERSISTED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — explode runs once, everything else re-aggregates the cache",
     "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
     "docs_shuffle_shards": "seeded-hash rank via two-phase prefix (range exchange + local row_number + broadcast offsets); round-robin deal makes shard sizes exact — no SinglePartition window, no rand(), pure function of (data, seed)",
     "docs_ccnet_e2e": "the four curation stages chain with NO new shuffle classes: gopher is a projection, ccnet derives model+cuts from one pinned explode, the eval probes broadcast into the decontamination join, and the shard rank is the two-phase prefix — the corpus text shuffles ZERO times end to end",
     "docs_corpus_diff": "both snapshots pre-project to (id, group, 64-bit fingerprint, length) ~40-byte rows before the single full-outer id join — text never shuffles; classification + char mass fold into one small-key aggregate, output is |groups| rows",
+    "emb_semantic_dedup_arrow": "cell assignment is ONE BLAS matmul per Arrow batch against the closure-shipped centroid matrix (mapInArrow, zero shuffle) — the scale path once n_cells ∝ N makes the per-pair HOF dot quadratic; downstream within-cell collapse identical to the HOF query",
+    "events_anomaly_bucketed": "the trailing window partitions on (event_type, day-bucket) with boundary rows duplicated one bucket forward as frame context — parallelism ∝ keys × buckets instead of the 5-value key cap; frames (and rows) bit-identical to events_anomaly",
+    "meds_agg_quantiles_approx": "one hash-agg pass of mergeable GK sketches (percentile_approx) — map-side partial sketches, O(accuracy) per group, no per-group sort or cumulative window; rows-only by design (sketch internals aren't SQL-replayable)",
 }
 
 
