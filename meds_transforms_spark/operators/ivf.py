@@ -160,6 +160,7 @@ def kmeans_refine(
     iters: int = 3,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    assign: str = "hof",
 ) -> DataFrame:
     """Lloyd's iterations over the deterministic seed centroids.
 
@@ -177,7 +178,15 @@ def kmeans_refine(
     the refined centroid frame in :func:`ivf_centroids` layout
     (``__cell, __cvec, __cnorm``) — drop-in for ``ivf_topk(index=...)``
     builds.
+
+    ``assign="arrow"`` swaps each round's per-(vector, centroid)
+    interpreted dot for :func:`assign_cells_arrow`'s batch matmul —
+    the scale path when n_cells ∝ N (same caveat as everywhere: float
+    summation order differs, so a last-ulp argmax tie may flip a
+    cell; on separated data the refinement is identical).
     """
+    if assign not in ("hof", "arrow"):
+        raise ValueError(f"kmeans_refine: unknown assign={assign!r}")
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("__vec"),
@@ -187,7 +196,10 @@ def kmeans_refine(
 
     cents = checkpoint_reset_stats(ivf_centroids(corpus, n_cells, corpus_id, corpus_vec))
     for _ in range(int(iters)):
-        assigned = _nearest_cells(c, cents, "vec_id", "__vec", n_probe=1)
+        if assign == "arrow":
+            assigned = assign_cells_arrow(c, cents, "vec_id", "__vec")
+        else:
+            assigned = _nearest_cells(c, cents, "vec_id", "__vec", n_probe=1)
         means = (
             assigned.select("__cell", F.posexplode("__vec").alias("__j", "__x"))
             .groupBy("__cell", "__j")
@@ -221,6 +233,7 @@ def build_ivf_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     centroids: DataFrame | None = None,
+    assign: str = "hof",
 ) -> DataFrame:
     """One-time index build: (vec_id, __vec, __vnorm, __cell) assignment.
 
@@ -230,9 +243,22 @@ def build_ivf_index(
     touches only its cells' files (partition pruning). The vector norm
     is persisted alongside so query-time scoring never recomputes it.
     Pass ``centroids`` (e.g. from :func:`kmeans_refine`) to override the
-    deterministic seeds."""
+    deterministic seeds. ``assign="arrow"`` uses the batch-matmul
+    assignment (:func:`assign_cells_arrow`) — THE path for the
+    "expensive pass" this docstring warns about once n_cells is large
+    (the HOF form is O(N · n_cells · dim) interpreted ops)."""
+    if assign not in ("hof", "arrow"):
+        raise ValueError(f"build_ivf_index: unknown assign={assign!r}")
     if centroids is None:
         centroids = ivf_centroids(corpus, n_cells, corpus_id, corpus_vec)
+    if assign == "arrow":
+        a = assign_cells_arrow(corpus, centroids, corpus_id, corpus_vec)
+        return a.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).alias("__vec"),
+            l2_norm(F.col(corpus_vec)).alias("__vnorm"),
+            "__cell",
+        )
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__vec"),

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -358,3 +360,36 @@ def test_assign_cells_arrow_empty_centroids(spark):
     out = assign_cells_arrow(vecs, ivf_centroids(empty, 4))
     assert out.count() == 0
     assert set(out.columns) == {"vec_id", "embedding", "__cell"}
+
+
+def test_kmeans_refine_arrow_matches_hof(spark):
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.ivf import kmeans_refine
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(120)
+    )
+    h = kmeans_refine(emb, n_cells=6, iters=2, assign="hof").orderBy("__cell").collect()
+    a = kmeans_refine(emb, n_cells=6, iters=2, assign="arrow").orderBy("__cell").collect()
+    assert len(h) == len(a) == 6
+    for rh, ra in zip(h, a):
+        assert rh["__cell"] == ra["__cell"]
+        assert rh["__cvec"] == pytest.approx(ra["__cvec"], rel=1e-12, abs=1e-12)
+
+
+def test_build_ivf_index_arrow_matches_hof(spark):
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.ivf import build_ivf_index
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(150)
+    )
+    h = {r.vec_id: r["__cell"] for r in build_ivf_index(emb, n_cells=8).collect()}
+    a = {r.vec_id: r["__cell"] for r in build_ivf_index(emb, n_cells=8, assign="arrow").collect()}
+    assert h == a
