@@ -504,3 +504,48 @@ def test_corpus_diff_matches_python_reference(spark, pair):
     for g, d in exp.items():
         for k, v in d.items():
             assert getattr(got[g], k) == v, (g, k)
+
+
+@st.composite
+def event_stream(draw):
+    """Random (user, epoch-seconds, value) events with clustered and
+    boundary-adjacent timestamps."""
+    n = draw(st.integers(1, 60))
+    rows = []
+    for i in range(n):
+        user = draw(st.sampled_from(["u1", "u2"]))
+        # timestamps cluster near bucket boundaries to stress context
+        base = draw(st.integers(0, 5)) * 86_400
+        off = draw(st.integers(-4000, 90_000))
+        val = draw(st.floats(-100, 100, allow_nan=False, allow_infinity=False))
+        rows.append((i, user, max(base + off, 0), float(val)))
+    return rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=event_stream(),
+    window_s=st.sampled_from([3600, 21600]),
+    bucket_s=st.sampled_from([21600, 86400]),
+)
+def test_bucketized_trailing_window_is_exact(spark, rows, window_s, bucket_s):
+    """Property: the (keys, time-bucket) decomposition with forward
+    context duplication reproduces the keys-only trailing window on
+    ARBITRARY event streams — including events exactly on bucket
+    boundaries and multiple events at one timestamp."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.rolling import rolling_time_stats
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user string, sec long, value double"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    kw = dict(keys="user", time_col="ts", value_col="value",
+              window_seconds=window_s, prefix="w")
+    cols = ["event_id", "w_n", "w_sum"]
+    plain = rolling_time_stats(df, **kw).select(cols).orderBy("event_id").collect()
+    bucketed = (
+        rolling_time_stats(df, bucket_seconds=bucket_s, **kw)
+        .select(cols).orderBy("event_id").collect()
+    )
+    assert [tuple(r) for r in plain] == [tuple(r) for r in bucketed]
