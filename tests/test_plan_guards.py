@@ -64,6 +64,11 @@ GUARDED = [
     "docs_bigram_ppl",
     "docs_ccnet_buckets",
     "docs_shuffle_shards",
+    # round-6 additions
+    "emb_semantic_dedup_arrow",
+    "events_anomaly_bucketed",
+    "meds_agg_quantiles_approx",
+    "docs_ccnet_e2e",
 ]
 
 # docs_unigram_logprob / emb_covariance: scalar totals (1-row aggs)
