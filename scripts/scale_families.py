@@ -45,11 +45,18 @@ DEFAULT_QUERIES = [
     "events_sessions",
     "events_funnel",
     "events_anomaly",
+    "events_anomaly_bucketed",
     "meds_agg_code_metadata",
+    "meds_agg_quantiles_approx",
     "meds_pipeline_e2e",
     "emb_topk_cosine",
     "emb_covariance",
-    "emb_semantic_dedup",
+    # NOTE: the registered semantic_dedup queries run FIXED n_cells=64
+    # (oracle-replayable); at REP>=10 that is the documented quadratic
+    # regime — use emb_semantic_dedup_arrow for the sane assignment
+    # cost and read SCALING.md "SemDeDup super-linearity" before
+    # interpreting the number.
+    "emb_semantic_dedup_arrow",
 ]
 
 
