@@ -28,9 +28,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from meds_transforms_spark.operators.base import register_stage
 from meds_transforms_spark.schema import CODE, NUMERIC_VALUE
 
 
+@register_stage("grouped_exact_quantiles", kind="mapreduce", is_metadata=True)
 def grouped_exact_quantiles(
     df: DataFrame,
     quantiles: Sequence[float],
@@ -65,6 +67,7 @@ def grouped_exact_quantiles(
     return ranked.groupBy(*keys).agg(*aggs)
 
 
+@register_stage("grouped_approx_quantiles", kind="mapreduce", is_metadata=True)
 def grouped_approx_quantiles(
     df: DataFrame,
     quantiles: Sequence[float],

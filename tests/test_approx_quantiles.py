@@ -70,3 +70,17 @@ def test_approx_tracks_exact_at_high_accuracy(spark):
             ei = vals.index(float(er[f"q{q}"]))
             ai = vals.index(float(a[code][f"q{q}"]))
             assert abs(ei - ai) <= 1, f"{code} q{q}: exact idx {ei} vs approx {ai}"
+
+
+def test_quantile_stages_registered(spark):
+    """Both grouped-quantile paths are YAML-pipeline stages: resolvable
+    by name, metadata-kind, and runnable through the registry fn."""
+    from meds_transforms_spark.operators.base import get_stage
+
+    meds = events_as_meds(spark, "/root/testdata/sf0.001")
+    for name in ("grouped_exact_quantiles", "grouped_approx_quantiles"):
+        st = get_stage(name)
+        assert st.is_metadata and st.kind == "mapreduce"
+        out = st.fn(meds, quantiles=[0.5])
+        assert out.columns == ["code", "q0.5"]
+        assert out.count() > 0
