@@ -653,7 +653,7 @@ def semantic_dedup(
     if assign not in ("hof", "arrow"):
         raise ValueError(f"semantic_dedup: unknown assign={assign!r}")
     cents = (
-        kmeans_refine(df, n_cells, iters, id_col, vec_col)
+        kmeans_refine(df, n_cells, iters, id_col, vec_col, assign=assign)
         if iters > 0
         else ivf_centroids(df, n_cells, id_col, vec_col)
     )

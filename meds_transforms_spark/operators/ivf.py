@@ -79,16 +79,27 @@ def assign_cells_arrow(
     from the HOF left-fold, so a vector whose two best cosines agree
     to the last ulp may pick the other cell. Ties at EQUAL score break
     to the lowest ``__cell`` in both paths (centroid rows are ordered,
-    argmax returns the first maximum).
+    argmax returns the first maximum). NULL (and zero-norm) embeddings
+    assign to the lowest cell — the same outcome the HOF path's
+    NULLS-LAST descending rank produces.
+
+    EAGER: constructing this plan runs one bounded Spark job — the
+    centroid frame (≤ the ivf_centroids 1M-row guard) is collected
+    into the UDF closure here, because PySpark pickles the closure at
+    UDF-creation time, not at action time. Plan-only tooling that must
+    stay job-free should route around arrow-mode entry points.
     """
     import numpy as np
     import pyarrow as pa
 
+    # Preserve the caller's id dtype end-to-end (a cast to long would
+    # silently NULL string ids and break the downstream pair filter).
+    id_ddl = vec_df.select(id_col).schema[0].dataType.simpleString()
+    out_schema = f"{id_col} {id_ddl}, {vec_col} array<double>, __cell int"
+
     rows = centroids.select("__cell", "__cvec").orderBy("__cell").collect()
     if not rows:
-        return vec_df.sparkSession.createDataFrame(
-            [], f"{id_col} long, {vec_col} array<double>, __cell int"
-        )
+        return vec_df.sparkSession.createDataFrame([], out_schema)
     cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
     C = np.array([r["__cvec"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(C, axis=1, keepdims=True)
@@ -97,30 +108,42 @@ def assign_cells_arrow(
     # every other cosine is negative — documented edge)
     Cn = np.divide(C, norms, out=np.zeros_like(C), where=norms > 0)
     dim = C.shape[1]
-
-    out_schema = f"{id_col} long, {vec_col} array<double>, __cell int"
+    lowest_cell = int(cells[0])
 
     def assign(batches):
         for rb in batches:
             n = rb.num_rows
             if n == 0:
                 continue
-            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            ids = rb.column(0)
             col = rb.column(1)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            flat = arr.flatten().to_numpy(zero_copy_only=False)
-            V = flat.reshape(n, dim).astype(np.float64, copy=False)
-            vn = np.linalg.norm(V, axis=1, keepdims=True)
-            Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
-            S = Vn @ Cn.T  # (batch, n_cells)
-            best = cells[S.argmax(axis=1)]
+            # flatten() drops NULL list entries, so index valid rows
+            # explicitly — a NULL embedding must not shift its
+            # neighbours' reshape positions (or crash it).
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            nv = int(valid.sum())
+            best = np.full(n, lowest_cell, dtype=np.int64)
+            if nv:
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                if flat.size != nv * dim:
+                    raise ValueError(
+                        f"assign_cells_arrow: embeddings are ragged — "
+                        f"{flat.size} values over {nv} non-null rows, "
+                        f"centroid dim {dim}"
+                    )
+                V = flat.reshape(nv, dim).astype(np.float64, copy=False)
+                vn = np.linalg.norm(V, axis=1, keepdims=True)
+                Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
+                S = Vn @ Cn.T  # (non-null batch rows, n_cells)
+                best[valid] = cells[S.argmax(axis=1)]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids), arr, pa.array(best.astype(np.int32))],
+                [ids, arr, pa.array(best.astype(np.int32))],
                 names=[id_col, vec_col, "__cell"],
             )
 
     src = vec_df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
     return src.mapInArrow(assign, schema=out_schema)

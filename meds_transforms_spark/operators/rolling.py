@@ -64,16 +64,27 @@ def bucketize_for_trailing_window(
     bus = int(bucket_seconds) * 1_000_000
     t_us = F.unix_micros(F.col(time_col))
     bucket = F.floor(t_us / F.lit(bus))
-    own = df.withColumn("__bucket", bucket).withColumn("__ctx", F.lit(False))
-    ctx = (
-        df.filter(
-            F.col(time_col).isNotNull()
-            & (t_us >= (F.floor(t_us / F.lit(bus)) + 1) * F.lit(bus) - F.lit(us))
-        )
-        .withColumn("__bucket", bucket + F.lit(1))
-        .withColumn("__ctx", F.lit(True))
+    # Single-pass explode (NOT a union of two scans): each row yields
+    # its own (bucket, ctx=False) entry plus, when it sits within
+    # window_seconds of the next boundary, a (bucket+1, ctx=True)
+    # context copy. A union's two legs don't canonicalize into one
+    # subtree, so an expensive upstream lineage would execute twice.
+    own = F.struct(bucket.alias("b"), F.lit(False).alias("c"))
+    near_boundary = F.col(time_col).isNotNull() & (
+        t_us >= (bucket + F.lit(1)) * F.lit(bus) - F.lit(us)
     )
-    return own.unionByName(ctx)
+    entries = F.when(
+        near_boundary,
+        F.array(
+            own, F.struct((bucket + F.lit(1)).alias("b"), F.lit(True).alias("c"))
+        ),
+    ).otherwise(F.array(own))
+    return (
+        df.withColumn("__e", F.explode(entries))
+        .withColumn("__bucket", F.col("__e.b"))
+        .withColumn("__ctx", F.col("__e.c"))
+        .drop("__e")
+    )
 
 
 @register_stage("rolling_time_stats")

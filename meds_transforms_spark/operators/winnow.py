@@ -182,9 +182,14 @@ def winnow_overlap(
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared))
         )
-    in_range = (F.col("id_a") >= 0) & (F.col("id_b") < F.lit(1 << 31))
+    # Cast to long BEFORE shifting: Spark's shiftleft follows Java
+    # shift-masking, so shiftleft(int32_col, 32) is a silent no-op and
+    # the key would degenerate to id_a|id_b, merging unrelated pairs.
+    id_a64 = F.col("id_a").cast("long")
+    id_b64 = F.col("id_b").cast("long")
+    in_range = (id_a64 >= 0) & (id_b64 < F.lit(1 << 31))
     pk = F.when(
-        in_range, F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
+        in_range, F.shiftleft(id_a64, 32).bitwiseOR(id_b64)
     ).otherwise(
         F.raise_error(
             F.lit(

@@ -91,7 +91,15 @@ def recover_compaction(path: str, tmp_grace_seconds: float = TMP_GRACE_SECONDS) 
         else:
             os.rename(old, path)
             action = "rolled_back"
-    if os.path.exists(tmp):
+    if os.path.exists(tmp) and action == "rolled_back":
+        # The roll-back journal (old present, dataset absent) proves
+        # the tmp's writer died MID-PUBLISH — it had already finished
+        # writing tmp (the path→old rename happens after). Under the
+        # single-writer assumption the tmp cannot belong to a live
+        # writer, so drop it now instead of stalling every retry for
+        # the full grace window behind "tmp_in_flight".
+        shutil.rmtree(tmp, ignore_errors=True)
+    elif os.path.exists(tmp):
         # A file vanishing between the os.walk listing and its stat
         # means a live writer just renamed/committed it — exactly the
         # in-flight case the grace window protects. Treat it as fresh

@@ -159,10 +159,14 @@ class MEDSDataset:
         making sense — use the parquet split column, which carries the
         same membership distributed.
         """
-        n = subject_splits.count()
+        # Bounded probe, not a full count: Spark stops scanning after
+        # max_subjects+1 rows, so an over-limit (or lazily expensive)
+        # frame fails fast without executing its whole lineage — and an
+        # in-limit frame pays at most the rows it is about to collect.
+        n = subject_splits.limit(int(max_subjects) + 1).count()
         if n > max_subjects:
             raise ValueError(
-                f"write_shards_json: {n} subjects exceeds max_subjects="
+                f"write_shards_json: >{max_subjects} subjects exceeds max_subjects="
                 f"{max_subjects}. The .shards.json interop format is a "
                 "single driver-written json enumerating every subject id "
                 "and does not scale to this size — read split membership "

@@ -268,3 +268,40 @@ def test_recover_tolerates_vanishing_tmp_file(spark, tmp_path, monkeypatch):
     # fresh activity -> tmp kept in-flight (old code: FileNotFoundError)
     assert compaction.recover_compaction(path) == "kept_tmp_in_flight"
     assert os.path.exists(tmp)
+
+
+def test_rollback_drops_dead_writers_tmp(spark, tmp_path):
+    """Regression: a crash between the two publish renames left a FRESH
+    tmp that tripped the tmp_in_flight skip for the whole grace window.
+    The roll-back journal proves that writer is dead (it finished tmp
+    before renaming path away), so recovery must drop the tmp and let
+    the retry compact immediately."""
+    import os
+
+    from meds_transforms_spark.sources.compaction import (
+        compact_parquet,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "crashed")
+    spark.range(5_000).repartition(10).write.parquet(path)
+    old = path + "._compact_old"
+    tmp = path + "._compact_tmp"
+    # simulate the crash window: tmp fully written, path renamed to old
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-dead.parquet"), "wb") as f:
+        f.write(b"dead")
+    os.rename(path, old)
+
+    assert recover_compaction(path) == "rolled_back"
+    assert not os.path.exists(tmp)  # dead writer's tmp dropped
+    assert spark.read.parquet(path).count() == 5_000
+
+    # and a retry straight after the crash compacts without stalling
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-dead.parquet"), "wb") as f:
+        f.write(b"dead")
+    os.rename(path, old)
+    report = compact_parquet(spark, path, target_mb=256)
+    assert report["compacted"]
+    assert spark.read.parquet(path).count() == 5_000

@@ -393,3 +393,105 @@ def test_build_ivf_index_arrow_matches_hof(spark):
     h = {r.vec_id: r["__cell"] for r in build_ivf_index(emb, n_cells=8).collect()}
     a = {r.vec_id: r["__cell"] for r in build_ivf_index(emb, n_cells=8, assign="arrow").collect()}
     assert h == a
+
+
+def test_assign_cells_arrow_preserves_string_ids(spark):
+    """Regression: the arrow path used to cast ids to long, silently
+    NULLing string ids and turning semantic_dedup(assign="arrow") into
+    a no-op. Ids must pass through with their original dtype."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+    from meds_transforms_spark.operators.ivf import assign_cells_arrow, ivf_centroids
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            F.concat(F.lit("doc-"), F.format_string("%04d", "vec_id")).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .limit(100)
+    )
+    assigned = assign_cells_arrow(
+        emb, ivf_centroids(emb, 8, "vec_id", "emb"), "vec_id", "emb"
+    )
+    assert dict(assigned.dtypes)["vec_id"] == "string"
+    assert assigned.filter("vec_id is null").count() == 0
+
+    aug = emb.select(
+        F.concat(F.lit("z"), "vec_id").alias("vec_id"),
+        F.transform("emb", lambda x: x * 1.01).alias("emb"),
+    )
+    both = emb.unionByName(aug)
+    kw = dict(vec_col="emb", id_col="vec_id", n_cells=8, threshold=0.95, exact=True)
+    hof = {r.vec_id for r in semantic_dedup(both, assign="hof", **kw).collect()}
+    arrow = {r.vec_id for r in semantic_dedup(both, assign="arrow", **kw).collect()}
+    assert arrow == hof
+    assert len(arrow) == 100 and all(not i.startswith("z") for i in arrow)
+
+
+def test_assign_cells_arrow_null_embeddings(spark):
+    """Regression: pyarrow flatten() drops NULL list entries, which
+    crashed the reshape (and would shift neighbours). NULL embeddings
+    must assign to the lowest cell — the HOF path's outcome."""
+    from meds_transforms_spark.operators.ivf import (
+        _nearest_cells,
+        assign_cells_arrow,
+        ivf_centroids,
+        l2_norm,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, None), (5, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(vecs, 2)
+    arrow = {
+        r.vec_id: r["__cell"] for r in assign_cells_arrow(vecs, cents).collect()
+    }
+    hof_df = _nearest_cells(
+        vecs.withColumn("__vnorm", l2_norm(F.col("embedding"))),
+        cents,
+        "vec_id",
+        "embedding",
+        n_probe=1,
+    )
+    hof = {r.vec_id: r["__cell"] for r in hof_df.collect()}
+    assert arrow == hof
+    assert arrow[2] == arrow[4] == min(r["__cell"] for r in cents.collect())
+
+
+def test_semantic_dedup_forwards_assign_to_refine(spark):
+    """iters>0 must run the refinement rounds with the requested assign
+    engine (regression: arrow mode silently fell back to HOF inside
+    kmeans_refine) — and the arrow survivor set still matches hof."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators import ivf
+    from meds_transforms_spark.operators.dedup import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .limit(80)
+    )
+    kw = dict(vec_col="emb", id_col="vec_id", n_cells=4, iters=2, threshold=0.95, exact=True)
+    hof = {r.vec_id for r in semantic_dedup(emb, assign="hof", **kw).collect()}
+
+    calls = []
+    real = ivf.assign_cells_arrow
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    ivf.assign_cells_arrow = counting
+    try:
+        import meds_transforms_spark.operators.dedup  # noqa: F401  (uses ivf attr at call time)
+        arrow = {r.vec_id for r in semantic_dedup(emb, assign="arrow", **kw).collect()}
+    finally:
+        ivf.assign_cells_arrow = real
+    # one call per refinement round + the final assignment
+    assert len(calls) >= 3
+    assert arrow == hof

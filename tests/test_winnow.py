@@ -190,3 +190,27 @@ def test_winnow_fingerprints_wide_window_slice_path(spark):
     wide = {r.fp for r in winnow_fingerprints(docs, k=5, w=18).collect()}
     narrow = {r.fp for r in winnow_fingerprints(docs, k=5, w=9).collect()}
     assert wide and wide <= narrow
+
+
+def test_winnow_overlap_packed_int32_ids(spark):
+    """Regression: Spark's shiftleft follows Java shift-masking, so
+    shiftleft(int32_col, 32) was a no-op and the packed key degenerated
+    to id_a|id_b, merging unrelated pairs. int ids must widen to long
+    before packing and still match the unpacked aggregate."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    )
+    kw = dict(k=10, w=8, min_shared=2, max_df=100)
+    packed = {
+        (int(r.id_a), int(r.id_b), r.n_shared)
+        for r in winnow_overlap(docs, packed_ids=True, **kw).collect()
+    }
+    unpacked = {
+        (int(r.id_a), int(r.id_b), r.n_shared)
+        for r in winnow_overlap(docs, packed_ids=False, **kw).collect()
+    }
+    assert packed == unpacked and packed
