@@ -1759,10 +1759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 35 of the 49 queries whose latest driver row is r01. Displaced
     # r01-cohort members + the 12 <=r02-latest queries fill slots 51+
     # and lead the round-7 rotation; the queries driver-green in r05
-    # with unchanged code form the tail. Before this rotation the full
-    # replica gate (scripts/check_oracles.py, bitwise-strict) was
-    # re-run at sf0.01: 112/112 green — evidence committed as
-    # REPLAY_r06.txt (refreshed at end of round for the round-6 code).
+    # with unchanged code form the tail. The full replica gate
+    # (scripts/check_oracles.py, bitwise-strict) was re-run at sf0.01
+    # after the round-6 review fixes: 114/114 oracle-backed green (+1
+    # rows-only by design) — evidence committed as REPLAY_r06.txt.
+    # Round-7 rotation: run scripts/window_freshness.py, which reads
+    # every CORRECTNESS_r*.json and prints per-query staleness plus
+    # the suggested next 50-slot prefix.
     return {
         # --- slots 1-9: round-4-changed, driver-unseen since ---
         "docs_dsir_weights": q_docs_dsir_weights,
