@@ -79,9 +79,11 @@ def assign_cells_arrow(
     from the HOF left-fold, so a vector whose two best cosines agree
     to the last ulp may pick the other cell. Ties at EQUAL score break
     to the lowest ``__cell`` in both paths (centroid rows are ordered,
-    argmax returns the first maximum). NULL (and zero-norm) embeddings
-    assign to the lowest cell — the same outcome the HOF path's
-    NULLS-LAST descending rank produces.
+    argmax returns the first maximum). NULL, zero-norm, and
+    wrong-length (including empty) embeddings assign to the lowest
+    cell — the same outcome the HOF path produces (its dot/norm HOFs
+    yield NULL or 0 cosines for malformed rows, and NULLS-LAST
+    descending rank then picks the lowest ``__cell``).
 
     EAGER: constructing this plan runs one bounded Spark job — the
     centroid frame (≤ the ivf_centroids 1M-row guard) is collected
@@ -91,6 +93,7 @@ def assign_cells_arrow(
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     # Preserve the caller's id dtype end-to-end (a cast to long would
     # silently NULL string ids and break the downstream pair filter).
@@ -101,6 +104,21 @@ def assign_cells_arrow(
     if not rows:
         return vec_df.sparkSession.createDataFrame([], out_schema)
     cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
+    # The output schema pins __cell to int (matching ivf_centroids'
+    # row_number); a caller-supplied centroid frame with wider ids
+    # would silently WRAP under astype(int32) below — fail loudly.
+    if cells.max() >= 2**31 or cells.min() < -(2**31):
+        raise ValueError(
+            "assign_cells_arrow: centroid __cell ids exceed int32 range "
+            f"([{cells.min()}, {cells.max()}]); renumber the centroid "
+            "frame (ivf_centroids uses a dense row_number)"
+        )
+    clens = {len(r["__cvec"]) for r in rows}
+    if len(clens) != 1 or 0 in clens:
+        raise ValueError(
+            "assign_cells_arrow: centroid vectors must share one non-zero "
+            f"dimension, got lengths {sorted(clens)}"
+        )
     C = np.array([r["__cvec"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     # zero-norm centroid → zero column → cosine 0 for every vector
@@ -118,20 +136,20 @@ def assign_cells_arrow(
             ids = rb.column(0)
             col = rb.column(1)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            # flatten() drops NULL list entries, so index valid rows
-            # explicitly — a NULL embedding must not shift its
-            # neighbours' reshape positions (or crash it).
-            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            # Mask NULL and wrong-length rows out of the matmul (they
+            # take the lowest cell, like the HOF path): flatten() drops
+            # NULL entries and a ragged row would shift its neighbours'
+            # reshape positions, so select the good rows first.
+            lens = np.nan_to_num(
+                pc.list_value_length(arr).to_numpy(zero_copy_only=False),
+                nan=-1.0,
+            )
+            valid = arr.is_valid().to_numpy(zero_copy_only=False) & (lens == dim)
             nv = int(valid.sum())
             best = np.full(n, lowest_cell, dtype=np.int64)
             if nv:
-                flat = arr.flatten().to_numpy(zero_copy_only=False)
-                if flat.size != nv * dim:
-                    raise ValueError(
-                        f"assign_cells_arrow: embeddings are ragged — "
-                        f"{flat.size} values over {nv} non-null rows, "
-                        f"centroid dim {dim}"
-                    )
+                good = arr.filter(pa.array(valid))
+                flat = good.flatten().to_numpy(zero_copy_only=False)
                 V = flat.reshape(nv, dim).astype(np.float64, copy=False)
                 vn = np.linalg.norm(V, axis=1, keepdims=True)
                 Vn = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
@@ -159,13 +177,14 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", co
             f"ivf_centroids: n_cells={n_cells} is past broadcast/global-"
             "window territory; IVF cell counts are typically ≤ 65536."
         )
-    # NULL vectors can't seed cells (a NULL centroid poisons every
-    # cosine downstream); corpora with null embeddings seed from the
-    # non-null subset. Testdata has no null vectors, so the oracle
-    # mirrors (`FROM embeddings ORDER BY vec_id LIMIT n`) unchanged.
-    c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
-        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0")
-    )
+    # NULL or EMPTY vectors can't seed cells (a NULL centroid poisons
+    # every cosine downstream; an empty one makes the centroid matrix
+    # ragged); such corpora seed from the well-formed subset. Testdata
+    # has neither, so the oracle mirrors
+    # (`FROM embeddings ORDER BY vec_id LIMIT n`) unchanged.
+    c = corpus.filter(
+        F.col(corpus_vec).isNotNull() & (F.size(F.col(corpus_vec)) > 0)
+    ).select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
     return (
         c.orderBy("vec_id")
         .limit(n_cells)

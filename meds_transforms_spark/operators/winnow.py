@@ -182,6 +182,7 @@ def winnow_overlap(
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared))
         )
+    id_type = joined.select("id_a").schema[0].dataType
     # Cast to long BEFORE shifting: Spark's shiftleft follows Java
     # shift-masking, so shiftleft(int32_col, 32) is a silent no-op and
     # the key would degenerate to id_a|id_b, merging unrelated pairs.
@@ -205,8 +206,12 @@ def winnow_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
         .select(
-            F.shiftright("__pk", 32).alias("id_a"),
-            F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+            # Cast the unpacked halves back to the INPUT id dtype so the
+            # two modes are schema-neutral drop-ins (safe: the in-plan
+            # guard proved 0 <= id < 2^31, so an int32 input downcasts
+            # losslessly).
+            F.shiftright("__pk", 32).cast(id_type).alias("id_a"),
+            F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_type).alias("id_b"),
             "n_shared",
         )
     )

@@ -443,10 +443,20 @@ def test_assign_cells_arrow_null_embeddings(spark):
     from pyspark.sql import functions as F
 
     vecs = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, None), (5, [0.9, 0.1])],
+        [
+            (1, [1.0, 0.0]),
+            (2, None),
+            (3, [0.0, 1.0]),
+            (4, None),
+            (5, [0.9, 0.1]),
+            (6, []),  # empty: can't seed a cell, can't matmul
+            (7, [1.0, 2.0, 3.0]),  # wrong dim: HOF dot is NULL
+        ],
         "vec_id long, embedding array<double>",
     )
     cents = ivf_centroids(vecs, 2)
+    # empty/NULL vectors must not seed centroids
+    assert {r.vec_id for r in vecs.join(cents, vecs.embedding == cents["__cvec"]).collect()} <= {1, 3}
     arrow = {
         r.vec_id: r["__cell"] for r in assign_cells_arrow(vecs, cents).collect()
     }
@@ -459,7 +469,25 @@ def test_assign_cells_arrow_null_embeddings(spark):
     )
     hof = {r.vec_id: r["__cell"] for r in hof_df.collect()}
     assert arrow == hof
-    assert arrow[2] == arrow[4] == min(r["__cell"] for r in cents.collect())
+    low = min(r["__cell"] for r in cents.collect())
+    assert arrow[2] == arrow[4] == arrow[6] == arrow[7] == low
+
+
+def test_assign_cells_arrow_rejects_wide_cell_ids(spark):
+    """A caller-supplied centroid frame with __cell ids past int32
+    must fail loudly — astype(int32) would silently wrap them."""
+    import pytest
+
+    from meds_transforms_spark.operators.ivf import assign_cells_arrow
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(2**31, [1.0, 0.0], 1.0)], "__cell long, __cvec array<double>, __cnorm double"
+    )
+    with pytest.raises(ValueError, match="int32"):
+        assign_cells_arrow(vecs, cents)
 
 
 def test_semantic_dedup_forwards_assign_to_refine(spark):

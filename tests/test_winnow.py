@@ -205,12 +205,12 @@ def test_winnow_overlap_packed_int32_ids(spark):
         "doc_id", F.col("doc_id").cast("int")
     )
     kw = dict(k=10, w=8, min_shared=2, max_df=100)
-    packed = {
-        (int(r.id_a), int(r.id_b), r.n_shared)
-        for r in winnow_overlap(docs, packed_ids=True, **kw).collect()
-    }
-    unpacked = {
-        (int(r.id_a), int(r.id_b), r.n_shared)
-        for r in winnow_overlap(docs, packed_ids=False, **kw).collect()
-    }
+    p_df = winnow_overlap(docs, packed_ids=True, **kw)
+    u_df = winnow_overlap(docs, packed_ids=False, **kw)
+    # the flag is a drop-in: same schema (input id dtype) both modes
+    assert p_df.dtypes == u_df.dtypes == [
+        ("id_a", "int"), ("id_b", "int"), ("n_shared", "bigint"),
+    ]
+    packed = {(r.id_a, r.id_b, r.n_shared) for r in p_df.collect()}
+    unpacked = {(r.id_a, r.id_b, r.n_shared) for r in u_df.collect()}
     assert packed == unpacked and packed
