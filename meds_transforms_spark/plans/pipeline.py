@@ -59,9 +59,12 @@ class StageSpec:
         if isinstance(item, str):
             return cls(name=item)
         if isinstance(item, dict):
-            if len(item) == 1:
+            if len(item) == 1 and not ("stage" in item or "name" in item):
                 name, cfg = next(iter(item.items()))
             else:
+                # `- stage: foo` / `- name: foo` (with or without extra
+                # keys) — without this carve-out the single-key branch
+                # would read name='stage', cfg='foo' and crash.
                 name = item["stage"] if "stage" in item else item["name"]
                 cfg = {k: v for k, v in item.items() if k not in ("stage", "name")}
             cfg = dict(cfg or {})

@@ -32,24 +32,41 @@ import time
 from pyspark.sql import SparkSession
 
 
+def _walk_stats(path: str) -> dict:
+    """ONE footer/listing pass: totals plus the per-leaf-directory row
+    map (relative dir chain → rows). Every consumer shares this single
+    walk — at 10k tiny files the footer reads ARE the driver-side cost,
+    so the module never walks a tree twice for two views of it."""
+    import pyarrow.parquet as pq
+
+    files = rows = nbytes = 0
+    leaf_rows: dict[str, int] = {}
+    root_dir = path.rstrip("/")
+    for root, _dirs, fnames in os.walk(root_dir):
+        d_rows = 0
+        for fname in fnames:
+            if not fname.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fname)
+            files += 1
+            n = pq.ParquetFile(fp).metadata.num_rows
+            d_rows += n
+            nbytes += os.path.getsize(fp)
+        rows += d_rows
+        if d_rows and root != root_dir:
+            chain = os.path.relpath(root, root_dir)
+            leaf_rows[chain] = leaf_rows.get(chain, 0) + d_rows
+    return {"files": files, "rows": rows, "bytes": nbytes, "leaf_rows": leaf_rows}
+
+
 def dir_stats(path: str) -> dict:
     """(files, rows, bytes) from footers/listing — no Spark job.
 
     Walks subdirectories, so hive-partitioned layouts (e.g.
     ``partitionBy("split")`` or lang/quality_bucket corpus shards)
     report their true totals instead of a silent 0."""
-    import pyarrow.parquet as pq
-
-    files = rows = nbytes = 0
-    for root, _dirs, fnames in os.walk(path):
-        for fname in fnames:
-            if not fname.endswith(".parquet"):
-                continue
-            fp = os.path.join(root, fname)
-            files += 1
-            rows += pq.ParquetFile(fp).metadata.num_rows
-            nbytes += os.path.getsize(fp)
-    return {"files": files, "rows": rows, "bytes": nbytes}
+    s = _walk_stats(path)
+    return {"files": s["files"], "rows": s["rows"], "bytes": s["bytes"]}
 
 
 #: ``._compact_tmp`` younger than this is assumed in-flight and left
@@ -162,7 +179,8 @@ def compact_parquet(
             "compacted": False,
             "skipped": "tmp_in_flight",
         }
-    before = dir_stats(path)
+    stats = _walk_stats(path)
+    before = {"files": stats["files"], "rows": stats["rows"], "bytes": stats["bytes"]}
     n_target = max(1, math.ceil(before["bytes"] / (target_mb * 1024 * 1024)))
     if before["files"] <= max(min_files, n_target):
         return {"before": before, "after": before, "compacted": False}
@@ -188,7 +206,7 @@ def compact_parquet(
         # types cannot fall out of an equi-join.
         from pyspark.sql import functions as F
 
-        value_rows = _partition_value_rows(path)
+        value_rows = _partition_value_rows(stats["leaf_rows"])
         total = sum(value_rows.values()) or 1
         # input_file_name() is a URI (file:/..., percent-encoded) while
         # the chain is the raw on-disk dir name from os.walk — decode
@@ -206,7 +224,21 @@ def compact_parquet(
             splits_col = F.when(
                 fname.contains("/" + chain + "/"), F.lit(n_splits)
             ).otherwise(splits_col)
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), splits_col)
+        # Salt source: hash the ORDERABLE/HASHABLE columns only — a
+        # MapType column makes xxhash64 fail analysis, and hashing a
+        # wide text/blob column per row buys no extra dispersion worth
+        # its cost for a salt in [0, n_splits). Fall back to the input
+        # partition id (varies within a hot value, deterministic given
+        # the input layout) if nothing is hashable.
+        from pyspark.sql.types import MapType
+
+        hashable = [
+            F.col(c)
+            for c in df.columns
+            if not isinstance(df.schema[c].dataType, MapType)
+        ]
+        entropy = F.xxhash64(*hashable) if hashable else F.spark_partition_id()
+        salt = F.pmod(entropy, splits_col)
         out = (
             df.withColumn("__salt", salt)
             .repartition(n_target, *pcols, "__salt")
@@ -239,26 +271,11 @@ def compact_parquet(
     return {"before": before, "after": after, "compacted": True}
 
 
-def _partition_value_rows(path: str) -> dict[str, int]:
-    """Row count per hive partition value, straight from parquet
-    footers: maps the relative ``name=value[/name=value…]`` directory
-    chain of every leaf that holds parquet files to its row total.
-    Bounded by partition cardinality; zero Spark jobs."""
-    import pyarrow.parquet as pq
-
-    out: dict[str, int] = {}
-    root = path.rstrip("/")
-    for d, _dirs, fnames in os.walk(root):
-        rows = sum(
-            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-            for f in fnames
-            if f.endswith(".parquet")
-        )
-        if rows and d != root:
-            chain = os.path.relpath(d, root)
-            if "=" in chain:
-                out[chain] = out.get(chain, 0) + rows
-    return out
+def _partition_value_rows(leaf_rows: dict[str, int]) -> dict[str, int]:
+    """Row count per hive partition value from a :func:`_walk_stats`
+    leaf map: keeps the ``name=value[/name=value…]`` chains. Bounded by
+    partition cardinality; zero Spark jobs, zero extra walks."""
+    return {chain: rows for chain, rows in leaf_rows.items() if "=" in chain}
 
 
 def _partition_cols(path: str) -> list[str]:

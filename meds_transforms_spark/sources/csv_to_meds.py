@@ -68,6 +68,11 @@ def wide_to_meds(
             list(static_cols),
             CODE,
             "__val",
+        ).filter(
+            # A NULL static value would null-propagate through the
+            # concat into a NULL code — a phantom event. No value means
+            # no static fact to record.
+            F.col("__val").isNotNull()
         ).select(
             SUBJECT_ID,
             F.lit(None).cast("timestamp").alias(TIME),

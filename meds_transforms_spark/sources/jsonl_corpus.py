@@ -87,8 +87,17 @@ def read_jsonl_corpus(
 
 
 def ingest_report(quarantine: DataFrame, sample: int = 5) -> dict:
-    """Per-drop audit: malformed-line count + first samples. The two
-    driver actions run over the quarantine frame only."""
-    n = quarantine.count()
-    examples = [r.raw_line[:200] for r in quarantine.limit(sample).collect()]
+    """Per-drop audit: malformed-line count + first samples.
+
+    quarantine is a filter over the raw text scan, so unpinned the
+    count() and the sample collect() would each re-read and re-parse
+    the entire drop; pinning parses once and reuses the (truncated)
+    quarantined lines. NOT a collect_list aggregate: an all-corrupt
+    drop would buffer every line in one agg state, where checkpoint
+    blocks spill to executor disk."""
+    pinned = quarantine.select(
+        F.substring("raw_line", 1, 200).alias("raw_line")
+    ).localCheckpoint(eager=False)
+    n = pinned.count()
+    examples = [r.raw_line for r in pinned.limit(int(sample)).collect()]
     return {"n_corrupt": n, "samples": examples}

@@ -212,14 +212,25 @@ def attach_order_key(df: DataFrame) -> DataFrame:
     The reference's stable-order guarantee (§2.6 O1/O2: Polars
     maintain_order sorts + row-index round-trips through joins) has no
     Spark primitive. We derive ``__order`` once at ingest as the row
-    number within ``(subject_id)`` ordered by ``(time NULLS FIRST)`` —
-    ties keep whatever deterministic secondary keys exist. Stages then
-    sort by ``(subject_id, time, __order)``, which is fully deterministic
-    and shuffle-aligned with the subject partitioning.
+    number within ``(subject_id)`` ordered by ``(time NULLS FIRST)``
+    with every remaining orderable column as a tiebreak — time alone
+    would leave tied rows (notably a subject's null-time static block)
+    numbered by shuffle-arrival order, which is racy across runs.
+    With the full-row tiebreak the key is deterministic up to exact
+    duplicate rows (interchangeable by definition). Stages then sort by
+    ``(subject_id, time, __order)``, which is fully deterministic and
+    shuffle-aligned with the subject partitioning.
     """
     from pyspark.sql import Window as W
+    from pyspark.sql.types import MapType
 
-    w = W.partitionBy(SUBJECT_ID).orderBy(F.col(TIME).asc_nulls_first())
+    tiebreak = [
+        F.col(c).asc_nulls_first()
+        for c in df.columns
+        if c not in (SUBJECT_ID, TIME)
+        and not isinstance(df.schema[c].dataType, MapType)  # maps unorderable
+    ]
+    w = W.partitionBy(SUBJECT_ID).orderBy(F.col(TIME).asc_nulls_first(), *tiebreak)
     return df.withColumn(ORDER_KEY, F.row_number().over(w))
 
 
@@ -272,6 +283,10 @@ def merge_meds_datasets(
     merged = datas[0]
     for d in datas[1:]:
         merged = merged.unionByName(d, allowMissingColumns=True)
+    # Three consumers follow (overlap check, data write, metadata
+    # refit) — pin so the N-way source union executes once instead of
+    # once per consumer.
+    merged = merged.localCheckpoint(eager=False)
 
     overlap = (
         merged.groupBy(SUBJECT_ID)
@@ -292,8 +307,18 @@ def merge_meds_datasets(
     out = MEDSDataset(spark, out_root)
     out.write_data(merged)
 
-    splits = [s.subject_splits() for s in sources]
-    splits = [s for s in splits if s is not None]
+    # Per-source split assignments: the subject_splits.parquet file
+    # when present, else DERIVED from a `split` data column — a merge
+    # may mix both conventions, and dropping the column-carrying
+    # sources' subjects from the split map (and the train refit) would
+    # silently skew the refit statistics.
+    splits = []
+    for s, d in zip(sources, datas):
+        sp = s.subject_splits()
+        if sp is None and "split" in d.columns:
+            sp = d.select(SUBJECT_ID, "split").distinct()
+        if sp is not None:
+            splits.append(sp)
     if splits:
         all_splits = splits[0]
         for s in splits[1:]:
@@ -303,6 +328,10 @@ def merge_meds_datasets(
     if refit_metadata:
         train = merged
         if splits:
+            # Sources with NO split information (no file, no column)
+            # contribute no train rows to the refit — deliberate: their
+            # membership is unknown, and guessing would contaminate the
+            # train statistics.
             keep = all_splits.filter(F.col("split") == TRAIN_SPLIT).select(SUBJECT_ID)
             train = merged.join(F.broadcast(keep), SUBJECT_ID, "left_semi")
         elif "split" in merged.columns:
@@ -318,7 +347,7 @@ def merge_meds_datasets(
     return out
 
 
-def compact_parquet(
+def compact_parquet_copy(
     spark: SparkSession,
     src: str,
     dst: str,
@@ -326,7 +355,14 @@ def compact_parquet(
     sort_within_by: Iterable[str] | None = None,
     mode: str = "overwrite",
 ) -> int:
-    """Coalesce a small-file parquet directory into ~target-sized files.
+    """Coalesce a small-file parquet directory into ~target-sized files
+    at a NEW location (src → dst copy).
+
+    For managed IN-PLACE compaction — write-audit-publish swap, crash
+    recovery journal, hive-partition-aware skew salting — use
+    :func:`meds_transforms_spark.sources.compaction.compact_parquet`
+    (this simpler copy variant deliberately has a distinct name so the
+    two cannot be confused).
 
     The small-files problem is the dominant operational tax on long-
     lived datasets (every file costs a task + open + footer read; a

@@ -66,7 +66,11 @@ def sessionize_stream(
 
         times: list[int] = []
         for pdf in batches:
-            ts = pd.to_datetime(pdf[time_col]).astype("int64") // 1000  # ns→µs
+            ts = pd.to_datetime(pdf[time_col])
+            # NaT.astype(int64) is int64-min, which would seed a bogus
+            # 1677-09-21 session (or silently inflate n_events) — an
+            # event with no time has no place on a session timeline.
+            ts = ts[ts.notna()].astype("int64") // 1000  # ns→µs
             times.extend(int(t) for t in ts)
         times.sort()
         if not times:

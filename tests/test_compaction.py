@@ -305,3 +305,31 @@ def test_rollback_drops_dead_writers_tmp(spark, tmp_path):
     report = compact_parquet(spark, path, target_mb=256)
     assert report["compacted"]
     assert spark.read.parquet(path).count() == 5_000
+
+
+def test_compact_hive_partitioned_with_map_column(spark, tmp_path):
+    """Regression: the skew salt hashed EVERY column with xxhash64,
+    which fails analysis on MapType columns."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.sources.compaction import compact_parquet
+
+    path = str(tmp_path / "mapped")
+    (
+        spark.range(4_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("lang"),
+            F.create_map(F.lit("k"), F.col("id").cast("string")).alias("props"),
+        )
+        .repartition(12)
+        .write.partitionBy("lang")
+        .parquet(path)
+    )
+    report = compact_parquet(spark, path, target_mb=1024)
+    assert report["compacted"]
+    got = spark.read.parquet(path)
+    assert got.count() == 4_000
+    assert dict(got.dtypes)["props"].startswith("map<")

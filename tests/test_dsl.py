@@ -68,3 +68,18 @@ def test_col_expr_literal_and_bare_column(df):
     expr2, cols2 = parse_col_expr({"literal": 7})
     assert cols2 == set()
     assert _vals(df, expr2) == [7, 7, 7]
+
+
+def test_stage_spec_parses_stage_and_name_keys():
+    """Regression: `- stage: foo` (a single-key dict using the
+    documented 'stage'/'name' spelling) hit the generic single-key
+    branch and crashed on dict('foo')."""
+    from meds_transforms_spark.plans.pipeline import StageSpec
+
+    assert StageSpec.parse({"stage": "dedup_events"}).name == "dedup_events"
+    assert StageSpec.parse({"name": "dedup_events"}).name == "dedup_events"
+    s = StageSpec.parse({"stage": "drop_regex", "regex": "^X"})
+    assert s.name == "drop_regex" and s.config == {"regex": "^X"}
+    # the generic single-key form still works
+    s2 = StageSpec.parse({"drop_regex": {"regex": "^Y"}})
+    assert s2.name == "drop_regex" and s2.config == {"regex": "^Y"}

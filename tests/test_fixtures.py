@@ -44,3 +44,23 @@ def test_csv_to_meds(spark, tmp_path):
     assert rows[(1, "eye//BROWN")].time is None
     assert (2, "temp") not in rows  # null measurement dropped
     assert rows[(2, "hr")].time is not None
+
+
+def test_wide_to_meds_null_static_dropped(spark):
+    """Regression: a NULL static value null-propagated through the
+    CODE//VALUE concat into a NULL-code phantom row that survived the
+    final filter (its TIME is null)."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.sources.csv_to_meds import wide_to_meds
+
+    wide = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0, "F"), (2, "2024-01-01 00:00:00", 8.0, None)],
+        "sid long, t string, hr double, sex string",
+    )
+    out = wide_to_meds(
+        wide, "sid", "t", value_cols=["hr"], static_cols=["sex"], code_prefix=""
+    )
+    assert out.filter(F.col("code").isNull()).count() == 0
+    statics = {r.subject_id: r.code for r in out.filter("time is null").collect()}
+    assert statics == {1: "sex//F"}

@@ -276,7 +276,7 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from meds_transforms_spark.sources.meds_dataset import compact_parquet
+    from meds_transforms_spark.sources.meds_dataset import compact_parquet_copy
 
     src = str(tmp_path / "small_files")
     spark.range(10_000).select(
@@ -285,7 +285,7 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert len(glob.glob(f"{src}/*.parquet")) == 40
 
     dst = str(tmp_path / "compacted")
-    n = compact_parquet(
+    n = compact_parquet_copy(
         spark, src, dst, target_file_bytes=10**9, sort_within_by=["k", "id"]
     )
     assert n == 1
@@ -436,3 +436,58 @@ def test_write_shards_json_max_subjects_guard(spark, tmp_path):
     # under the cap the manifest writes as before
     out = ds.write_shards_json(splits, n_subjects_per_shard=100, max_subjects=1000)
     assert sum(len(v) for v in out.values()) == 10
+
+
+def test_merge_mixed_split_conventions(spark, meds_df, tmp_path):
+    """Regression: a merge mixing a subject_splits.parquet source with a
+    split-as-data-column source silently dropped the latter's subjects
+    from the split map AND from the train refit."""
+    from meds_transforms_spark.sources.meds_dataset import (
+        MEDSDataset,
+        merge_meds_datasets,
+    )
+
+    a_dir, b_dir = str(tmp_path / "mx_a"), str(tmp_path / "mx_b")
+    a = MEDSDataset(spark, a_dir)
+    a.write_data(meds_df)
+    a.write_subject_splits(
+        spark.createDataFrame(
+            [(1, "train"), (2, "tuning"), (3, "train")],
+            "subject_id long, split string",
+        )
+    )
+    a.write_dataset_metadata({"dataset_name": "mx_a"})
+
+    # site b carries split as a DATA column, no subject_splits file
+    shifted = meds_df.withColumn("subject_id", F.col("subject_id") + 100).withColumn(
+        "split",
+        F.when(F.col("subject_id") <= 102, F.lit("train")).otherwise(F.lit("held_out")),
+    )
+    b = MEDSDataset(spark, b_dir)
+    b.write_data(shifted)
+    b.write_dataset_metadata({"dataset_name": "mx_b"})
+    assert b.subject_splits() is None
+
+    out = merge_meds_datasets(spark, [a_dir, b_dir], str(tmp_path / "mx_merged"))
+    splits = {(r.subject_id, r.split) for r in out.subject_splits().collect()}
+    assert (101, "train") in splits and (103, "held_out") in splits
+    assert len(splits) == 6
+    counts = {r.code: r["code/n_subjects"] for r in out.code_metadata().collect()}
+    # train subjects: {1,3} from a + {101,102} from b — all observe HR
+    assert counts["HR"] == 4
+
+
+def test_attach_order_key_deterministic_ties(spark):
+    """Regression: __order for time-tied rows (a subject's null-time
+    static block) followed shuffle-arrival order; it must follow the
+    full-row tiebreak regardless of input order or partitioning."""
+    from meds_transforms_spark.sources.meds_dataset import attach_order_key
+
+    rows = [(1, None, c, None, None) for c in ("Z", "A", "M", "B", "Q")]
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    fwd = spark.createDataFrame(rows, MEDS_DATA_SCHEMA).repartition(3)
+    rev = spark.createDataFrame(rows[::-1], MEDS_DATA_SCHEMA).repartition(7)
+    got_f = {r.code: r["__order"] for r in attach_order_key(fwd).collect()}
+    got_r = {r.code: r["__order"] for r in attach_order_key(rev).collect()}
+    assert got_f == got_r == {"A": 1, "B": 2, "M": 3, "Q": 4, "Z": 5}
