@@ -274,7 +274,13 @@ def q_meds_bin_numeric(spark, sf_dir):
     # Double endpoints here (data is double; the oracle compares in
     # double) — the operator's f32 endpoints are a MEDS-parity detail.
     q = F.col("values/quantiles")
-    bins = meta.select(
+    # NULL-edge parity with the oracle (latent until testdata carries
+    # NULL values): a code with NO non-null values has no quantiles —
+    # its rows drop (oracle INNER JOINs the quantile CTE); a NULL
+    # numeric_value bins to NULL (oracle comparison arithmetic), never
+    # to bin 0 (F.filter treats a NULL predicate as false → size 0) or
+    # bin -1 (F.size(NULL) under non-ANSI sizeOfNull).
+    bins = meta.filter(q["values/quantile/0.25"].isNotNull()).select(
         "code",
         F.array_sort(
             F.array(
@@ -282,8 +288,11 @@ def q_meds_bin_numeric(spark, sf_dir):
             )
         ).alias("__endpoints"),
     )
-    joined = meds.join(F.broadcast(bins), "code", "left")
-    idx = F.size(F.filter(F.col("__endpoints"), lambda e: e <= F.col("numeric_value")))
+    joined = meds.join(F.broadcast(bins), "code")
+    idx = F.when(
+        F.col("numeric_value").isNotNull(),
+        F.size(F.filter(F.col("__endpoints"), lambda e: e <= F.col("numeric_value"))),
+    )
     return (
         joined.withColumn("bin_idx", idx)
         .groupBy("code", "bin_idx")
@@ -1576,7 +1585,9 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
-# --- no-oracle (rows-only) entries ------------------------------------
+# --- later additions (all oracle-backed; the header once said
+# --- "no-oracle" but every entry below has since gained an oracle_sql
+# --- twin — the ONLY rows-only query is meds_agg_quantiles_approx) ----
 
 def q_docs_tfidf(spark, sf_dir):
     """Smoothed TF-IDF per (doc, token) — two hash aggs + one join;
@@ -1790,7 +1801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (sketch internals aren't SQL-replayable;
         # rank-error bound pinned in tests/test_approx_quantiles.py)
         "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
-        # --- slots 21-50: oldest driver rows (latest = r01) ---
+        # --- slots 20-50: oldest driver rows (latest = r01) ---
+        # (9 + 10 entries precede, so this group starts at slot 20 and
+        # its last member — docs_exact_dedup below, also r01-stale —
+        # lands at slot 50, INSIDE the driver window.)
         "meds_occlude_outliers": q_meds_occlude_outliers,
         "meds_normalization": q_meds_normalization,
         "meds_fit_vocab": q_meds_fit_vocab,
@@ -1821,9 +1835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
+        "docs_exact_dedup": q_docs_exact_dedup,
         # --- slots 51+: displaced r01-cohort (lead round-7 rotation),
         # --- then remaining <=r02-latest ---
-        "docs_exact_dedup": q_docs_exact_dedup,
         "docs_lang_id": q_docs_lang_id,
         "docs_top_tokens": q_docs_top_tokens,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
@@ -1992,6 +2006,54 @@ def _gopher_rules_ctes(source: str) -> str:
             )"""
 
 
+def _dsir_weight_ctes(source: str) -> str:
+    """CTE chain ``toks…dsw`` computing per-doc DSIR log-weights over
+    ``source`` (a table or CTE name) — the SQL mirror of
+    operators/dsir (md5_60 features, bucket hashing, add-1 smoothed
+    log-ratio). Shared by docs_dsir_weights and the curation e2e
+    composition so a model tweak cannot silently drift between them.
+    ``dsw`` carries (doc_id, wgt)."""
+    return rf"""toks AS (
+              SELECT doc_id, source IN ('src0','src1','src2') AS t,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x != '') AS l
+              FROM {source}
+            ), feats AS (
+              SELECT doc_id, t,
+                     unnest(list_concat(l,
+                       list_filter(
+                         list_transform(list_zip(l, l[2:]),
+                           p -> CASE WHEN p[2] IS NULL THEN NULL
+                                     ELSE p[1] || ' ' || p[2] END),
+                         g -> g IS NOT NULL))) AS f
+              FROM toks
+            ), fb AS (
+              SELECT doc_id, t,
+                     CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 8192 AS b
+              FROM feats
+            ), model AS (
+              SELECT b, count(*) AS n_raw,
+                     sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
+              FROM fb GROUP BY b
+            ), tot AS (
+              SELECT CAST(sum(n_raw) AS DOUBLE) AS traw,
+                     CAST(sum(n_tgt) AS DOUBLE) AS ttgt
+              FROM model
+            ), lr AS (
+              SELECT b, ln((n_tgt + 1) / (ttgt + 8192))
+                        - ln((n_raw + 1) / (traw + 8192)) AS lr
+              FROM model, tot
+            ), per AS (
+              SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b
+            ), dsw AS (
+              SELECT src.doc_id, round(coalesce(agg.w, 0.0), 6) + 0.0 AS wgt
+              FROM {source} src LEFT JOIN (
+                SELECT per.doc_id, sum(per.n * lr.lr) AS w
+                FROM per JOIN lr USING (b) GROUP BY per.doc_id
+              ) agg USING (doc_id)
+            )"""
+
+
 def _winnow_fps_sql(source: str, k: int, w: int) -> str:
     """Subquery yielding the winnowed ``(doc_id, fp)`` set of
     ``source`` — the SQL mirror of operators/winnow.
@@ -2054,19 +2116,6 @@ def oracle_sql() -> dict[str, str]:
             FROM {meds} meds GROUP BY ROLLUP(code)
         """,
         "meds_agg_quantiles": f"""
-            WITH ranked AS (
-              SELECT code, numeric_value,
-                     row_number() OVER (PARTITION BY code ORDER BY numeric_value) AS rn,
-                     count(numeric_value) OVER (PARTITION BY code) AS n
-              FROM {meds} meds WHERE numeric_value IS NOT NULL
-            )
-            SELECT code,
-                   max(CASE WHEN rn = CAST(round(0.25 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q25,
-                   max(CASE WHEN rn = CAST(round(0.5 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q50,
-                   max(CASE WHEN rn = CAST(round(0.75 * (n-1)) AS BIGINT) + 1 THEN numeric_value END) AS q75
-            FROM ranked GROUP BY code
-        """,
-        "meds_quantiles_distributed": f"""
             WITH ranked AS (
               SELECT code, numeric_value,
                      row_number() OVER (PARTITION BY code ORDER BY numeric_value) AS rn,
@@ -2971,45 +3020,9 @@ def oracle_sql() -> dict[str, str]:
                      AND rule_alpha_words AND rule_stopwords AS gopher_pass
             FROM r
         """,
-        "docs_dsir_weights": r"""
-            WITH toks AS (
-              SELECT doc_id, source IN ('src0','src1','src2') AS t,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                 x -> x != '') AS l
-              FROM documents
-            ), feats AS (
-              SELECT doc_id, t,
-                     unnest(list_concat(l,
-                       list_filter(
-                         list_transform(list_zip(l, l[2:]),
-                           p -> CASE WHEN p[2] IS NULL THEN NULL
-                                     ELSE p[1] || ' ' || p[2] END),
-                         g -> g IS NOT NULL))) AS f
-              FROM toks
-            ), fb AS (
-              SELECT doc_id, t,
-                     CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 8192 AS b
-              FROM feats
-            ), model AS (
-              SELECT b, count(*) AS n_raw,
-                     sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
-              FROM fb GROUP BY b
-            ), tot AS (
-              SELECT CAST(sum(n_raw) AS DOUBLE) AS traw,
-                     CAST(sum(n_tgt) AS DOUBLE) AS ttgt
-              FROM model
-            ), lr AS (
-              SELECT b, ln((n_tgt + 1) / (ttgt + 8192))
-                        - ln((n_raw + 1) / (traw + 8192)) AS lr
-              FROM model, tot
-            ), per AS (
-              SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b
-            ), w AS (
-              SELECT per.doc_id, sum(per.n * lr.lr) AS w
-              FROM per JOIN lr USING (b) GROUP BY per.doc_id
-            )
-            SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) + 0.0 AS dsir_logweight
-            FROM documents d LEFT JOIN w USING (doc_id)
+        "docs_dsir_weights": f"""
+            WITH {_dsir_weight_ctes("documents")}
+            SELECT doc_id, wgt AS dsir_logweight FROM dsw
         """,
         "events_zorder": r"""
             WITH r AS (
@@ -3145,47 +3158,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS stable_id
             FROM documents
         """,
-        "docs_curation_e2e": r"""
-            WITH gb AS (
-              SELECT doc_id,
-                     text IS NOT NULL AS nn,
-                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
-                                 x -> x != '') AS toks,
-                     string_split(coalesce(text, ''), chr(10)) AS lines,
-                     len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.')) AS n_sym
-              FROM documents
-            ), gm AS (
-              SELECT doc_id, nn, toks, lines, n_sym,
-                     len(toks) AS n_words,
-                     greatest(len(lines), 1) AS n_lines,
-                     CASE WHEN len(toks) > 0
-                          THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-                               / len(toks)
-                          ELSE 0.0 END AS mean_len
-              FROM gb
-            ), gp AS (
-              SELECT doc_id FROM gm
-              WHERE nn AND n_words >= 40 AND n_words <= 100000
-                AND mean_len >= 3.0 AND mean_len <= 10.0
-                AND (CASE WHEN n_words > 0
-                          THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
-                          ELSE FALSE END)
-                AND CAST(len(list_filter(lines,
-                      l -> regexp_matches(l, '^\s*[•*-]\s'))) AS DOUBLE) / n_lines < 0.9
-                AND CAST(len(list_filter(lines,
-                      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / n_lines <= 0.3
-                AND (CASE WHEN n_words > 0
-                          THEN CAST(len(list_filter(toks,
-                                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-                                 / n_words >= 0.8
-                          ELSE FALSE END)
-                AND len(list_intersect(list_transform(toks, t -> lower(t)),
-                        ['the','be','to','of','and','that','have','with'])) >= 1
+        "docs_curation_e2e": f"""
+            WITH {_gopher_rules_ctes("documents")}, gp AS (
+              SELECT doc_id FROM r
+              WHERE rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                AND rule_bullet_lines AND rule_ellipsis_lines
+                AND rule_alpha_words AND rule_stopwords
             ), kept AS (
               SELECT d.* FROM documents d JOIN gp USING (doc_id)
             ), nrm AS (
               SELECT doc_id,
-                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
               FROM kept
             ), dd AS (
               SELECT k.* FROM kept k JOIN (
@@ -3193,49 +3176,11 @@ def oracle_sql() -> dict[str, str]:
                   SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS keeper FROM nrm
                 ) WHERE doc_id = keeper
               ) s USING (doc_id)
-            ), dtoks AS (
-              SELECT doc_id, source IN ('src0','src1','src2') AS t,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                 x -> x != '') AS l
-              FROM dd
-            ), feats AS (
-              SELECT doc_id, t,
-                     unnest(list_concat(l,
-                       list_filter(
-                         list_transform(list_zip(l, l[2:]),
-                           p -> CASE WHEN p[2] IS NULL THEN NULL
-                                     ELSE p[1] || ' ' || p[2] END),
-                         g -> g IS NOT NULL))) AS f
-              FROM dtoks
-            ), fb AS (
-              SELECT doc_id, t,
-                     CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 8192 AS b
-              FROM feats
-            ), model AS (
-              SELECT b, count(*) AS n_raw,
-                     sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
-              FROM fb GROUP BY b
-            ), tot AS (
-              SELECT CAST(sum(n_raw) AS DOUBLE) AS traw,
-                     CAST(sum(n_tgt) AS DOUBLE) AS ttgt
-              FROM model
-            ), lr AS (
-              SELECT b, ln((n_tgt + 1) / (ttgt + 8192))
-                        - ln((n_raw + 1) / (traw + 8192)) AS lr
-              FROM model, tot
-            ), per AS (
-              SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b
-            ), w AS (
-              SELECT d.doc_id, round(coalesce(s.w, 0.0), 6) + 0.0 AS wgt
-              FROM dd d LEFT JOIN (
-                SELECT per.doc_id, sum(per.n * lr.lr) AS w
-                FROM per JOIN lr USING (b) GROUP BY per.doc_id
-              ) s USING (doc_id)
-            ), sel AS (
-              SELECT doc_id FROM w ORDER BY wgt DESC, doc_id LIMIT 100
+            ), {_dsir_weight_ctes("dd")}, sel AS (
+              SELECT doc_id FROM dsw ORDER BY wgt DESC, doc_id LIMIT 100
             ), tok AS (
               SELECT s.doc_id,
-                     CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                     CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
                                           x -> x <> '')) AS BIGINT) AS n_tokens
               FROM sel s JOIN documents d USING (doc_id)
             ), o AS (
@@ -3785,18 +3730,6 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
             QUALIFY rank <= 10
         """,
-        "emb_topk_vectorized": """
-            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                   round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                                CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_r,
-                   CAST(row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                                     CAST(q.embedding AS DOUBLE[])) DESC,
-                              c.vec_id) AS INT) AS rank
-            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
-            QUALIFY rank <= 10
-        """,
         "emb_label_stats": """
             SELECT label, count(*) AS n_vecs,
                    CAST(sum(CAST(round(sqrt(list_sum(list_transform(
@@ -3821,4 +3754,11 @@ def oracle_sql() -> dict[str, str]:
     # The bucketed decomposition reproduces the plain window's frames
     # exactly (boundary context rows), so it shares the oracle too.
     d["events_anomaly_bucketed"] = d["events_anomaly"]
+    # Same-semantics twins share ONE oracle string (a duplicated copy
+    # would silently drift when the original is fixed): the distributed
+    # cumulative-window quantiles compute the same nearest-rank values
+    # as the sorted-array implementation, and the Arrow/BLAS top-k is
+    # the same exact top-k as the expression path.
+    d["meds_quantiles_distributed"] = d["meds_agg_quantiles"]
+    d["emb_topk_vectorized"] = d["emb_topk_cosine"]
     return d

@@ -107,14 +107,23 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             eq = (sb == ob) | (np.isnan(sv.values) & np.isnan(ov.values))
             if not eq.all():
                 bad = (~eq).sum()
-                with np.errstate(invalid="ignore"):
-                    maxdiff = np.nanmax(np.abs(sv.values - ov.values))
+                diffs = np.abs(sv.values[~eq] - ov.values[~eq])
+                # NaN-vs-value disagreements make the numeric diff NaN;
+                # count them separately so the headline diagnostic
+                # doesn't read 0.0 while the real defect is a NaN
+                # pattern mismatch.
+                n_nanpat = int(
+                    (np.isnan(sv.values[~eq]) != np.isnan(ov.values[~eq])).sum()
+                )
+                finite = diffs[~np.isnan(diffs)]
+                maxdiff = float(finite.max()) if finite.size else 0.0
                 nz = int(
                     (np.signbit(sv.values[~eq]) != np.signbit(ov.values[~eq])).sum()
                 )
                 problems.append(
                     f"col {c}: {bad} bitwise mismatches (max abs diff "
-                    f"{maxdiff:.3e}; {nz} sign-of-zero/sign diffs)"
+                    f"{maxdiff:.3e}; {nz} sign-of-zero/sign diffs; "
+                    f"{n_nanpat} NaN-pattern diffs)"
                 )
         elif s_int and o_int:
             if s_int != o_int:
@@ -125,8 +134,11 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 continue
             sv2 = sv.astype("Int64")
             ov2 = ov.astype("Int64")
+            # NA == value yields pd.NA, and np.asarray(bool) on masked
+            # arrays CRASHES — a null-pattern regression must report as
+            # a FAIL, not kill the whole gate. Fold NA to False first.
             eq = (sv2.values == ov2.values) | (pd.isna(sv2.values) & pd.isna(ov2.values))
-            eq = np.asarray(eq, dtype=bool)
+            eq = pd.array(eq, dtype="boolean").to_numpy(dtype=bool, na_value=False)
             if not eq.all():
                 idx = int(np.argmax(~eq))
                 problems.append(
@@ -160,6 +172,14 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    # A typo'd query name must not read as a green gate ("0 pass /
+    # 0 fail", exit 0) — report unknown names and fail.
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"FAIL: unknown query name(s): {', '.join(unknown)}")
+        print(f"registered: {len(qs)} queries — see __spark_entry__.queries()")
+        return 1
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
