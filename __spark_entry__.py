@@ -3237,6 +3237,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.doc_id, l.avg_bigram_logprob,
                    CASE WHEN l.avg_bigram_logprob IS NULL THEN NULL
+                        WHEN c.cut_lo IS NULL THEN NULL
                         WHEN l.avg_bigram_logprob >= c.cut_hi THEN 'head'
                         WHEN l.avg_bigram_logprob >= c.cut_lo THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket

@@ -424,6 +424,13 @@ def ngram_jaccard_pairs(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
     ).select(
         F.col(id_col), F.explode(word_ngrams_of(F.col("__toks"), n)).alias("__g")
+    ).filter(
+        # word_ngrams_of's short-doc fallback emits one degenerate ''
+        # gram for NULL/empty token arrays — without this filter every
+        # NULL/whitespace-only doc pairs with every other one at
+        # jaccard=1.0 ("NULL text never deduplicates", the module
+        # contract exact_dedup/minhash/simhash all honor).
+        F.col("__g") != ""
     )
     if max_gram_df is not None:
         # Drop ultra-common grams: a gram in d docs contributes d² join
@@ -513,11 +520,27 @@ def embedding_cosine_dedup(
             "__bucket", hyperplane_bucket_exact(F.col(vec_col), dim, num_planes)
         )
     else:
-        from meds_transforms_spark.operators.similarity import l2_normalize
+        from meds_transforms_spark.operators.similarity import l2_norm
 
-        bucketed = df.withColumn(
-            "__bucket",
-            hyperplane_bucket(l2_normalize(F.col(vec_col)), dim, num_planes),
+        # Materialize the norm into a COLUMN before the per-component
+        # divide: Catalyst does no CSE inside HOF lambdas, so the
+        # single-expression l2_normalize re-evaluates the O(d) norm
+        # aggregate once PER COMPONENT — O(d²) per row (the measured
+        # HOF-CSE pitfall, SCALING.md). Same floats, one norm eval.
+        bucketed = (
+            df.withColumn("__vn", l2_norm(F.col(vec_col)))
+            .withColumn(
+                "__bucket",
+                hyperplane_bucket(
+                    F.when(
+                        F.col("__vn") > 0,
+                        F.transform(F.col(vec_col), lambda v: v / F.col("__vn")),
+                    ),
+                    dim,
+                    num_planes,
+                ),
+            )
+            .drop("__vn")
         )
     return _cosine_dedup_within(bucketed, df, vec_col, id_col, threshold, exact)
 
@@ -537,10 +560,7 @@ def _cosine_dedup_within(
     The bucket (LSH band or semantic cluster) bounds the self-join:
     work is Σ_bucket n_b² — never corpus², and the AQE skew-join splits
     any hot bucket."""
-    from meds_transforms_spark.operators.similarity import (
-        cosine_similarity,
-        l2_normalize,
-    )
+    from meds_transforms_spark.operators.similarity import cosine_similarity
 
     if exact:
         QUANT = 10_000
@@ -582,7 +602,22 @@ def _cosine_dedup_within(
             )
         )
     else:
-        normed = bucketed.withColumn("__nvec", l2_normalize(F.col(vec_col)))
+        from meds_transforms_spark.operators.similarity import l2_norm
+
+        # norm as a column, divide in the lambda — NOT l2_normalize's
+        # single-expression form, whose captured norm aggregate
+        # re-evaluates per component (O(d²)/row; HOF-CSE pitfall)
+        normed = (
+            bucketed.withColumn("__vn", l2_norm(F.col(vec_col)))
+            .withColumn(
+                "__nvec",
+                F.when(
+                    F.col("__vn") > 0,
+                    F.transform(F.col(vec_col), lambda v: v / F.col("__vn")),
+                ),
+            )
+            .drop("__vn")
+        )
         a = normed.select(F.col(id_col).alias("id_a"), F.col("__nvec").alias("__va"), "__bucket")
         b = normed.select(F.col(id_col).alias("id_b"), F.col("__nvec").alias("__vb"), "__bucket")
         pairs = (

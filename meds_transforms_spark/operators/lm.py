@@ -237,7 +237,10 @@ def ccnet_buckets(
     )
     lp = F.col("avg_bigram_logprob")
     bucket = (
-        F.when(lp.isNull(), F.lit(None).cast("string"))
+        # no score OR no cuts row (NULL lang never equi-joins; a lang
+        # with zero scored docs has no terciles) → unbucketed NULL, not
+        # a silent worst-tercile 'tail' label
+        F.when(lp.isNull() | F.col("__cut_lo").isNull(), F.lit(None).cast("string"))
         .when(lp >= F.col("__cut_hi"), F.lit("head"))
         .when(lp >= F.col("__cut_lo"), F.lit("middle"))
         .otherwise(F.lit("tail"))
@@ -292,10 +295,27 @@ def bigram_logprob_projection(
 
     from meds_transforms_spark.operators.dedup import _h64
 
+    if not (0.0 <= float(lam) < 1.0):
+        raise ValueError(
+            f"bigram_logprob_projection: lam={lam} must be in [0, 1) — "
+            "the unseen-bigram floor ln((1-lam)*alpha/(N+alpha*V)) is "
+            "undefined at lam=1 (use the relational bigram_logprob for "
+            "unsmoothed scoring)"
+        )
+    if float(alpha) <= 0.0:
+        raise ValueError(
+            f"bigram_logprob_projection: alpha={alpha} must be > 0 "
+            "(out-of-model bigrams would have zero probability)"
+        )
     b = int(n_buckets)
     rows = (
         lm.orderBy(F.col("n").desc(), "w1", "w2").limit(int(max_entries)).collect()
     )
+    if not rows:
+        raise ValueError(
+            "bigram_logprob_projection: empty lm — serving it would "
+            "score every document ln(p)=0.0 ('perfect prose')"
+        )
     # every model statistic derives from the retained rows — one collect
     N = float(sum(r["n"] for r in rows))
     V = float(len({r["w2"] for r in rows}))
@@ -305,10 +325,10 @@ def bigram_logprob_projection(
         c1[r["w1"]] = c1.get(r["w1"], 0) + r["n"]
         c2[r["w2"]] = c2.get(r["w2"], 0) + r["n"]
     lam_f, alpha_f = float(lam), float(alpha)
+    # rows is non-empty and alpha > 0, so denom > 0 and the log's
+    # argument is strictly positive (lam < 1 validated above)
     denom = N + alpha_f * V
-    floor = (
-        math.log((1.0 - lam_f) * alpha_f / denom) if denom > 0 else 0.0
-    )
+    floor = math.log((1.0 - lam_f) * alpha_f / denom)
     dense = [floor] * b
     slots = _model_slots(
         lm.sparkSession, [f"{r['w1']}:{r['w2']}" for r in rows], b, hash_fn

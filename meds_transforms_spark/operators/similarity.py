@@ -36,6 +36,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
+    """Single-expression normalize — convenience for small frames and
+    tests ONLY. The captured ``l2_norm`` aggregate re-evaluates once
+    per component inside the transform lambda (no HOF CSE — measured,
+    SCALING.md), making this O(d²) per row. In operator plans,
+    materialize the norm into a column and divide by the column
+    reference instead (see _cosine_dedup_within)."""
     n = l2_norm(a)
     return F.when(n > 0, F.transform(a, lambda v: v / n))
 

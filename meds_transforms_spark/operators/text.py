@@ -169,7 +169,13 @@ def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -
     c = F.col(text_col)
     if normalize:
         c = _normalized(c)  # the SAME normalization exact_dedup keys on
-    return df.withColumn("fingerprint", F.xxhash64(c))
+    # NULL text → NULL fingerprint: xxhash64 of an all-NULL input
+    # returns the SEED (42), which would stamp every NULL doc with one
+    # shared "content" key — the silent-collapse hazard exact_dedup and
+    # corpus_report both guard against.
+    return df.withColumn(
+        "fingerprint", F.when(F.col(text_col).isNotNull(), F.xxhash64(c))
+    )
 
 
 @register_stage("tf_idf")
@@ -191,7 +197,11 @@ def tf_idf(
     at web scale most tokens are hapaxes that triple join traffic for
     no modeling value).
     """
-    n_docs = df.select(id_col).distinct().count()
+    # N rides in as a broadcast single-row cross join (the pattern
+    # unigram_logprob documents) — an eager distinct().count() here
+    # would run a full corpus scan at PLAN-CONSTRUCTION time and a
+    # second at execution.
+    ndocs_row = df.agg(F.countDistinct(id_col).cast("double").alias("__n_docs"))
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
     )
@@ -201,8 +211,8 @@ def tf_idf(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= int(min_df))
     )
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    return tf.join(dfreq, "tok").select(
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return tf.join(dfreq, "tok").join(F.broadcast(ndocs_row)).select(
         F.col(id_col),
         "tok",
         "tf",
@@ -470,21 +480,28 @@ def unigram_logprob(
     rounds it (engine-agnostic comparisons — ln() differs in the last
     ULP across engines).
     """
-    if lm is None:
-        lm = fit_unigram_lm(df, text_col=text_col)
-    elif alpha <= 0:
+    if lm is not None and alpha <= 0:
         raise ValueError(
             "scoring against an external lm requires alpha > 0 "
             "(out-of-vocabulary tokens have zero probability)"
         )
-    totals = lm.agg(
-        F.sum("n").cast("double").alias("__N"),
-        F.count(F.lit(1)).cast("double").alias("__V"),
-    )
     per_doc = (
         df.select(F.col(id_col), F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("__n_local"))
+    )
+    if lm is None:
+        # Self-fit: derive the LM from per_doc instead of a second
+        # independent corpus explode (fit_unigram_lm) — the separate
+        # subtree would not canonicalize into a ReusedExchange, so the
+        # tokenization would run once per consumer (the measured
+        # _bigram_scores finding, lm.py). Pin per_doc: totals, the LM
+        # derivation, and the score join all read it.
+        per_doc = per_doc.localCheckpoint(eager=False)
+        lm = per_doc.groupBy("tok").agg(F.sum("__n_local").alias("n"))
+    totals = lm.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
     )
     joined = per_doc.join(lm, "tok", "left").join(F.broadcast(totals))
     p = (F.coalesce(F.col("n"), F.lit(0)) + F.lit(float(alpha))) / (
@@ -596,10 +613,16 @@ def token_pmi(
             .filter(F.col("__n") <= int(max_doc_tokens))
             .drop("__n")
         )
+    # Four consumers follow (N, dfreq, both pair sides) — pin so the
+    # explode + cap window run once.
+    toks = toks.localCheckpoint(eager=False)
     # N must be the doc universe the df_a/df_b/n_ab counts live in — the
     # docs SURVIVING the cap with ≥1 token; counting all of df would
-    # uniformly inflate every PMI by ln(N_all/N_retained)
-    n_docs = toks.select(id_col).distinct().count()
+    # uniformly inflate every PMI by ln(N_all/N_retained). It rides in
+    # as a broadcast single-row cross join (lazy — no plan-time job).
+    ndocs_row = toks.agg(
+        F.countDistinct(id_col).cast("double").alias("__n_docs")
+    )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     a = toks.select(F.col(id_col), F.col("tok").alias("tok_a"))
     b = toks.select(F.col(id_col), F.col("tok").alias("tok_b"))
@@ -613,12 +636,13 @@ def token_pmi(
     da = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
     db = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
     pmi = F.log(
-        (F.col("n_ab") * F.lit(float(n_docs)))
+        (F.col("n_ab") * F.col("__n_docs"))
         / (F.col("df_a").cast("double") * F.col("df_b"))
     )
     out = (
         pairs.join(da, "tok_a")
         .join(db, "tok_b")
+        .join(F.broadcast(ndocs_row))
         .withColumn("pmi", pmi)
         .select("tok_a", "tok_b", "n_ab", "df_a", "df_b", "pmi")
     )
@@ -665,6 +689,9 @@ def corpus_report(
         ),
         text_col=text_col,
     ).drop(text_col)
+    # Two aggregations consume base (per_fp and lang_counts) — pin so
+    # the scan + tokenize + fingerprint + language scoring run once.
+    base = base.localCheckpoint(eager=False)
     # exact-dup mass per group: groupBy (group, fingerprint) first —
     # map-side combined, shuffle rows are (group, long, count)
     per_fp = base.groupBy("__g", "__fp").agg(
@@ -689,8 +716,14 @@ def corpus_report(
     top_lang = lang_counts.groupBy("__g").agg(
         F.max(F.struct(F.col("__ln"), F.col("lang_pred"))).alias("__top")
     ).select("__g", F.col("__top.lang_pred").alias("top_lang"))
+    # Null-safe group join: an equi-join on __g would silently DROP the
+    # NULL-group row (docs with NULL source) from the report, leaving
+    # n_docs short of the corpus with no error.
     return (
-        per_group.join(top_lang, "__g")
+        per_group.join(
+            top_lang.withColumnRenamed("__g", "__g2"),
+            per_group["__g"].eqNullSafe(F.col("__g2")),
+        )
         .select(
             F.col("__g").alias(group_col),
             "n_docs",

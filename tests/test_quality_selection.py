@@ -523,3 +523,91 @@ def test_semantic_dedup_forwards_assign_to_refine(spark):
     # one call per refinement round + the final assignment
     assert len(calls) >= 3
     assert arrow == hof
+
+
+def test_ngram_jaccard_null_and_empty_docs_never_pair(spark):
+    """Regression: the short-doc gram fallback emitted one degenerate
+    '' gram for NULL/whitespace-only docs, reporting every such pair as
+    jaccard=1.0 duplicates."""
+    from meds_transforms_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "   "),
+            (4, ""),
+            (5, "the quick brown fox jumps over the lazy dog"),
+            (6, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, use_lsh_candidates=False
+        ).collect()
+    }
+    assert pairs == {(5, 6)}
+
+
+def test_fingerprint_null_text_is_null(spark):
+    """Regression: xxhash64 of all-NULL input returns the seed (42),
+    stamping every NULL doc with one shared 'content' key."""
+    from meds_transforms_spark.operators.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+
+def test_ccnet_buckets_null_lang_unbucketed(spark):
+    """Regression: docs whose lang has no cuts row (NULL lang never
+    equi-joins) fell through to 'tail' instead of NULL."""
+    from meds_transforms_spark.operators.lm import ccnet_buckets, fit_bigram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i < 8 else None, "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(10)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    lm = fit_bigram_lm(docs)
+    out = {r.doc_id: r.ppl_bucket for r in ccnet_buckets(docs, lm).collect()}
+    assert out[8] is None and out[9] is None
+    assert all(out[i] in ("head", "middle", "tail") for i in range(8))
+
+
+def test_corpus_report_keeps_null_source_group(spark):
+    """Regression: the report's equi-join on the group key dropped the
+    NULL-source group entirely."""
+    from meds_transforms_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, None, "p q r"), (3, None, "s t u")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r.n_docs for r in corpus_report(docs).collect()}
+    assert rows == {"a": 1, None: 2}
+
+
+def test_bigram_projection_rejects_degenerate_params(spark):
+    """Regression: lam=1.0/alpha=0.0 crashed with a bare math domain
+    error at build time, and an empty lm silently scored every doc as
+    'perfect prose' (floor 0.0)."""
+    import pytest
+
+    from meds_transforms_spark.operators.lm import bigram_logprob_projection
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    lm = spark.createDataFrame([("a", "b", 3)], "w1 string, w2 string, n long")
+    empty = spark.createDataFrame([], "w1 string, w2 string, n long")
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob_projection(docs, lm, lam=1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_logprob_projection(docs, lm, alpha=0.0)
+    with pytest.raises(ValueError, match="empty lm"):
+        bigram_logprob_projection(docs, empty)
