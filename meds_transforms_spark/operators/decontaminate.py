@@ -64,9 +64,13 @@ def ngram_decontaminate(
 
     def gram_hashes(frame, col, keep_cols):
         cnt = F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(1))
+        # NULL/empty docs emit NO grams: xxhash64 over a NULL (or
+        # empty) slice degenerates to the seed constant, so one blank
+        # eval row would otherwise flag every blank training doc as
+        # contaminated. A blank doc can't contaminate anything.
         return frame.select(
             *keep_cols, word_tokens(F.col(col)).alias("__toks")
-        ).select(
+        ).filter(F.size("__toks") >= 1).select(
             *keep_cols,
             F.explode(
                 F.array_distinct(

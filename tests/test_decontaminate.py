@@ -81,3 +81,21 @@ def test_plan_broadcasts_eval_side(spark, corpora):
     )
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_blank_docs_never_contaminate(spark):
+    """Regression: NULL/empty docs hashed their NULL/empty token slice
+    to the xxhash64 seed constant, so one blank eval row flagged every
+    blank training doc as contaminated."""
+    from meds_transforms_spark.operators.decontaminate import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "real shared overlap text here")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "real shared overlap text here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in ngram_decontaminate(train, evals, n=5).collect()}
+    assert out == {1: False, 2: False, 3: True}
