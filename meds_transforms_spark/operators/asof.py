@@ -61,8 +61,18 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     pay = payload or [c for c in right.columns if c not in {*keys, right_time}]
+    collisions = [c for c in pay if f"{c}{suffix}" in left.columns]
+    if collisions:
+        raise ValueError(
+            f"asof_join: attached payload column(s) {collisions} collide "
+            f"with left columns under suffix={suffix!r} — pass a suffix "
+            "(e.g. '_r') or a narrower payload list"
+        )
 
-    r = right.select(
+    # A right row with no time cannot be "as of" anything — unfiltered,
+    # it sorts NULLS FIRST in the backward scan and becomes the match
+    # for every left row that precedes all real right events.
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
         F.struct(
@@ -98,6 +108,10 @@ def asof_join(
     matched = (
         u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
+        # A left row with no time has no "as of" point: in the forward
+        # scan (desc, NULLS LAST) it would otherwise pick up the
+        # minimum-time right row. NULL match, row preserved.
+        .withColumn("__m", F.when(F.col("__t").isNotNull(), F.col("__m")))
     )
 
     if tolerance is not None:

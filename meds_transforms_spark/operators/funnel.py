@@ -72,7 +72,10 @@ def funnel_steps(
         if prev_t is not None:
             cond = cond & (F.col(ts_col) > prev_t)
             if within is not None:
-                horizon = first_t + F.expr(f"INTERVAL {float(within)} SECONDS")
+                # make_interval, not an f-string INTERVAL literal:
+                # repr(float) uses scientific notation for <1e-4 and
+                # >=1e16, which the interval parser rejects
+                horizon = first_t + F.make_interval(secs=F.lit(float(within)))
                 cond = cond & (F.col(ts_col) <= horizon)
         return cond
 

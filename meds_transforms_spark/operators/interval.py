@@ -135,7 +135,13 @@ def interval_join(
         ).collect()[0][0]
         width_us = max(int(med or 0), 1)
     else:
-        width_us = max(int(bin_width_s * 1_000_000), 1)
+        # The bin axis is epoch-µs ONLY for timestamp columns; a
+        # numeric axis passes through _micros in its native units, so
+        # scaling the explicit width by 1e6 would make every bin 10^6×
+        # too wide and collapse the equi-join into the per-key
+        # quadratic blowup this operator exists to prevent.
+        scale = 1_000_000 if s_dt.startswith("timestamp") else 1
+        width_us = max(int(bin_width_s * scale), 1)
 
     pay = payload or [c for c in intervals.columns if c not in keys]
     p_cols = set(points.columns)

@@ -99,7 +99,11 @@ def pack_sequences(
     # one row per partition). `local` is pinned so the totals job and
     # the main lineage see the SAME range-partition boundaries (the
     # range partitioner samples; recomputation must not re-draw them).
-    local = local.persist()
+    # localCheckpoint, NOT persist: an operator returning a lazy frame
+    # can never unpersist, so persist() leaked one corpus-sized cache
+    # entry per invocation for the session lifetime (ids.py:86 pattern;
+    # eager=True because the totals collect follows immediately).
+    local = local.localCheckpoint(eager=True)
     totals = {
         r["__pid"]: r["__tot"]
         for r in local.groupBy("__pid").agg(F.max("__lsum").alias("__tot")).collect()

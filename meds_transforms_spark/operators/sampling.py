@@ -130,6 +130,18 @@ def group_cap(
     order = [F.col(c) for c in (order_by or [])]
     if on:
         order += [_bucket(on, seed, hash_fn), *[F.col(c) for c in on]]
+    else:
+        # order_by alone can tie at the cap boundary, making the
+        # survivor set partition-dependent — append a content hash over
+        # every hashable column so the total order is a function of the
+        # data alone (exact duplicate rows remain interchangeable).
+        from pyspark.sql.types import MapType
+
+        hashable = [
+            c for c in df.columns
+            if not isinstance(df.schema[c].dataType, MapType)
+        ]
+        order += [_bucket(hashable, seed, hash_fn)]
 
     survivors = df
     if two_phase:

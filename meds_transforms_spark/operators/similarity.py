@@ -189,67 +189,142 @@ def brute_force_topk_vectorized(
     per-batch top-ks = global top-k); boundary ties are kept by
     ordering candidates on (-cos, vec_id) in-batch, matching the
     global window's tie-break.
+
+    Id columns pass through with their ORIGINAL dtype on both sides
+    (query ids via an index map restored after the scan, corpus ids
+    via Arrow take) — string/UUID ids work exactly as in
+    :func:`brute_force_topk`. NULL or zero-norm QUERY vectors mirror
+    the expression path: every cosine is NULL, so the top-k is the k
+    lowest corpus ids with cos NULL. Documented divergence: NULL,
+    wrong-length, or zero-norm CORPUS rows are excluded from
+    candidates entirely (the expression path ranks them with NULL
+    cosine, so there they surface only when k exceeds the number of
+    well-formed candidates).
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    qid_field = T.StructField(
+        "query_id", queries.select(query_id).schema[0].dataType
+    )
+    cid_field = T.StructField(
+        "vec_id", corpus.select(corpus_id).schema[0].dataType
+    )
+    out_fields = T.StructType(
+        [
+            qid_field,
+            cid_field,
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
     q_rows = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).collect()
     if not q_rows:
-        schema = "query_id long, vec_id long, cos double, rank int"
-        return corpus.sparkSession.createDataFrame([], schema)
-    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        return spark.createDataFrame([], out_fields)
     kk = int(k)
-    dim = Q.shape[1]
 
-    out_schema = "query_id long, vec_id long, cos double"
+    def _norm(v):
+        return float(np.linalg.norm(np.asarray(v, dtype=np.float64))) if v is not None else 0.0
 
-    def score_batches(batches):
-        for rb in batches:
-            n = rb.num_rows
-            if n == 0:
-                continue
-            ids = rb.column(0).to_numpy(zero_copy_only=False)
-            # List<double> → flat values buffer → (n, dim) view. No
-            # per-row Python objects: this is the whole point of the
-            # Arrow path. combine_chunks handles multi-chunk columns;
-            # ragged inputs (wrong-length vectors) fail loudly on the
-            # reshape rather than silently mis-scoring.
-            col = rb.column(1)
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            flat = arr.flatten().to_numpy(zero_copy_only=False)
-            C = flat.reshape(n, dim).astype(np.float64, copy=False)
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-            S = Cn @ Qn.T  # (batch, |Q|)
-            top = min(kk, n)
-            # lexsort: primary -cos, secondary vec_id — matches the
-            # global window's (cos desc, vec_id asc) tie-break.
-            out_q, out_id, out_cos = [], [], []
-            for j in range(S.shape[1]):
-                order = np.lexsort((ids, -S[:, j]))[:top]
-                out_q.append(np.full(top, qids[j], dtype=np.int64))
-                out_id.append(ids[order])
-                out_cos.append(S[order, j])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(out_q)),
-                    pa.array(np.concatenate(out_id)),
-                    pa.array(np.concatenate(out_cos)),
-                ],
-                names=["query_id", "vec_id", "cos"],
-            )
+    scorable = [(i, r) for i, r in enumerate(q_rows) if _norm(r["qv"]) > 0]
+    null_q_ids = [r["qid"] for i, r in enumerate(q_rows) if _norm(r["qv"]) <= 0]
 
     c = corpus.select(
-        F.col(corpus_id).alias("__id"),
+        F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("__v"),
     )
-    cand = c.mapInArrow(score_batches, schema=out_schema)
+    parts = []
+    if scorable:
+        Q = np.array([r["qv"] for _, r in scorable], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        dim = Q.shape[1]
+        cand_schema = T.StructType(
+            [T.StructField("__qi", T.IntegerType()), cid_field,
+             T.StructField("cos", T.DoubleType())]
+        )
+
+        def score_batches(batches):
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ids = rb.column(0)
+                col = rb.column(1)
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                # well-formed rows only: NULL/ragged rows would shift
+                # the reshape; zero-norm rows would score 0.0 and
+                # outrank real negative-cosine neighbours
+                lens = np.nan_to_num(
+                    pc.list_value_length(arr).to_numpy(zero_copy_only=False),
+                    nan=-1.0,
+                )
+                valid = arr.is_valid().to_numpy(zero_copy_only=False) & (lens == dim)
+                vidx = np.flatnonzero(valid)
+                if vidx.size == 0:
+                    continue
+                flat = arr.filter(pa.array(valid)).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                C = flat.reshape(vidx.size, dim).astype(np.float64, copy=False)
+                cn = np.linalg.norm(C, axis=1, keepdims=True)
+                nz = cn[:, 0] > 0
+                vidx = vidx[nz]
+                if vidx.size == 0:
+                    continue
+                Cn = C[nz] / cn[nz]
+                S = Cn @ Qn.T  # (well-formed batch rows, |scorable Q|)
+                top = min(kk, vidx.size)
+                # id-order rank within the batch (works for ANY
+                # orderable id type; UTF-8 byte order == Spark's string
+                # order) so boundary ties at the local cut keep the
+                # id-smallest candidates — matching the global window's
+                # (cos desc, vec_id asc) tie-break exactly.
+                sort_idx = pc.sort_indices(ids).to_numpy(zero_copy_only=False)
+                id_rank = np.empty(len(ids), dtype=np.int64)
+                id_rank[sort_idx] = np.arange(len(ids))
+                out_qi, out_idx, out_cos = [], [], []
+                for j in range(S.shape[1]):
+                    order = np.lexsort((id_rank[vidx], -S[:, j]))[:top]
+                    out_qi.append(np.full(top, scorable[j][0], dtype=np.int32))
+                    out_idx.append(vidx[order])
+                    out_cos.append(S[order, j])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_qi)),
+                        ids.take(pa.array(np.concatenate(out_idx))),
+                        pa.array(np.concatenate(out_cos)),
+                    ],
+                    names=["__qi", "vec_id", "cos"],
+                )
+
+        cand = c.mapInArrow(score_batches, schema=cand_schema)
+        qmap = spark.createDataFrame(
+            [(i, r["qid"]) for i, r in scorable],
+            T.StructType([T.StructField("__qi", T.IntegerType()), qid_field]),
+        )
+        parts.append(cand.join(F.broadcast(qmap), "__qi").select("query_id", "vec_id", "cos"))
+    if null_q_ids:
+        # expression-path mirror: all cosines NULL -> k lowest ids
+        lows = c.select("vec_id").orderBy("vec_id").limit(kk)
+        nq = spark.createDataFrame(
+            [(q,) for q in null_q_ids], T.StructType([qid_field])
+        )
+        parts.append(
+            lows.crossJoin(F.broadcast(nq)).select(
+                "query_id", "vec_id", F.lit(None).cast("double").alias("cos")
+            )
+        )
+    cand_all = parts[0]
+    for p in parts[1:]:
+        cand_all = cand_all.unionByName(p)
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand_all.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
         .select("query_id", "vec_id", "cos", "rank")
     )
@@ -279,7 +354,30 @@ def lsh_topk(
     (:func:`hyperplane_bucket_exact`) so a SQL oracle can recompute
     the identical buckets.
     """
-    dim_row = corpus.select(F.size(corpus_vec).alias("d")).limit(1).collect()
+    # filter-then-limit keeps CollectLimit's incremental scan while
+    # skipping NULL vectors; an empty/all-null corpus has no neighbours
+    # to return (and no dim to probe) — empty result, not a driver
+    # IndexError/TypeError.
+    dim_row = (
+        corpus.filter(F.col(corpus_vec).isNotNull())
+        .select(F.size(corpus_vec).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if not dim_row or dim_row[0]["d"] is None:
+        from pyspark.sql import types as T
+
+        return corpus.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", queries.select(query_id).schema[0].dataType),
+                    T.StructField("vec_id", corpus.select(corpus_id).schema[0].dataType),
+                    T.StructField("cos", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     dim = dim_row[0]["d"]
     bucketize = (
         hyperplane_bucket_exact if bucket_fn == "exact" else hyperplane_bucket

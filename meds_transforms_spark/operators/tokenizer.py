@@ -194,6 +194,9 @@ def bpe_encode(
     lc = lowercase
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # re-initialized per BATCH (below), not per partition: distinct
+        # pretokens are unbounded (PRETOKEN_REGEX matches numbers), so
+        # a partition-lifetime dict grows until the Python worker OOMs
         cache: dict[str, list[str]] = {}
 
         def enc_text(text):
@@ -209,6 +212,7 @@ def bpe_encode(
             return toks
 
         for pdf in batches:
+            cache.clear()  # bound memo memory to one batch's vocabulary
             tok_lists = pdf[text_col].map(enc_text)
             pdf = pdf.copy()
             pdf[output_col] = tok_lists

@@ -95,3 +95,47 @@ def test_plan_is_single_shuffle(sides):
     explained = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in explained
     assert "BroadcastNestedLoopJoin" not in explained
+
+
+def test_asof_null_times_never_match(spark):
+    """Regression: NULL-time right rows sorted NULLS-FIRST and became
+    the backward match for early left rows; NULL-time left rows picked
+    up the min-time right row in forward mode."""
+    import datetime as dt
+
+    from meds_transforms_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(0)), (1, t(30)), (1, None)], "user_id long, time timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, t(10), "real")],
+        "user_id long, time timestamp, state string",
+    )
+    back = {
+        (r.time, r.state)
+        for r in asof_join(left, right, "user_id", direction="backward").collect()
+    }
+    assert back == {(t(0), None), (t(30), "real"), (None, None)}
+    fwd = {
+        (r.time, r.state)
+        for r in asof_join(left, right, "user_id", direction="forward").collect()
+    }
+    assert fwd == {(t(0), "real"), (t(30), None), (None, None)}
+
+
+def test_asof_payload_collision_raises(spark):
+    import datetime as dt
+
+    import pytest
+
+    from meds_transforms_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, 5.0)], "user_id long, time timestamp, value double")
+    right = spark.createDataFrame([(1, t0, 7.0)], "user_id long, time timestamp, value double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "user_id")
+    out = asof_join(left, right, "user_id", suffix="_r")
+    assert out.columns.count("value") == 1 and "value_r" in out.columns

@@ -201,3 +201,23 @@ def test_interval_join_bin_explosion_guard(spark):
         points, intervals, "ts", "start_ts", "end_ts", bin_width_s=10 * 365 * 86_400
     )
     assert {(r.pid, r.iid) for r in ok.collect()} == {(1, 9)}
+
+
+def test_numeric_axis_explicit_bin_width(spark):
+    """Regression: an explicit bin_width_s was scaled by 1e6 even on a
+    numeric (epoch-seconds) axis, making every bin 10^6x too wide."""
+    from meds_transforms_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 100), (1, 5_000), (1, 9_999)], "user_id long, t long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 200, "early"), (1, 4_900, 5_100, "mid")],
+        "user_id long, s long, e long, tag string",
+    )
+    out = interval_join(
+        points, iv, on="user_id", point_time="t", start="s", end="e",
+        bin_width_s=1_000, max_bins_per_interval=16,
+    )
+    got = {(r.t, r.tag) for r in out.collect()}
+    assert got == {(100, "early"), (5_000, "mid")}

@@ -52,3 +52,82 @@ def test_vectorized_empty_queries(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     assert brute_force_topk_vectorized(corpus, queries, k=3).count() == 0
+
+
+def test_vectorized_topk_string_ids_and_null_queries(spark):
+    """Regression: the Arrow path hardcoded int64 id schemas (string
+    ids crashed on the driver) and crashed on NULL query vectors where
+    the expression path returns NULL-cos rows."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            F.concat(F.lit("v"), F.format_string("%04d", "vec_id")).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .limit(50)
+    )
+    queries = emb.filter(F.col("vec_id") < "v0003").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).unionByName(
+        spark.createDataFrame([("qnull", None)], "query_id string, embedding array<double>")
+    )
+    kw = dict(k=5)
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(emb, queries, **kw).collect()
+    }
+    vec = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk_vectorized(emb, queries, **kw).collect()
+    }
+    assert vec == exact
+    assert sum(1 for q, _, _ in vec if q == "qnull") == 5  # NULL-cos rows
+
+
+def test_vectorized_topk_ignores_malformed_corpus_rows(spark):
+    """NULL / wrong-length / zero-norm corpus rows are excluded from
+    candidates (documented divergence) instead of crashing the reshape
+    or outranking negative-cosine neighbours at cos=0.0."""
+    from meds_transforms_spark.operators.similarity import brute_force_topk_vectorized
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [-1.0, 0.0]),
+            (3, None),
+            (4, [0.0, 0.0]),
+            (5, [1.0, 2.0, 3.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got = [
+        (r.vec_id, r.rank)
+        for r in brute_force_topk_vectorized(corpus, queries, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_lsh_topk_empty_and_allnull_corpus(spark):
+    """Regression: an empty (or all-NULL-embedding) corpus crashed the
+    driver-side dim probe."""
+    from meds_transforms_spark.operators.similarity import lsh_topk
+
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    allnull = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    assert lsh_topk(empty, queries).count() == 0
+    assert lsh_topk(allnull, queries).count() == 0
