@@ -54,10 +54,20 @@ def age_rows(
     DOB_code: str = "MEDS_BIRTH",
     age_code: str = "AGE",
     age_unit: str = "years",
+    DOB_regex: str | None = None,
 ) -> DataFrame:
-    """One AGE row per event after birth (age.py:149-176)."""
+    """One AGE row per event after birth (age.py:149-176).
+
+    DOB rows match by substring CONTAINMENT of ``DOB_code`` (the
+    reference's ``str.contains(literal=True)`` — 'SNOMED//MEDS_BIRTH'
+    matches DOB_code='MEDS_BIRTH'), or by ``DOB_regex`` when given."""
     per_subject = W.partitionBy(SUBJECT_ID)
-    dob = F.min(F.when(F.col(CODE) == DOB_code, F.col(TIME))).over(per_subject)
+    is_dob = (
+        F.col(CODE).rlike(DOB_regex)
+        if DOB_regex is not None
+        else F.col(CODE).contains(DOB_code)
+    )
+    dob = F.min(F.when(is_dob, F.col(TIME))).over(per_subject)
     unit_seconds = normalize_time_unit(age_unit)
     events = (
         df.withColumn("__dob", dob)
@@ -82,13 +92,24 @@ def time_of_day_rows(
     time_of_day_code: str = "TIME_OF_DAY",
     endpoints: Sequence[int] = (6, 12, 18, 24),
 ) -> DataFrame:
-    """One TIME_OF_DAY//[lo,hi) row per event (time_of_day.py:111-127)."""
+    """One TIME_OF_DAY//[lo,hi) row per event (time_of_day.py:100-131),
+    including the reference's terminal ``[last,24)`` bucket — endpoints
+    need not reach 24 — and its endpoint validations."""
+    eps = list(endpoints)
+    if not eps:
+        raise ValueError("endpoints must contain at least one hour boundary")
+    if not all(isinstance(e, int) and 0 <= e <= 24 for e in eps):
+        raise ValueError(f"endpoints must be whole hours in [0, 24]: {eps}")
+    if len(eps) != len(set(eps)) or eps != sorted(eps):
+        raise ValueError(f"endpoints must be unique and sorted: {eps}")
     events = _distinct_events(df)
     hour = F.hour(F.col(TIME))
-    eps = list(endpoints)
     expr = F.when(hour < eps[0], F.lit(f"{time_of_day_code}//[00,{eps[0]:02})"))
     for lo, hi in zip(eps, eps[1:]):
         expr = expr.when(hour < hi, F.lit(f"{time_of_day_code}//[{lo:02},{hi:02})"))
+    # hours past the last endpoint land in [last,24) — unreachable (and
+    # harmless) when the last endpoint is already 24
+    expr = expr.when(hour >= eps[-1], F.lit(f"{time_of_day_code}//[{eps[-1]:02},24)"))
     return events.select(
         SUBJECT_ID,
         TIME,

@@ -87,7 +87,12 @@ def rolling_anomaly(
         .rangeBetween(-us, 0)
     )
     scale = float(10 ** int(decimal_scale))
-    q = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
+    # Pre-null NaN readings: floor(NaN).cast(long) is 0, so one NaN
+    # sensor glitch would contribute a phantom 0.0 to every overlapping
+    # window's count/sum/sum² — NaN must count toward nothing, like
+    # NULL (the aggregate_code_metadata discipline).
+    v_clean = F.when(~F.isnan(F.col(value_col)), F.col(value_col))
+    q = F.floor(v_clean * F.lit(scale) + F.lit(0.5)).cast("long")
     # Materialize each window aggregate into a column ONCE before
     # deriving mean/var/z: Spark extracts every textual `.over` as its
     # own window function, so embedding the aggregates in the compound
@@ -103,7 +108,10 @@ def rolling_anomaly(
     n = F.col("__wn")
     mean = (F.col("__ws").cast("double") / scale) / n
     var = (F.col("__ws2").cast("double") / (scale * scale)) / n - mean * mean
-    z = F.round(F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var)), int(round_to)) + F.lit(
+    # v_clean, not the raw column: a NaN value would make z NaN, and
+    # Spark orders NaN above every double, so NaN > z_threshold would
+    # self-flag the glitch row as an anomaly
+    z = F.round(F.when(var > 0, (v_clean - mean) / F.sqrt(var)), int(round_to)) + F.lit(
         0.0
     )
     has_ts = F.col(time_col).isNotNull()

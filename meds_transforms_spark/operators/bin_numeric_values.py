@@ -82,7 +82,16 @@ def bin_numeric_values(
     name = F.replace(name, F.lit("{left}"), left)
     name = F.replace(name, F.lit("{right}"), right)
 
-    binnable = v.isNotNull() & ~F.isnan(v) & eps.isNotNull()
+    # eps element nullity matters too: a code whose quantile struct is
+    # all-NULL (no observed values) yields [null,null,null] endpoints,
+    # and a null left/right would null-propagate through F.replace and
+    # rewrite CODE itself to NULL — leave such rows unbinned instead.
+    binnable = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & eps.isNotNull()
+        & ~F.exists(eps, lambda e: e.isNull())
+    )
     out = joined.withColumn(CODE, F.when(binnable, name).otherwise(F.col(CODE)))
     if drop_numeric_value:
         out = out.withColumn(NUMERIC_VALUE, F.when(~binnable, v))

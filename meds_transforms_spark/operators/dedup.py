@@ -185,7 +185,13 @@ def lsh_band_buckets(
         F.lit(0),
     )
     exploded = (
-        df.select(F.col(id_col), norm.alias("__txt"))
+        # NULL-text docs get NO bucket rows here (not just in
+        # minhash_lsh_dedup's outer guard): a NULL text hashes to one
+        # shared degenerate bucket, so an unguarded consumer — the
+        # incremental dedup index was one — would treat every NULL doc
+        # as a near-duplicate of every other.
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), norm.alias("__txt"))
         .select(
             F.col(id_col),
             F.col("__txt"),

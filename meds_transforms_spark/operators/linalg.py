@@ -130,10 +130,12 @@ def embedding_covariance(
     )
     summed = sums.groupBy("pos").agg(F.sum("val").alias("s"))
     # four downstream branches (dims, N, means, outer) reference this
-    # frame; cache it so the corpus scan runs exactly once no matter
+    # frame; pin it so the corpus scan runs exactly once no matter
     # how the reuse heuristics treat the duplicated subtrees. The
-    # cached table is 1 + d + d² rows — bytes, not data.
-    summed = summed.persist()
+    # pinned table is 1 + d + d² rows — bytes, not data. localCheckpoint
+    # (not persist): an operator returning a lazy frame can never
+    # unpersist, so persist() leaked one cache entry per call.
+    summed = summed.localCheckpoint(eager=False)
     # recover d from the combined length: 1 + d + d² entries
     d_row = summed.agg(F.count(F.lit(1)).alias("cnt"))
     # cnt = 1 + d + d²  →  d = (−1 + sqrt(4(cnt−1)+1)) / 2

@@ -33,15 +33,22 @@ def normalization(
 ) -> DataFrame:
     keys = [CODE, *code_modifiers]
     meta = code_metadata
-    if "values/mean" in meta.columns and "values/std" in meta.columns:
-        mean, std = F.col("values/mean"), F.col("values/std")
-    else:
-        n = F.col("values/n_occurrences")
-        # try_divide: zero-count codes (no observed values) must yield
-        # null stats, not an ANSI DIVIDE_BY_ZERO error.
-        mean = F.try_divide(F.col("values/sum"), n)
-        var = F.try_divide(F.col("values/sum_sqd"), n) - mean * mean
-        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    # Independent column selection (normalization.py:190-199): a
+    # precomputed values/mean is used even when values/std must be
+    # derived, and the DERIVED std always uses the DERIVED mean (the
+    # reference's stddev_col closes over mean_col, not the selected
+    # mean). try_divide: zero-count codes (no observed values) must
+    # yield null stats, not an ANSI DIVIDE_BY_ZERO error.
+    n = F.col("values/n_occurrences")
+    derived_mean = F.try_divide(F.col("values/sum"), n)
+    derived_var = F.try_divide(F.col("values/sum_sqd"), n) - derived_mean * derived_mean
+    # NO clamp: float-noise negative variance must give NaN std (the
+    # reference's (neg)**0.5), which NaN-propagates into the normalized
+    # value — pinned by the reference golden (a clamp to 0 would emit
+    # ±inf instead)
+    derived_std = F.sqrt(derived_var)
+    mean = F.col("values/mean") if "values/mean" in meta.columns else derived_mean
+    std = F.col("values/std") if "values/std" in meta.columns else derived_std
     stats = meta.select(
         *keys,
         F.col("code/vocab_index").alias("__vocab"),
@@ -66,13 +73,23 @@ def normalization(
     keep = [c for c in (SUBJECT_ID, TIME, ORDER_KEY) if c in df.columns]
     passthrough = [df[c] for c in keep]
     v = df[NUMERIC_VALUE]
+    diff = v - stats["__mean"]
+    # std == 0 mirrors the reference's unguarded (v-mean)/std, which in
+    # Polars follows IEEE: ±inf for diff ≠ 0, NaN for diff == 0. Spark 4
+    # ANSI errors on double/0, so the IEEE outcomes are spelled out;
+    # NULL inputs (v, mean, or std) stay NULL.
+    normed = (
+        F.when(v.isNull() | stats["__mean"].isNull() | stats["__std"].isNull(), F.lit(None).cast("double"))
+        .when(stats["__std"] != 0, diff / stats["__std"])
+        # Spark orders NaN above every double, so NaN diff would take
+        # the +inf branch; IEEE NaN/0 is NaN
+        .when(F.isnan(diff), F.lit(float("nan")))
+        .when(diff > 0, F.lit(float("inf")))
+        .when(diff < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
     return joined.select(
         *passthrough,
         stats["__vocab"].cast("long").alias(CODE),
-        F.when(
-            v.isNotNull() & stats["__std"].isNotNull() & (stats["__std"] != 0),
-            (v - stats["__mean"]) / stats["__std"],
-        )
-        .cast("float")
-        .alias(NUMERIC_VALUE),
+        normed.cast("float").alias(NUMERIC_VALUE),
     )

@@ -68,7 +68,11 @@ def occlude_outliers(
         joined.withColumn("numeric_value/is_inlier", is_inlier)
         .withColumn(
             NUMERIC_VALUE,
-            F.when(F.col("numeric_value/is_inlier").isNull() | F.col("numeric_value/is_inlier"), v),
+            # keep ONLY when the flag is TRUE — the reference's
+            # pl.when(filter_expr).then(value) takes the null branch for
+            # a NULL flag (code absent from metadata / no usable stats),
+            # NULLING the value (occlude_outliers.py:108-112)
+            F.when(F.col("numeric_value/is_inlier"), v),
         )
         .drop("__mean", "__std")
     )

@@ -67,14 +67,25 @@ def assign_splits(
 ) -> DataFrame:
     """(subject_id, split) assignment via seeded numpy permutation.
 
-    Mirrors shard_subjects (reshard_to_split.py:133-160): shuffle the
-    sorted subject list with default_rng(seed), cut at cumulative
-    fraction boundaries. Driver-side numpy on the distinct-subject list
-    (#subjects ≪ #rows; at 100 TB with ~10⁸ subjects this is still a
-    few GB of int64). ``method="hash"`` switches to the fully
-    distributed :func:`hash_split_expr` assignment (no driver collect,
-    seed-incompatible with the reference) for corpora beyond that.
+    BIT-IDENTICAL split membership to the reference's shard_subjects
+    (reshard_to_split.py:114-160) for the same seed, reproducing its
+    full RNG sequence and sizing rules: (1) null fractions dropped and
+    the remainder must sum to ~1 (raise, never silently normalize);
+    (2) the FIRST rng draw permutes the split NAMES; (3) per-split
+    sizes are round(frac·n) with the LAST permuted split absorbing the
+    remainder; (4) an empty split borrows one subject from the largest
+    (raise if still empty); (5) the SECOND rng draw permutes the
+    np.unique-sorted subject array, cut at the cumulative sizes.
+    Verified against the reference doctest goldens
+    (reshard_to_split.py:64-68). Driver-side numpy on the
+    distinct-subject list (#subjects ≪ #rows; at 100 TB with ~10⁸
+    subjects this is still a few GB of int64). ``method="hash"``
+    switches to the fully distributed :func:`hash_split_expr`
+    assignment (no driver collect, seed-incompatible with the
+    reference) for corpora beyond that.
     """
+    import math
+
     import numpy as np
 
     split_fracs = split_fracs or DEFAULT_SPLIT_FRACS
@@ -86,18 +97,37 @@ def assign_splits(
         )
     if method != "permutation":
         raise ValueError(f"unknown split method: {method!r}")
-    subjects = [r[0] for r in df.select(SUBJECT_ID).distinct().orderBy(SUBJECT_ID).collect()]
+    split_fracs = {k: v for k, v in split_fracs.items() if v is not None}
+    cover = sum(split_fracs.values()) if split_fracs else 0
+    if not math.isclose(cover, 1):
+        raise ValueError(
+            f"The sum of the split fractions must be equal to 1. Got {cover} "
+            f"through {split_fracs}."
+        )
+    subjects = np.array(
+        [r[0] for r in df.select(SUBJECT_ID).distinct().orderBy(SUBJECT_ID).collect()]
+    )
+    n = len(subjects)
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(len(subjects))
-    names = list(split_fracs)
-    bounds = np.cumsum([split_fracs[n] for n in names])
-    bounds = (bounds / bounds[-1] * len(subjects)).round().astype(int)
-    rows = []
-    start = 0
-    for name, end in zip(names, bounds):
-        for i in perm[start:end]:
-            rows.append((int(subjects[i]), name))
-        start = end
+    names_idx = rng.permutation(len(split_fracs))
+    names = np.array(list(split_fracs.keys()))[names_idx]
+    fracs = np.array([split_fracs[k] for k in names])
+    lens = np.round(fracs[:-1] * n).astype(int)
+    lens = np.append(lens, n - lens.sum())
+    if lens.min() == 0:
+        lens[lens.argmax()] -= 1
+        lens[lens.argmin()] += 1
+    if lens.min() == 0:
+        raise ValueError(
+            "Unable to adjust splits to ensure all splits have at least 1 subject."
+        )
+    perm = rng.permutation(subjects)
+    parts = np.split(perm, lens.cumsum())
+    rows = [
+        (int(s), str(name))
+        for name, part in zip(names, parts)
+        for s in part
+    ]
     return df.sparkSession.createDataFrame(rows, "subject_id long, split string")
 
 

@@ -64,6 +64,11 @@ def cohort_retention(
             cohort.cast("date").alias("cohort"),
             offset.cast("long").alias("offset"),
         )
+        # NULL offsets (NULL-ts events) must drop unconditionally: they
+        # sort NULLS-FIRST in the base window below, so one stray
+        # NULL-ts event would replace the offset-0 cohort size as every
+        # rate's denominator (rates > 1).
+        .filter(F.col("offset").isNotNull())
         .filter(F.col("offset") <= max_offset if max_offset is not None else F.lit(True))
         .groupBy("cohort", "offset", "__u")
         .agg(F.lit(1))

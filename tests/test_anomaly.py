@@ -136,3 +136,25 @@ def test_rolling_time_stats_bucketed_matches_plain(spark):
         .select(cols).orderBy("event_id").toPandas()
     )
     assert plain.equals(bucketed)
+
+
+def test_nan_values_count_toward_nothing(spark):
+    """Regression: floor(NaN).cast(long) is 0, so one NaN reading
+    contributed a phantom 0.0 to every overlapping window's stats and
+    self-flagged (NaN > threshold is true in Spark's ordering)."""
+    import datetime as dt
+
+    from meds_transforms_spark.operators.anomaly import rolling_anomaly
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (i, "t", base + dt.timedelta(minutes=i), 10.0 if i != 5 else float("nan"))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, value double")
+    out = {r.event_id: r for r in rolling_anomaly(df, keys="event_type", time_col="ts", min_events=2).collect()}
+    assert not any(r.is_anomaly for r in out.values())
+    # neighbours' window means unpolluted by a phantom 0.0
+    assert all(abs(r.w_mean - 10.0) < 1e-9 for i, r in out.items() if i != 5 and r.w_mean is not None)
+    # the NaN row itself contributes nothing and is unjudged
+    assert out[5].w_n == 5  # five prior real readings in its window, not itself

@@ -136,9 +136,10 @@ def test_normalization_zscore(spark):
     meta = fit_vocabulary_indices(meta)
     out = normalization(df, meta)
     got = sorted((r.code, r.numeric_value) for r in out.collect())
-    # X: mean 10, std 2 → ±1; Y: std 0 → null; vocab: X=1, Y=2
+    # X: mean 10, std 2 → ±1; Y: std 0 → NaN (the reference's unguarded
+    # (v-mean)/std: 0/0 is NaN, not null); vocab: X=1, Y=2
     assert got[0][0] == 1 and math.isclose(abs(got[0][1]), 1.0, rel_tol=1e-6)
-    assert got[2] == (2, None)
+    assert got[2][0] == 2 and math.isnan(got[2][1])
 
 
 def test_join_and_replace(spark):
@@ -151,3 +152,89 @@ def test_join_and_replace(spark):
     assert len(out) == 1
     assert out[0]["code/n_occurrences"] == 5  # new wins
     assert out[0]["description"] == "Heart Rate"  # old back-filled
+
+
+def test_time_of_day_terminal_bucket(spark):
+    """Regression: endpoints not reaching 24 (valid per the reference)
+    left late-evening events with a NULL code — the reference adds a
+    terminal [last,24) bucket (time_of_day.py:126)."""
+    import datetime as dt
+
+    from meds_transforms_spark.operators.add_time_derived import time_of_day_rows
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 4, 0), "E", None, None),
+        (1, dt.datetime(2024, 1, 1, 20, 0), "E", None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    got = {r.time.hour: r.code for r in time_of_day_rows(df, endpoints=(6, 12, 18)).collect()}
+    assert got == {4: "TIME_OF_DAY//[00,06)", 20: "TIME_OF_DAY//[18,24)"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sorted"):
+        time_of_day_rows(df, endpoints=(12, 6))
+    with _pytest.raises(ValueError, match="\\[0, 24\\]"):
+        time_of_day_rows(df, endpoints=(6, 36))
+
+
+def test_age_rows_dob_substring_match(spark):
+    """Regression: DOB rows matched only by exact code equality; the
+    reference matches by substring containment (age.py:149), so
+    'SNOMED//MEDS_BIRTH' must anchor ages too."""
+    import datetime as dt
+
+    from meds_transforms_spark.operators.add_time_derived import age_rows
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rows = [
+        (1, dt.datetime(1980, 1, 1), "SNOMED//MEDS_BIRTH", None, None),
+        (1, dt.datetime(2000, 1, 1), "HR", 80.0, None),
+    ]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    out = age_rows(df).collect()
+    assert len(out) == 1 and abs(out[0].numeric_value - 20.0) < 0.1
+    # regex form too
+    out2 = age_rows(df, DOB_regex="MEDS_BIRTH$").collect()
+    assert len(out2) == 1
+
+
+def test_occlude_nulls_value_when_stats_missing(spark):
+    """Reference parity: a code absent from the metadata (NULL flag)
+    gets its numeric_value NULLED (pl.when().then() takes the null
+    branch), not kept."""
+    from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    df = spark.createDataFrame([(1, None, "NEW_LAB", 7.2, None)], MEDS_DATA_SCHEMA)
+    meta = spark.createDataFrame(
+        [("OTHER", 10.0, 1.0)], "code string, `values/mean` double, `values/std` double"
+    )
+    row = occlude_outliers(df, meta).collect()[0]
+    assert row["numeric_value/is_inlier"] is None
+    assert row["numeric_value"] is None
+
+
+def test_bin_numeric_all_null_quantiles_left_unbinned(spark):
+    """Regression: a code whose quantile struct is all-NULL (no
+    observed values) produced [null,null,null] endpoints, and the null
+    left/right boundaries null-propagated through the name template,
+    rewriting CODE itself to NULL."""
+    from meds_transforms_spark.operators.bin_numeric_values import bin_numeric_values
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rows = [
+        (1, None, "X", 5.0, None),
+        (1, None, "X", 6.0, None),
+        (1, None, "Y", None, None),  # Y has NO observed values
+        (1, None, "Y", 7.0, None),   # later snapshot row WITH a value
+    ]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    meta = aggregate_code_metadata(
+        df.filter("numeric_value is null or code = 'X'"),
+        aggregations=[{"name": "values/quantiles", "quantiles": [0.25, 0.5, 0.75]}],
+    )
+    out = bin_numeric_values(df, code_metadata=meta)
+    codes = [r.code for r in out.collect()]
+    assert None not in codes
+    assert sum(1 for c in codes if c == "Y") == 2  # Y rows untouched

@@ -134,3 +134,26 @@ def test_param_mismatch_raises_and_sidecar_adopted(spark, tmp_path):
     # contradictory explicit override refuses to run
     with pytest.raises(ValueError, match="disagree"):
         dedup_against_index(batch, loaded, index_params=params, num_hashes=32)
+
+
+def test_null_text_never_collides_with_index(spark):
+    """Regression: NULL-text docs hashed to one shared degenerate
+    bucket, so an indexed NULL doc flagged every later NULL doc as a
+    corpus duplicate — while a full-corpus minhash run keeps them."""
+    from meds_transforms_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, None), (4, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(batch1)
+    out = {r.doc_id: r.dup_of_corpus for r in dedup_against_index(batch2, idx).collect()}
+    assert out[3] is False or out[3] is None or out[3] == 0  # NULL doc never collides
+    assert out[4]  # the real duplicate still does

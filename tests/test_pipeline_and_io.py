@@ -48,12 +48,17 @@ def test_shards_json_roundtrip(spark, meds_df, tmp_path):
     assert written == {"train/0": [1, 2], "tuning/0": [3]}
 
 
-def test_assign_splits_deterministic(spark, meds_df):
+def test_assign_splits_deterministic(spark):
+    from pyspark.sql import functions as F
+
     from meds_transforms_spark.operators.reshard_to_split import assign_splits
 
-    a = {r.subject_id: r.split for r in assign_splits(meds_df, seed=13).collect()}
-    b = {r.subject_id: r.split for r in assign_splits(meds_df, seed=13).collect()}
-    c = {r.subject_id: r.split for r in assign_splits(meds_df, seed=14).collect()}
+    # >= 10 subjects: the reference-parity algorithm (like the
+    # reference itself) raises when a split cannot be made non-empty
+    wide = spark.range(1, 31).select(F.col("id").alias("subject_id"))
+    a = {r.subject_id: r.split for r in assign_splits(wide, seed=13).collect()}
+    b = {r.subject_id: r.split for r in assign_splits(wide, seed=13).collect()}
+    c = {r.subject_id: r.split for r in assign_splits(wide, seed=14).collect()}
     assert a == b
     assert set(a) == set(c)  # same subjects, possibly different splits
 
@@ -63,19 +68,22 @@ def test_assign_splits_hash_method(spark, meds_df):
     same subject universe as the permutation method, deterministic per
     seed, and reshard's inline-expression path agrees with the
     materialized assignment table exactly."""
+    from pyspark.sql import functions as F
+
     from meds_transforms_spark.operators.reshard_to_split import (
         assign_splits,
         reshard_to_split,
     )
 
-    perm = {r.subject_id: r.split for r in assign_splits(meds_df, seed=5).collect()}
+    wide = spark.range(1, 31).select(F.col("id").alias("subject_id"))
+    perm = {r.subject_id: r.split for r in assign_splits(wide, seed=5).collect()}
     h1 = {
         r.subject_id: r.split
-        for r in assign_splits(meds_df, seed=5, method="hash").collect()
+        for r in assign_splits(wide, seed=5, method="hash").collect()
     }
     h2 = {
         r.subject_id: r.split
-        for r in assign_splits(meds_df, seed=5, method="hash").collect()
+        for r in assign_splits(wide, seed=5, method="hash").collect()
     }
     assert h1 == h2  # deterministic
     assert set(h1) == set(perm)  # same subject universe, one split each
@@ -491,3 +499,39 @@ def test_attach_order_key_deterministic_ties(spark):
     got_f = {r.code: r["__order"] for r in attach_order_key(fwd).collect()}
     got_r = {r.code: r["__order"] for r in attach_order_key(rev).collect()}
     assert got_f == got_r == {"A": 1, "B": 2, "M": 3, "Q": 4, "Z": 5}
+
+
+def test_assign_splits_matches_reference_goldens(spark):
+    """Bit-identical split MEMBERSHIP to the reference's shard_subjects
+    for the same seed — pinned against the reference doctest goldens
+    (reshard_to_split.py:64-68, seed=1, subjects 1..10):
+    3-split: train={9,4,8,2,1,10,6,5}, tuning={3}, held_out={7};
+    2-split: train={5,9,6,3,10,8,1,2}, tuning={7,4}."""
+    import pytest as _pytest
+
+    from meds_transforms_spark.operators.reshard_to_split import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], "subject_id long")
+    got3 = {}
+    for r in assign_splits(
+        df, {"train": 0.8, "tuning": 0.1, "held_out": 0.1}, seed=1
+    ).collect():
+        got3.setdefault(r.split, set()).add(r.subject_id)
+    assert got3 == {
+        "train": {9, 4, 8, 2, 1, 10, 6, 5},
+        "tuning": {3},
+        "held_out": {7},
+    }
+    got2 = {}
+    for r in assign_splits(
+        df, {"train": 0.8, "tuning": 0.2, "held_out": None}, seed=1
+    ).collect():
+        got2.setdefault(r.split, set()).add(r.subject_id)
+    assert got2 == {"train": {5, 9, 6, 3, 10, 8, 1, 2}, "tuning": {7, 4}}
+    # fractions that don't cover 1 must raise, never silently normalize
+    with _pytest.raises(ValueError, match="sum of the split fractions"):
+        assign_splits(df, {"train": 0.8, "held_out": None}, seed=1)
+    # splits that can't be made non-empty must raise
+    two = spark.createDataFrame([(1,), (2,)], "subject_id long")
+    with _pytest.raises(ValueError, match="at least 1 subject"):
+        assign_splits(two, {"train": 0.8, "tuning": 0.1, "held_out": 0.1}, seed=1)

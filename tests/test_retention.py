@@ -91,3 +91,25 @@ def test_event_transitions_matrix(spark):
         for r in event_transitions(df).collect()
     }
     assert out == {("view", "click"): 2, ("click", "buy"): 1}
+
+
+def test_retention_ignores_null_timestamps(spark):
+    """Regression: a NULL-ts event produced a (cohort, NULL) cell that
+    sorted NULLS-FIRST into the denominator window, replacing the
+    cohort size and inflating every rate (often past 1.0)."""
+    import datetime as dt
+
+    from meds_transforms_spark.operators.retention import cohort_retention
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(10):
+        rows.append((u, d0))
+        if u < 5:
+            rows.append((u, d0 + dt.timedelta(days=1)))
+    rows.append((0, None))  # stray NULL-ts event
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.offset: (r.n_users, r.retention_rate) for r in cohort_retention(df, period="day").collect()}
+    assert out[0] == (10, 1.0)
+    assert out[1] == (5, 0.5)
+    assert None not in out
