@@ -71,7 +71,17 @@ class ComputeFnType(Enum):
         if ann is inspect.Signature.empty:
             callable_return = None  # unannotated: infer from params alone
         elif isinstance(ann, str):
-            callable_return = ann.startswith("Callable")
+            # Under `from __future__ import annotations` every
+            # annotation is a string — 'typing.Callable[...]' and
+            # 'collections.abc.Callable[...]' must classify like their
+            # evaluated forms, not just the bare 'Callable[...]'
+            # spelling.
+            callable_return = (
+                ann.startswith("Callable")
+                or ann.startswith("typing.Callable")
+                or ann.startswith("collections.abc.Callable")
+                or ann.startswith("abc.Callable")
+            )
         else:
             callable_return = getattr(ann, "__name__", str(ann)).startswith(
                 "Callable"

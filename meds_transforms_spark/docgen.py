@@ -54,7 +54,10 @@ def _example_section(scenario) -> list[str]:
     if scenario.cfg:
         lines += ["Configuration:", "", _yaml_block(scenario.cfg), ""]
     out_yaml = scenario.out_data_yaml or scenario.out_metadata_yaml
-    if out_yaml:
+    # goldens may be a bare CSV string or an empty mapping (both valid
+    # StageExample formats) — skip the preview rather than crash the
+    # whole doc build
+    if out_yaml and isinstance(out_yaml, dict) and len(out_yaml):
         key, val = next(iter(out_yaml.items()))
         preview = val if isinstance(val, str) else str(val)
         preview_lines = preview.strip().splitlines()[:8]

@@ -236,6 +236,12 @@ def q_tpch_q15(spark, sf_dir):
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_revenue()).alias("total_rev_dec"))
+        # Pin: the scalar-max branch and the final join both consume
+        # this aggregate, and the join pushes an isnotnull into one
+        # branch so the subtrees stop canonicalizing into one
+        # ReusedExchange — unpinned, the lineitem scan + agg ran TWICE
+        # (verified in the executed plan). |suppliers| rows.
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_rev_dec").alias("max_rev"))
     return (
@@ -405,6 +411,10 @@ def q_tpch_q11(spark, sf_dir):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("value_dec"))
+        # Pin: consumed by the HAVING total AND the final filter-join —
+        # unpinned, the broadcast-join + lineitem agg ran twice (same
+        # fan-out-aggregate class as q15). |parts| rows.
+        .localCheckpoint(eager=False)
     )
     total = from_n1.agg(F.sum("value_dec").alias("total_dec"))
     return (

@@ -77,8 +77,14 @@ def events_as_meds(
         F.col("props"),
     )
     if with_modifier:
+        # try_cast, not cast: regexp_extract returns '' on no match and
+        # ANSI mode (Spark 4 default) aborts the job on cast('' as int)
+        # — a digit-free props (e.g. the synthetic '{}' frames the
+        # scale harnesses generate) must yield a NULL modifier instead.
         out = out.withColumn(
             "kk",
-            F.expr("cast(cast(regexp_extract(props, '([0-9]+)', 1) as int) div 10 as int)"),
+            F.expr(
+                "cast(try_cast(regexp_extract(props, '([0-9]+)', 1) as int) div 10 as int)"
+            ),
         )
     return out.drop("props")

@@ -161,9 +161,13 @@ def data_frame(spark, in_yaml: dict, prefix: str = "data/"):
     """Union the CSV shards under ``prefix`` into one DataFrame.
 
     Concatenated in pandas first: an all-null shard would otherwise lose
-    a column's dtype and break the cross-shard union."""
+    a column's dtype and break the cross-shard union. Each shard is a
+    CSV string or a YAML row list — the same dual format codes_frame
+    dispatches on."""
     parts = [
-        _parse_csv(csv) for key, csv in in_yaml.items() if key.startswith(prefix)
+        _parse_csv(v) if isinstance(v, str) else _flatten_quantile_rows(v)
+        for key, v in in_yaml.items()
+        if key.startswith(prefix)
     ]
     if not parts:
         return None
@@ -320,7 +324,12 @@ def _run_data_stage(spark, ex: ExampleScenario, default_in_yaml: dict | None):
     mode = cfg.pop("_match_revise_mode", "match_and_revise")
 
     params = list(inspect.signature(stage.fn).parameters)
-    cfg = _filter_kwargs(stage.fn, cfg)
+    # Reference-style compute fns take (df, cfg/stage_cfg) — their
+    # scenario config keys are BOUND INTO stage_cfg by Stage.__call__,
+    # never named in the signature, so filtering against the signature
+    # would strip every key and run the stage with defaults.
+    if stage.compute_mode != "reference":
+        cfg = _filter_kwargs(stage.fn, cfg)
     if "code_metadata" in params[1:]:
         meta = codes_frame(spark, in_yaml)
         if meta is not None:
@@ -430,6 +439,20 @@ def _run_bin_numeric_values(spark, ex, default_in_yaml):
     in_yaml = _resolve_input(ex, default_in_yaml)
     cfg = effective_cfg(ex)
     rows = in_yaml.get(CODES_KEY) or []
+    if isinstance(rows, str):
+        # CSV-string codes (the other half of codes_frame's dual-format
+        # contract): flat values/quantile/<q> columns → nested dict rows
+        pdf = _parse_csv(rows)
+        qcols = [c for c in pdf.columns if c.startswith("values/quantile/")]
+        rows = [
+            {
+                "code": r.get("code"),
+                "values/quantiles": {
+                    c: r[c] for c in qcols if pd.notna(r.get(c))
+                },
+            }
+            for r in pdf.to_dict("records")
+        ]
     bins = {
         r["code"]: sorted(r["values/quantiles"].values())
         for r in rows

@@ -46,26 +46,16 @@ def _parse_csv(text: str) -> pd.DataFrame:
         pdf["time"] = pd.to_datetime(
             pdf["time"], format=FIXTURE_TIME_FORMAT, errors="coerce"
         )
-    for col in pdf.columns:
-        if pdf[col].dtype == object:
-            nonnull = pdf[col].dropna()
-            if len(nonnull) and set(nonnull.unique()) <= {True, False, "True", "False"}:
-                # Boolean-ish fixture column (e.g. numeric_value/is_inlier):
-                # nullable pandas boolean → Spark BooleanType (plain object
-                # mixes bool and float-NaN and breaks type inference).
-                pdf[col] = pdf[col].map(
-                    {True: True, False: False, "True": True, "False": False}
-                ).astype("boolean")
-            else:
-                # NaN in object columns must become None, not the string
-                # "nan", when crossing into Spark.
-                pdf[col] = pdf[col].where(pd.notnull(pdf[col]), None)
-    return pdf
+    return _normalize_object_cols(pdf)
 
 
 def _normalize_object_cols(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Re-run the object-column normalization after a concat (an all-null
-    shard reverts boolean columns to object)."""
+    """Object-column normalization, shared by _parse_csv and the
+    post-concat pass (an all-null shard reverts boolean columns to
+    object): boolean-ish columns (e.g. numeric_value/is_inlier) become
+    nullable pandas boolean → Spark BooleanType, and NaN in object
+    columns becomes None, not the string \"nan\", when crossing into
+    Spark."""
     for col in pdf.columns:
         if pdf[col].dtype == object:
             nonnull = pdf[col].dropna()

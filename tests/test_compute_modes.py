@@ -130,3 +130,25 @@ def test_dotdict_nested_attribute_access():
     assert d.a.b.c == 3 and d.x == 1
     with pytest.raises(AttributeError):
         _ = d.missing
+
+
+def test_functor_detection_with_stringified_annotations():
+    """Regression: under `from __future__ import annotations` every
+    return annotation is a STRING, and only the bare 'Callable[...]'
+    spelling was recognized — 'collections.abc.Callable'/'typing.
+    Callable' functors silently registered as kwargs-mode stages."""
+    from meds_transforms_spark.compute_modes import ComputeFnType
+
+    ns = {}
+    exec(
+        "from __future__ import annotations\n"
+        "import collections.abc\n"
+        "import typing\n"
+        "def f1(cfg) -> collections.abc.Callable: ...\n"
+        "def f2(stage_cfg) -> typing.Callable: ...\n"
+        "def f3(cfg) -> Callable: ...\n",
+        ns,
+    )
+    assert ComputeFnType.from_fn(ns["f1"]) is ComputeFnType.FUNCTOR
+    assert ComputeFnType.from_fn(ns["f2"]) is ComputeFnType.FUNCTOR
+    assert ComputeFnType.from_fn(ns["f3"]) is ComputeFnType.FUNCTOR

@@ -64,3 +64,20 @@ def test_wide_to_meds_null_static_dropped(spark):
     assert out.filter(F.col("code").isNull()).count() == 0
     statics = {r.subject_id: r.code for r in out.filter("time is null").collect()}
     assert statics == {1: "sex//F"}
+
+
+def test_events_as_meds_modifier_tolerates_digitless_props(spark, tmp_path):
+    """Regression: cast('' as int) aborts under ANSI when props has no
+    digits — the kk modifier must be NULL instead."""
+    from meds_transforms_spark.sources.testdata import events_as_meds
+
+    src = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:00:00", 1, "view", 2.0, "k=37")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type", "value", "props"
+    ).write.parquet(f"{src}/events.parquet")
+    out = {r.code: r.kk for r in events_as_meds(spark, src, with_modifier=True).collect()}
+    assert out["click"] is None and out["view"] == 3

@@ -191,3 +191,16 @@ stages:
     _, meta3 = Pipeline(spark, cfg).run(meds_df, train_data=train_frame)
     got3 = {r.code: r["code/n_subjects"] for r in meta3.collect()}
     assert got3["HR"] == 1 and "EYE_COLOR//BLUE" not in got3
+
+
+def test_q15_q11_single_fact_scan(spark):
+    """Regression: the scalar-aggregate branch re-scanned lineitem (the
+    join's pushed isnotnull broke ReusedExchange canonicalization) —
+    the pinned aggregate must leave exactly one lineitem scan."""
+    import __spark_entry__ as E
+
+    for name in ("tpch_q15", "tpch_q11"):
+        df = E.queries()[name](spark, "/root/testdata/sf0.01")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") <= 1, name
+        assert df.count() >= 1, name
