@@ -143,8 +143,27 @@ def _load_entry_point_stages() -> None:
     from importlib.metadata import entry_points
 
     for ep in entry_points(group="meds_transforms_spark.stages"):
-        fn = ep.load()
-        if getattr(fn, "stage_name", None) not in _REGISTRY:
+        # One broken third-party entry point must not poison discovery
+        # of every other package's stages (the loaded-flag is already
+        # set, so an escaping exception would permanently abort here).
+        try:
+            fn = ep.load()
+        except Exception as e:  # noqa: BLE001 — any import failure
+            import warnings
+
+            warnings.warn(
+                f"skipping broken stage entry point {ep.name!r}: "
+                f"{type(e).__name__}: {e}"
+            )
+            continue
+        reg_name = getattr(fn, "stage_name", None)
+        if reg_name in _REGISTRY:
+            if ep.name not in _REGISTRY:
+                # the module's own decorator registered it under a
+                # different name at import time — make it reachable
+                # under the advertised entry-point name too
+                _REGISTRY[ep.name] = _REGISTRY[reg_name]
+        else:
             register_stage(ep.name)(fn)
 
 

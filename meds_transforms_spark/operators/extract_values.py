@@ -28,7 +28,15 @@ _SCHEMA_CASTS = {
 
 @register_stage("extract_values")
 def extract_values(df: DataFrame, **column_exprs) -> DataFrame:
-    out = df
+    # SIMULTANEOUS assignment over the input frame (one withColumns),
+    # matching the reference's single with_columns(new_cols)
+    # (extract_values.py:131-137): sequential withColumn would let a
+    # later target read an EARLIER target's new value — e.g.
+    # {"numeric_value": {...extract...}, "text_value": "numeric_value"}
+    # must copy the ORIGINAL numeric_value, not the extracted one. The
+    # missing-columns check and the expressions therefore both see the
+    # same (input) frame.
+    assignments = {}
     for col_name, cfg in column_exprs.items():
         expr, needed = parse_col_expr(cfg)
         missing = needed - set(df.columns)
@@ -39,5 +47,5 @@ def extract_values(df: DataFrame, **column_exprs) -> DataFrame:
         cast_to = _SCHEMA_CASTS.get(col_name)
         if cast_to:
             expr = expr.cast(cast_to)
-        out = out.withColumn(col_name, expr)
-    return out
+        assignments[col_name] = expr
+    return df.withColumns(assignments) if assignments else df

@@ -65,13 +65,19 @@ def fit_vocabulary_indices(
     not a bigger limit. ``None`` skips the (eager) count.
     """
     keys = [CODE, *code_modifiers]
-    if validate:
-        validate_code_metadata(code_metadata, keys)
-    if max_rows is not None:
-        n = code_metadata.count()
-        if n > max_rows:
+    if validate or max_rows is not None:
+        # ONE job covers both checks on the happy path (validate +
+        # count separately re-ran the full metadata lineage twice);
+        # the duplicate-example fetch only runs on actual failure.
+        grouped = code_metadata.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        stats = grouped.agg(
+            F.sum("__n").alias("__rows"), F.max("__n").alias("__mx")
+        ).collect()[0]
+        if validate and (stats["__mx"] or 0) > 1:
+            validate_code_metadata(code_metadata, keys)  # raises with examples
+        if max_rows is not None and (stats["__rows"] or 0) > max_rows:
             raise ValueError(
-                f"fit_vocabulary_indices: code metadata has {n} rows "
+                f"fit_vocabulary_indices: code metadata has {stats['__rows']} rows "
                 f"(> max_rows={max_rows}); a single-partition window over "
                 "it would bottleneck. Use a distributed ranking instead."
             )

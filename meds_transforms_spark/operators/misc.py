@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from meds_transforms_spark.functions.matcher import matcher_to_expr
 from meds_transforms_spark.operators.base import register_stage
-from meds_transforms_spark.schema import CODE, SUBJECT_ID, TIME
+from meds_transforms_spark.schema import CODE, ORDER_KEY, SUBJECT_ID, TIME
 
 
 @register_stage("drop_regex")
@@ -32,7 +32,19 @@ def filter_rows(df: DataFrame, matcher: dict, negate: bool = False) -> DataFrame
 
 @register_stage("dedup_events")
 def dedup_events(df: DataFrame) -> DataFrame:
-    return df.dropDuplicates([SUBJECT_ID, TIME])
+    """Exact-duplicate measurement removal: one row per distinct
+    measurement tuple (all data columns; the ORDER_KEY bookkeeping
+    column is excluded so re-ingested copies still collapse).
+
+    NOT dropDuplicates([subject, time]) — Spark treats NULLs as equal
+    there, so that form kept ONE arbitrary row per (subject, time) and
+    collapsed a subject's whole static (null-time) block into a single
+    shuffle-order-dependent survivor. Duplicate full rows are
+    interchangeable, so this form is deterministic. For the distinct
+    EVENT GRID (unique non-null (subject, time) pairs) see
+    add_time_derived._distinct_events."""
+    keys = [c for c in df.columns if c != ORDER_KEY]
+    return df.dropDuplicates(keys)
 
 
 @register_stage("scale_numeric")

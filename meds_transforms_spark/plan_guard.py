@@ -97,7 +97,10 @@ def _has_global_window(plan: str) -> bool:
     # 1 group = fully global.
     for line in plan.splitlines():
         s = line.strip().lstrip("+-: *")
-        if s.startswith("Window "):
+        # WindowInPandas too: a GLOBAL pandas-UDF window is the same
+        # one-reducer funnel, plus Arrow serialization on the one task.
+        # (WindowGroupLimit stays excluded — neither prefix matches.)
+        if s.startswith("Window ") or s.startswith("WindowInPandas "):
             groups = _bracket_groups(s)
             if len(groups) <= 1:
                 return True

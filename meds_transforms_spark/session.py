@@ -39,10 +39,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # The cores-based shuffle-partition default is a LOCAL-master
+    # heuristic only: on a real cluster it would cap every shuffle at
+    # the submit host's core count (AQE coalescing only merges
+    # DOWNWARD from the initial number, never raises it). Non-local
+    # masters keep Spark's default unless the caller sets one.
+    if shuffle_partitions is None and master.startswith("local"):
+        shuffle_partitions = cpus
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -71,6 +77,10 @@ def get_spark(
         # overcommit; SPARK_DRIVER_MEMORY stays the escape hatch.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

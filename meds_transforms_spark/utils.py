@@ -20,16 +20,24 @@ def resolve_pkg_path(uri: str, search_dirs: tuple[str, ...] = ()) -> str:
     if not uri.startswith(PKG_PFX):
         return uri
     dotted = uri[len(PKG_PFX) :]
+    if "." not in dotted:
+        # A dotless URI can't name a resource file — report it as the
+        # documented FileNotFoundError, not an unpacking ValueError.
+        raise FileNotFoundError(
+            f"Cannot resolve {uri!r}: pkg:// URIs take the form "
+            "pkg://package.subdirs.name.ext"
+        )
     stem, ext = dotted.rsplit(".", 1)
     parts = stem.split(".")
-    try:
-        import importlib.resources as ir
+    if len(parts) >= 2:  # pkg://pkg.name.ext at minimum for an ir lookup
+        try:
+            import importlib.resources as ir
 
-        cand = ir.files(parts[0]).joinpath("/".join(parts[1:]) + "." + ext)
-        if cand.is_file():
-            return str(cand)
-    except (ImportError, ModuleNotFoundError, TypeError, AttributeError):
-        pass
+            cand = ir.files(parts[0]).joinpath("/".join(parts[1:]) + "." + ext)
+            if cand.is_file():
+                return str(cand)
+        except (ImportError, ModuleNotFoundError, TypeError, AttributeError):
+            pass
     fname = parts[-1] + "." + ext
     for d in search_dirs:
         cand = os.path.join(d, fname)

@@ -238,3 +238,77 @@ def test_bin_numeric_all_null_quantiles_left_unbinned(spark):
     codes = [r.code for r in out.collect()]
     assert None not in codes
     assert sum(1 for c in codes if c == "Y") == 2  # Y rows untouched
+
+
+def test_reorder_rewrites_order_key(spark):
+    """Regression: reorder_measurements changed only PHYSICAL row order;
+    the pipeline's write-time canonical_sort (ties by __order) silently
+    reverted the priority ordering. __order must be rewritten."""
+    import datetime as dt
+
+    from meds_transforms_spark.operators.reorder_measurements import (
+        reorder_measurements,
+    )
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+    from meds_transforms_spark.sources.meds_dataset import attach_order_key
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [(1, t0, "B_LAB", 1.0, None), (1, t0, "A_VITAL", 2.0, None)]
+    df = attach_order_key(spark.createDataFrame(rows, MEDS_DATA_SCHEMA))
+    out = reorder_measurements(df, ordered_code_patterns=["B_LAB", "A_VITAL"])
+    got = {r.code: r["__order"] for r in out.collect()}
+    assert got == {"B_LAB": 1, "A_VITAL": 2}  # priority order SURVIVES __order
+
+
+def test_reorder_metadata_join_missing_codes_first(spark):
+    """Reference parity: with a code_metadata table, a data code ABSENT
+    from the metadata gets a NULL priority and sorts FIRST (the
+    reference's left join + Polars nulls-first sort)."""
+    import datetime as dt
+
+    from meds_transforms_spark.operators.reorder_measurements import (
+        reorder_measurements,
+    )
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+    from meds_transforms_spark.sources.meds_dataset import attach_order_key
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [(1, t0, "KNOWN", 1.0, None), (1, t0, "AGE", 2.0, None)]
+    df = attach_order_key(spark.createDataFrame(rows, MEDS_DATA_SCHEMA))
+    meta = spark.createDataFrame([("KNOWN",)], "code string")
+    out = reorder_measurements(df, ["KNOWN"], code_metadata=meta)
+    got = {r.code: r["__order"] for r in out.collect()}
+    assert got == {"AGE": 1, "KNOWN": 2}  # missing-from-metadata code first
+
+
+def test_dedup_events_keeps_static_block(spark):
+    """Regression: dropDuplicates([subject, time]) treats NULLs as
+    equal, collapsing a subject's whole static block into one arbitrary
+    survivor. Only exact duplicate rows may collapse."""
+    from meds_transforms_spark.operators.misc import dedup_events
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+
+    rows = [
+        (1, None, "GENDER//F", None, None),
+        (1, None, "RACE//X", None, None),
+        (1, None, "GENDER//F", None, None),  # true duplicate
+    ]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    got = sorted(r.code for r in dedup_events(df).collect())
+    assert got == ["GENDER//F", "RACE//X"]
+
+
+def test_extract_values_simultaneous_assignment(spark):
+    """Reference parity: all targets evaluate against the INPUT frame
+    (one with_columns) — a later target referencing an earlier target's
+    column must copy the ORIGINAL value."""
+    from meds_transforms_spark.operators.extract_values import extract_values
+
+    df = spark.createDataFrame([(1, "t42", 7.0)], "event_id long, text_value string, numeric_value double")
+    out = extract_values(
+        df,
+        numeric_value={"extract": {"from": "text_value", "regex": "([0-9]+)"}},
+        text_value="numeric_value",
+    ).collect()[0]
+    assert out.numeric_value == 42.0
+    assert out.text_value == "7.0"  # the ORIGINAL numeric_value
