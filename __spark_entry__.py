@@ -2165,8 +2165,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "meds_filter_subjects": f"""
+            -- Polars n_unique counts NULL time as one distinct value;
+            -- DuckDB count(DISTINCT) skips NULLs, so add the indicator.
             SELECT subject_id, "time", code, numeric_value FROM (
-              SELECT *, count(DISTINCT "time") OVER (PARTITION BY subject_id) AS n_ev
+              SELECT *, count(DISTINCT "time") OVER (PARTITION BY subject_id)
+                        + max(CASE WHEN "time" IS NULL THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY subject_id) AS n_ev
               FROM {meds} meds
             ) WHERE n_ev >= 67
         """,
@@ -2293,7 +2297,9 @@ def oracle_sql() -> dict[str, str]:
         "meds_pipeline_e2e": f"""
             WITH d1 AS (
               SELECT subject_id, "time", code, numeric_value FROM (
-                SELECT *, count(DISTINCT "time") OVER (PARTITION BY subject_id) AS n_ev
+                SELECT *, count(DISTINCT "time") OVER (PARTITION BY subject_id)
+                          + max(CASE WHEN "time" IS NULL THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY subject_id) AS n_ev
                 FROM {meds} meds
               ) WHERE n_ev >= 60
             ),

@@ -52,18 +52,19 @@ def filter_subjects(
             .drop("__n_meas")
         )
     if min_events_per_subject:
-        # Distinct non-null times per subject (static rows don't define
-        # events), via streaming dense_rank — see module docstring for
-        # why NOT collect_set. NULL times sort first (asc_nulls_first)
-        # and share rank 1, so max(rank) overcounts by exactly 1 when
-        # any null time exists; subtract that indicator. Both max()
-        # frames are unbounded over the same partitioning, so the whole
-        # computation is ONE exchange + one in-task sort.
+        # Distinct times per subject via streaming dense_rank — see
+        # module docstring for why NOT collect_set. Polars
+        # ``n_unique()`` counts a NULL time as ONE distinct value (the
+        # reference doctest keeps subject 4 with times
+        # [None, None, 1, 2, 3] at min=4 — filter_subjects.py:170-180),
+        # and dense_rank with NULLs first matches exactly: all NULL
+        # rows share rank 1, so max(rank) == n_unique-including-null.
+        # The max() frame is unbounded over the same partitioning, so
+        # the whole computation is ONE exchange + one in-task sort.
         wo = W.partitionBy(SUBJECT_ID).orderBy(F.col(TIME).asc_nulls_first())
-        has_null = F.max(F.when(F.col(TIME).isNull(), 1).otherwise(0)).over(w)
         df = (
             df.withColumn("__rk", F.dense_rank().over(wo))
-            .withColumn("__n_events", F.max("__rk").over(w) - has_null)
+            .withColumn("__n_events", F.max("__rk").over(w))
             .filter(F.col("__n_events") >= int(min_events_per_subject))
             .drop("__rk", "__n_events")
         )

@@ -19,9 +19,31 @@ from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
 
 
 def test_filter_subjects_min_events(meds_df):
-    # subject 1 has 4 distinct non-null times, subject 2 has 3, subject 3 has 2.
-    out = filter_subjects(meds_df, min_events_per_subject=4)
+    # Polars n_unique counts NULL time as one distinct value (reference
+    # doctest filter_subjects.py:170-180 keeps [None,None,1,2,3] at
+    # min=4), so s1=5 events, s2=4, s3=3 (each has static null rows).
+    out = filter_subjects(meds_df, min_events_per_subject=5)
     assert set(r.subject_id for r in out.select("subject_id").distinct().collect()) == {1}
+    out4 = filter_subjects(meds_df, min_events_per_subject=4)
+    assert set(r.subject_id for r in out4.select("subject_id").distinct().collect()) == {1, 2}
+
+
+def test_filter_subjects_null_time_counts_as_event(spark):
+    # Mirror of the reference doctest (filter_subjects.py:104-193):
+    # subject 4 = [None, None, 1, 2, 3] survives min=4, dies at min=5.
+    from meds_transforms_spark.schema import MEDS_DATA_SCHEMA
+    from tests.conftest import ts
+
+    rows = [
+        (4, None, "C", None, None),
+        (4, None, "C", None, None),
+        (4, ts("2020-01-01T00:00:00"), "C", None, None),
+        (4, ts("2020-01-02T00:00:00"), "C", None, None),
+        (4, ts("2020-01-03T00:00:00"), "C", None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDS_DATA_SCHEMA)
+    assert filter_subjects(df, min_events_per_subject=4).count() == 5
+    assert filter_subjects(df, min_events_per_subject=5).count() == 0
 
 
 def test_filter_subjects_min_measurements(meds_df):

@@ -115,13 +115,14 @@ stages:
     assert cfg.stages[0].resolved_name == "filter_subjects"
     # Override by the ALIAS name, YAML-typed value.
     cfg.apply_overrides(
-        ["keep_busy_subjects.min_events_per_subject=3", "worker_tag=abc"]
+        ["keep_busy_subjects.min_events_per_subject=4", "worker_tag=abc"]
     )
-    assert cfg.stages[0].config["min_events_per_subject"] == 3
+    assert cfg.stages[0].config["min_events_per_subject"] == 4
     assert cfg.additional_params["worker_tag"] == "abc"
 
     data, meta = Pipeline(spark, cfg).run(meds_df)
-    # min_events=3 keeps subjects 1 (4 events) and 2 (3); drops 3 (2).
+    # n_unique counts the null-time group: s1=5 events, s2=4, s3=3;
+    # min_events=4 keeps subjects 1 and 2, drops 3.
     assert {r.subject_id for r in data.select("subject_id").distinct().collect()} == {1, 2}
     counts = {r.code: r["code/n_occurrences"] for r in meta.collect()}
     assert counts["HR"] == 3  # subject 1: 2, subject 2: 1
@@ -162,14 +163,15 @@ def test_metadata_stage_reads_train_only_after_data_stage(spark, meds_df):
     cfg = PipelineConfig.from_yaml(
         """
 stages:
-  - filter_subjects: {min_events_per_subject: 3}
+  - filter_subjects: {min_events_per_subject: 4}
   - aggregate_code_metadata: {aggregations: [code/n_subjects, code/n_occurrences]}
 """
     )
     _, meta = Pipeline(spark, cfg).run(meds_df, subject_splits=splits)
     got = {r.code: r["code/n_subjects"] for r in meta.collect()}
-    # Subject 3 (train, 2 events) falls to filter_subjects; subject 2
-    # (3 events) survives it but is tuning. Only subject 1's rows may
+    # n_unique counts the null-time group: s1=5, s2=4, s3=3 events.
+    # Subject 3 (train, 3 events) falls to filter_subjects; subject 2
+    # (4 events) survives it but is tuning. Only subject 1's rows may
     # reach the aggregate: HR seen by exactly 1 subject, and
     # subject-2-only codes absent entirely. A stale pre-filter train
     # frame would leak subject 3's HR (=2); no split filtering would
