@@ -1165,8 +1165,12 @@ def q_docs_winnow_overlap(spark, sf_dir):
     from meds_transforms_spark.operators.winnow import winnow_overlap
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # packed_ids=True explicitly: doc_id is a dense long < 2^31, so the
+    # guarded 64-bit pair key applies (auto would take the two-column
+    # aggregate for an arbitrary long id space).
     return winnow_overlap(
-        docs, k=10, w=8, min_shared=5, max_df=100, hash_fn="md5_60"
+        docs, k=10, w=8, min_shared=5, max_df=100, hash_fn="md5_60",
+        packed_ids=True,
     ).select("id_a", "id_b", "n_shared")
 
 

@@ -40,11 +40,22 @@ def dedup_events(df: DataFrame) -> DataFrame:
     there, so that form kept ONE arbitrary row per (subject, time) and
     collapsed a subject's whole static (null-time) block into a single
     shuffle-order-dependent survivor. Duplicate full rows are
-    interchangeable, so this form is deterministic. For the distinct
-    EVENT GRID (unique non-null (subject, time) pairs) see
-    add_time_derived._distinct_events."""
+    interchangeable in their DATA columns, but each carries its own
+    ORDER_KEY, so a dropDuplicates that merely *excluded* ORDER_KEY
+    kept a shuffle-order-dependent key — downstream
+    (subject, time, __order) sorts would place the survivor
+    nondeterministically among tied rows. Aggregating min(ORDER_KEY)
+    per distinct tuple makes the survivor's position a pure function
+    of the data. For the distinct EVENT GRID (unique non-null
+    (subject, time) pairs) see add_time_derived._distinct_events."""
+    if ORDER_KEY not in df.columns:
+        return df.dropDuplicates(df.columns)
     keys = [c for c in df.columns if c != ORDER_KEY]
-    return df.dropDuplicates(keys)
+    return (
+        df.groupBy(*keys)
+        .agg(F.min(ORDER_KEY).alias(ORDER_KEY))
+        .select(*df.columns)
+    )
 
 
 @register_stage("scale_numeric")

@@ -283,8 +283,12 @@ def brute_force_topk_vectorized(
                 # orderable id type; UTF-8 byte order == Spark's string
                 # order) so boundary ties at the local cut keep the
                 # id-smallest candidates — matching the global window's
-                # (cos desc, vec_id asc) tie-break exactly.
-                sort_idx = pc.sort_indices(ids).to_numpy(zero_copy_only=False)
+                # (cos desc, vec_id asc) tie-break exactly, including
+                # NULL ids: Spark's asc is NULLS FIRST, while Arrow's
+                # sort_indices defaults to nulls-at-end.
+                sort_idx = pc.sort_indices(
+                    ids, null_placement="at_start"
+                ).to_numpy(zero_copy_only=False)
                 id_rank = np.empty(len(ids), dtype=np.int64)
                 id_rank[sort_idx] = np.arange(len(ids))
                 out_qi, out_idx, out_cos = [], [], []

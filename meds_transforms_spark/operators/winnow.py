@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 from meds_transforms_spark.operators.base import register_stage
 from meds_transforms_spark.operators.dedup import _h64, _normalized
@@ -133,7 +134,7 @@ def winnow_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
-    packed_ids: bool = True,
+    packed_ids: bool | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
     ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
@@ -153,15 +154,20 @@ def winnow_overlap(
     - explicit ``repartition`` on the pair key BEFORE the groupBy, so
       the one hash pass runs post-shuffle (partial+final pipelined in
       a single stage): 11.9 s → 9.0 s;
-    - ``packed_ids`` (default): pack the pair into ONE 64-bit key
+    - ``packed_ids``: pack the pair into ONE 64-bit key
       (``id_a << 32 | id_b``) so the exchange carries 8-byte rows and
       the aggregate hashes a single long: 9.0 s → 5.7 s.
-    Packing requires ``0 <= id < 2³¹`` on both sides — enforced by an
+    ``packed_ids=None`` (default) auto-selects by the id column's
+    dtype: byte/short/int ids pack via a masked BIJECTION (any two
+    32-bit patterns, negatives included, map to one unique long — no
+    runtime guard can fire); long/string/other id spaces fall back to
+    the two-column aggregate, since a 64-bit (e.g. hash-derived) id
+    can't be proven packable at plan time and a runtime raise on valid
+    data is worse than the slower aggregate. Pass ``packed_ids=True``
+    explicitly when you KNOW a long id space satisfies
+    ``0 <= id < 2³¹`` (e.g. dense row numbers) — that path keeps an
     in-plan ``raise_error`` guard (two comparisons per row), since a
-    silently wrapped shift would MERGE DIFFERENT PAIRS. For arbitrary
-    64-bit id spaces (hash-derived ids), pass ``packed_ids=False`` to
-    keep the two-column aggregate; the plan shape is otherwise
-    identical.
+    silently wrapped shift would MERGE DIFFERENT PAIRS.
     """
     # Pin the fingerprint frame: the max_df aggregation plus BOTH pair
     # sides consume it, and the subtrees don't canonicalize into one
@@ -175,6 +181,14 @@ def winnow_overlap(
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     joined = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    id_type = joined.select("id_a").schema[0].dataType
+    is_int32 = isinstance(id_type, (ByteType, ShortType, IntegerType))
+    if packed_ids is None:
+        # Auto: pack only when the dtype makes packing TOTAL (every
+        # 32-bit-or-narrower pair has a unique key); long/string ids
+        # take the two-column aggregate rather than risking a runtime
+        # raise (or an ANSI cast error) on valid data.
+        packed_ids = is_int32
     if not packed_ids:
         return (
             joined.repartition("id_a", "id_b")
@@ -182,38 +196,53 @@ def winnow_overlap(
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared))
         )
-    id_type = joined.select("id_a").schema[0].dataType
+    if not is_int32 and not isinstance(id_type, LongType):
+        raise ValueError(
+            f"winnow_overlap(packed_ids=True) requires an integer id column; "
+            f"got {id_type.simpleString()} — pass packed_ids=False"
+        )
     # Cast to long BEFORE shifting: Spark's shiftleft follows Java
     # shift-masking, so shiftleft(int32_col, 32) is a silent no-op and
     # the key would degenerate to id_a|id_b, merging unrelated pairs.
     id_a64 = F.col("id_a").cast("long")
     id_b64 = F.col("id_b").cast("long")
-    in_range = (id_a64 >= 0) & (id_b64 < F.lit(1 << 31))
-    pk = F.when(
-        in_range, F.shiftleft(id_a64, 32).bitwiseOR(id_b64)
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "winnow_overlap(packed_ids=True) requires 0 <= id < 2**31; "
-                "pass packed_ids=False for arbitrary 64-bit ids"
+    m32 = F.lit((1 << 32) - 1)
+    if is_int32:
+        # Masked bijection: the two 32-bit patterns (negatives included,
+        # via the sign-extension-stripping AND) occupy disjoint halves
+        # of the long — total on the dtype, no guard can fire.
+        pk = F.shiftleft(id_a64.bitwiseAND(m32), 32).bitwiseOR(id_b64.bitwiseAND(m32))
+
+        def unhalf(col):  # 32-bit pattern -> sign-extended value
+            x = col.bitwiseAND(m32)
+            return (x.bitwiseXOR(F.lit(1 << 31)) - F.lit(1 << 31)).cast(id_type)
+
+        unpack_a = unhalf(F.shiftright("__pk", 32))
+        unpack_b = unhalf(F.col("__pk"))
+    else:
+        in_range = (id_a64 >= 0) & (id_b64 < F.lit(1 << 31))
+        pk = F.when(
+            in_range, F.shiftleft(id_a64, 32).bitwiseOR(id_b64)
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "winnow_overlap(packed_ids=True) requires 0 <= id < 2**31; "
+                    "pass packed_ids=False for arbitrary 64-bit ids"
+                )
             )
         )
-    )
+        # The guard proved 0 <= id < 2^31, so the halves unpack directly.
+        unpack_a = F.shiftright("__pk", 32).cast(id_type)
+        unpack_b = F.col("__pk").bitwiseAND(m32).cast(id_type)
     return (
         joined.select(pk.alias("__pk"))
         .repartition("__pk")
         .groupBy("__pk")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
-        .select(
-            # Cast the unpacked halves back to the INPUT id dtype so the
-            # two modes are schema-neutral drop-ins (safe: the in-plan
-            # guard proved 0 <= id < 2^31, so an int32 input downcasts
-            # losslessly).
-            F.shiftright("__pk", 32).cast(id_type).alias("id_a"),
-            F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_type).alias("id_b"),
-            "n_shared",
-        )
+        # Unpack back to the INPUT id dtype so the modes are
+        # schema-neutral drop-ins.
+        .select(unpack_a.alias("id_a"), unpack_b.alias("id_b"), "n_shared")
     )
 
 

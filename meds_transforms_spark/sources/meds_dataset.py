@@ -222,13 +222,24 @@ def attach_order_key(df: DataFrame) -> DataFrame:
     shuffle-aligned with the subject partitioning.
     """
     from pyspark.sql import Window as W
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        # Maps are unorderable at ANY nesting depth (array<map<...>>,
+        # struct containing a map) — recurse, mirroring Catalyst's
+        # RowOrdering.isOrderable.
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     tiebreak = [
         F.col(c).asc_nulls_first()
         for c in df.columns
-        if c not in (SUBJECT_ID, TIME)
-        and not isinstance(df.schema[c].dataType, MapType)  # maps unorderable
+        if c not in (SUBJECT_ID, TIME) and _orderable(df.schema[c].dataType)
     ]
     w = W.partitionBy(SUBJECT_ID).orderBy(F.col(TIME).asc_nulls_first(), *tiebreak)
     return df.withColumn(ORDER_KEY, F.row_number().over(w))

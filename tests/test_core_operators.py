@@ -320,6 +320,22 @@ def test_dedup_events_keeps_static_block(spark):
     assert got == ["GENDER//F", "RACE//X"]
 
 
+def test_dedup_events_survivor_order_key_deterministic(spark):
+    """The survivor of an exact-duplicate group must carry
+    min(ORDER_KEY) — not whichever copy's key the shuffle delivered
+    first — so downstream (subject, time, __order) sorts are a pure
+    function of the data (round-6 advisory)."""
+    from meds_transforms_spark.operators.misc import dedup_events
+    from meds_transforms_spark.schema import ORDER_KEY
+
+    rows = [(1, "A", 9), (1, "A", 3), (1, "A", 7), (1, "B", 5)]
+    df = spark.createDataFrame(
+        rows, f"subject_id long, code string, {ORDER_KEY} long"
+    ).repartition(8)
+    got = {(r.code, r[ORDER_KEY]) for r in dedup_events(df).collect()}
+    assert got == {("A", 3), ("B", 5)}
+
+
 def test_extract_values_simultaneous_assignment(spark):
     """Reference parity: all targets evaluate against the INPUT frame
     (one with_columns) — a later target referencing an earlier target's

@@ -501,6 +501,29 @@ def test_attach_order_key_deterministic_ties(spark):
     assert got_f == got_r == {"A": 1, "B": 2, "M": 3, "Q": 4, "Z": 5}
 
 
+def test_attach_order_key_skips_nested_unorderable_columns(spark):
+    """Regression (round-6 advisory): a NESTED unorderable type —
+    array<map>, struct-with-map — entered the window orderBy and failed
+    analysis at ingest; orderability must be checked recursively."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.sources.meds_dataset import attach_order_key
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "B", {"k": 1}, [{"m": 2}], ("x", {"q": 3})),
+            (1, None, "A", {"k": 9}, [{"m": 8}], ("y", {"q": 7})),
+        ],
+        "subject_id long, time timestamp, code string, "
+        "mp map<string,int>, amp array<map<string,int>>, "
+        "smp struct<s:string, m:map<string,int>>",
+    )
+    got = {r.code: r["__order"] for r in attach_order_key(df).collect()}
+    # maps at every nesting depth are excluded; code (and smp.s via the
+    # struct? no — the whole struct is excluded) break the tie
+    assert got == {"A": 1, "B": 2}
+
+
 def test_assign_splits_matches_reference_goldens(spark):
     """Bit-identical split MEMBERSHIP to the reference's shard_subjects
     for the same seed — pinned against the reference doctest goldens

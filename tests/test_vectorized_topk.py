@@ -131,3 +131,23 @@ def test_lsh_topk_empty_and_allnull_corpus(spark):
     allnull = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
     assert lsh_topk(empty, queries).count() == 0
     assert lsh_topk(allnull, queries).count() == 0
+
+
+def test_vectorized_null_corpus_id_tie_matches_expression_path(spark):
+    """Round-6 advisory: a NULL-id corpus row tying in cosine at the
+    batch-local top-k cut must rank FIRST (Spark asc = NULLS FIRST),
+    exactly as the expression path's global window ranks it — Arrow's
+    sort_indices defaults to nulls-at-end and would prune it."""
+    vec = [float(i) for i in range(8)]
+    corpus = spark.createDataFrame(
+        [(None, vec), (10, vec), (20, vec), (30, vec), (40, vec)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, vec)], "query_id bigint, embedding array<double>"
+    )
+    expr = [(r.rank, r.vec_id) for r in
+            brute_force_topk(corpus, queries, k=3).orderBy("rank").collect()]
+    vect = [(r.rank, r.vec_id) for r in
+            brute_force_topk_vectorized(corpus, queries, k=3).orderBy("rank").collect()]
+    assert expr == vect == [(1, None), (2, 10), (3, 20)]

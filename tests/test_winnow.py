@@ -160,8 +160,9 @@ def test_winnow_overlap_packed_matches_unpacked(spark):
 
 
 def test_winnow_overlap_packed_rejects_out_of_range_ids(spark):
-    """ids >= 2^31 would silently merge different pairs under the
-    packed key — the in-plan guard must raise instead."""
+    """Explicit packed_ids=True with ids >= 2^31 would silently merge
+    different pairs under the packed key — the in-plan guard must
+    raise instead."""
     import pytest
 
     from meds_transforms_spark.operators.winnow import winnow_overlap
@@ -171,7 +172,55 @@ def test_winnow_overlap_packed_rejects_out_of_range_ids(spark):
         "doc_id long, text string",
     )
     with pytest.raises(Exception, match="packed_ids"):
-        winnow_overlap(docs, k=10, w=4, min_shared=1).collect()
+        winnow_overlap(docs, k=10, w=4, min_shared=1, packed_ids=True).collect()
+
+
+def test_winnow_overlap_auto_handles_any_id_space(spark):
+    """Default (auto) mode must WORK — not raise — for id spaces the
+    packed key can't represent: 64-bit hash-derived longs, strings,
+    and negative int32 ids (round-6 advisory)."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    text = "abcdefghij" * 8
+    big = spark.createDataFrame(
+        [(1 << 32, text), ((1 << 40) + 7, text)], "doc_id long, text string"
+    )
+    got = winnow_overlap(big, k=10, w=4, min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1 << 32, (1 << 40) + 7)}
+
+    strs = spark.createDataFrame(
+        [("sha:aa", text), ("sha:bb", text)], "doc_id string, text string"
+    )
+    got_s = winnow_overlap(strs, k=10, w=4, min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in got_s} == {("sha:aa", "sha:bb")}
+
+    # Negative int ids: auto picks the masked-bijection packed path —
+    # values must round-trip exactly and match the two-column aggregate.
+    neg = spark.createDataFrame(
+        [(-5, text), (-2, text), (3, text)], "doc_id int, text string"
+    )
+    kw = dict(k=10, w=4, min_shared=1)
+    auto = {(r.id_a, r.id_b, r.n_shared) for r in winnow_overlap(neg, **kw).collect()}
+    two = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_overlap(neg, packed_ids=False, **kw).collect()
+    }
+    assert auto == two
+    assert {(a, b) for a, b, _ in auto} == {(-5, -2), (-5, 3), (-2, 3)}
+
+
+def test_winnow_overlap_packed_true_rejects_string_ids(spark):
+    import pytest
+
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    docs = spark.createDataFrame(
+        [("a", "abcdefghij" * 8)], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integer id column"):
+        winnow_overlap(docs, packed_ids=True)
 
 
 def test_winnow_fingerprints_wide_window_slice_path(spark):
