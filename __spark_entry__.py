@@ -134,26 +134,26 @@ def q_meds_agg_quantiles(spark, sf_dir):
 
 
 def q_meds_agg_quantiles_approx(spark, sf_dir):
-    """Sketch-based grouped quantiles (operators/quantiles.
-    grouped_approx_quantiles): ONE mergeable Greenwald-Khanna sketch
-    per group via percentile_approx — single hash-agg pass, no
-    per-group sort or cumulative window; the path for groups whose
-    DISTINCT-value stream is itself too hot for the exact two-level
-    formulation. Deliberately has NO oracle entry (sketch compression
-    is engine-internal — the driver records the rows-only check);
-    the rank-error guarantee (≤ n/accuracy) is pinned by
-    tests/test_approx_quantiles.py against exact ranks."""
-    from meds_transforms_spark.operators.quantiles import grouped_approx_quantiles
+    """Sketch-based grouped quantiles with an ORACLE-CHECKABLE
+    certificate (operators/quantiles.approx_quantiles_certificate):
+    the Greenwald-Khanna sketch runs here (one mergeable-sketch
+    hash-agg pass — the path for groups whose DISTINCT-value stream is
+    too hot for the exact two-level formulation), then one
+    conditional-sum pass ranks each sketch result against the group and
+    emits ``within_tol`` = (rank error ≤ max(1, n/accuracy)). The
+    sketch's internals aren't SQL-replayable, but this ASSERTION is
+    engine-independent: the oracle replays the exact nearest-rank
+    values and emits a constant TRUE — any bound violation
+    hash-mismatches. The same bound is property-tested in
+    tests/test_approx_quantiles.py."""
+    from meds_transforms_spark.operators.quantiles import (
+        approx_quantiles_certificate,
+    )
 
-    out = grouped_approx_quantiles(
+    out = approx_quantiles_certificate(
         _meds(spark, sf_dir), [0.25, 0.5, 0.75], accuracy=10_000
     )
-    return out.select(
-        "code",
-        F.col("`q0.25`").alias("q25"),
-        F.col("`q0.5`").alias("q50"),
-        F.col("`q0.75`").alias("q75"),
-    )
+    return out.select("code", "q", "exact_value", "within_tol")
 
 
 def q_meds_quantiles_distributed(spark, sf_dir):
@@ -1591,7 +1591,8 @@ def q_multimodal_decode(spark, sf_dir):
 
 # --- later additions (all oracle-backed; the header once said
 # --- "no-oracle" but every entry below has since gained an oracle_sql
-# --- twin — the ONLY rows-only query is meds_agg_quantiles_approx) ----
+# --- twin — as of round 7 EVERY registered query is oracle-backed,
+# --- including meds_agg_quantiles_approx via its rank certificate) ---
 
 def q_docs_tfidf(spark, sf_dir):
     """Smoothed TF-IDF per (doc, token) — two hash aggs + one join;
@@ -1802,8 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": q_docs_substring_dedup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "meds_filter_subjects": q_meds_filter_subjects,
-        # rows-only by design (sketch internals aren't SQL-replayable;
-        # rank-error bound pinned in tests/test_approx_quantiles.py)
+        # round-7: now ORACLE-BACKED via the rank-error certificate
+        # (exact nearest-rank replay + engine-independent within_tol)
         "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
         # --- slots 20-50: oldest driver rows (latest = r01) ---
         # (9 + 10 entries precede, so this group starts at slot 20 and
@@ -2118,6 +2119,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS "code/n_occurrences",
                    CAST(sum(CAST(numeric_value AS DECIMAL(30,6))) AS DOUBLE) AS "values/sum"
             FROM {meds} meds GROUP BY ROLLUP(code)
+        """,
+        "meds_agg_quantiles_approx": f"""
+            -- Exact nearest-rank replay + constant-TRUE certificate:
+            -- the Spark side computes within_tol from the live GK
+            -- sketch; a rank-error-bound violation hash-mismatches.
+            WITH ranked AS (
+              SELECT code, numeric_value,
+                     row_number() OVER (PARTITION BY code ORDER BY numeric_value) AS rn,
+                     count(numeric_value) OVER (PARTITION BY code) AS n
+              FROM {meds} meds WHERE numeric_value IS NOT NULL
+            ), qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q)
+            SELECT code, q,
+                   max(CASE WHEN rn = CAST(round(q * (n-1)) AS BIGINT) + 1
+                       THEN numeric_value END) AS exact_value,
+                   TRUE AS within_tol
+            FROM ranked CROSS JOIN qs
+            GROUP BY code, q
         """,
         "meds_agg_quantiles": f"""
             WITH ranked AS (

@@ -101,3 +101,83 @@ def grouped_approx_quantiles(
         for q in quantiles
     ]
     return present.groupBy(*keys).agg(*aggs)
+
+
+@register_stage("approx_quantiles_certificate", kind="mapreduce", is_metadata=True)
+def approx_quantiles_certificate(
+    df: DataFrame,
+    quantiles: Sequence[float],
+    keys: Sequence[str] = (CODE,),
+    value_col: str = NUMERIC_VALUE,
+    accuracy: int = 10_000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Oracle-checkable contract for the sketch path: one row per
+    (group, quantile) with the EXACT nearest-rank value (replayable by
+    any SQL engine) plus ``within_tol`` certifying that the
+    Greenwald-Khanna result's rank error is inside the declared
+    guarantee — an engine-independent assertion (the oracle side emits
+    a constant TRUE, so a sketch that ever violates its bound turns
+    the row red).
+
+    The bound is the one the property test pins
+    (tests/test_approx_quantiles.py): the returned value's rank
+    interval ``[count(v < x) + 1, count(v <= x)]`` must come within
+    ``tol = max(1, n/accuracy)`` of the target rank ``q·(n−1) + 1``.
+
+    ``candidates`` (optional) swaps in an externally computed quantile
+    frame — same layout as :func:`grouped_approx_quantiles` — so
+    another engine's sketch output can be certified against this
+    corpus; by default the GK sketch runs here (one mergeable-sketch
+    aggregation pass).
+
+    Scale: the fact table is scanned twice (sketch pass + one
+    conditional-sum aggregation against the broadcast per-group
+    quantile row) plus the exact two-level pass — this is a VALIDATION
+    query; the production path stays the one-pass
+    :func:`grouped_approx_quantiles`.
+    """
+    keys = list(keys)
+    qs = [float(q) for q in quantiles]
+    v = F.col(value_col)
+    present = df.filter(v.isNotNull() & ~F.isnan(v))
+
+    ap = candidates
+    if ap is None:
+        ap = grouped_approx_quantiles(df, qs, keys, value_col, accuracy)
+    ap = ap.select(
+        *keys, *[F.col(f"`q{q}`").alias(f"__ap{i}") for i, q in enumerate(qs)]
+    )
+
+    joined = present.join(F.broadcast(ap), keys)
+    cert_aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(len(qs)):
+        api = F.col(f"__ap{i}")
+        cert_aggs.append(
+            (F.sum(F.when(v < api, 1).otherwise(0)) + 1).alias(f"__lo{i}")
+        )
+        cert_aggs.append(F.sum(F.when(v <= api, 1).otherwise(0)).alias(f"__hi{i}"))
+    cert = joined.groupBy(*keys).agg(*cert_aggs)
+
+    n = F.col("__n").cast("double")
+    tol = F.greatest(F.lit(1.0), n / F.lit(float(accuracy)))
+    checks = []
+    for i, q in enumerate(qs):
+        target = F.lit(q) * (n - F.lit(1.0)) + F.lit(1.0)
+        lo = F.col(f"__lo{i}").cast("double")
+        hi = F.col(f"__hi{i}").cast("double")
+        ok = (target >= lo - tol) & (target <= hi + tol)
+        checks.append(F.struct(F.lit(q).alias("q"), ok.alias("within_tol")))
+    melted = cert.select(*keys, F.explode(F.array(*checks)).alias("__c")).select(
+        *keys, F.col("__c.q").alias("q"), F.col("__c.within_tol").alias("within_tol")
+    )
+
+    exact = grouped_exact_quantiles(df, qs, keys, value_col)
+    ex_structs = [
+        F.struct(F.lit(q).alias("q"), F.col(f"`q{q}`").alias("exact_value"))
+        for q in qs
+    ]
+    ex_melted = exact.select(*keys, F.explode(F.array(*ex_structs)).alias("__e")).select(
+        *keys, F.col("__e.q").alias("q"), F.col("__e.exact_value").alias("exact_value")
+    )
+    return ex_melted.join(melted, keys + ["q"])

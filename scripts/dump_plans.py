@@ -67,7 +67,7 @@ REVIEW = {
     "docs_corpus_diff": "both snapshots pre-project to (id, group, 64-bit fingerprint, length) ~40-byte rows before the single full-outer id join — text never shuffles; classification + char mass fold into one small-key aggregate, output is |groups| rows",
     "emb_semantic_dedup_arrow": "cell assignment is ONE BLAS matmul per Arrow batch against the closure-shipped centroid matrix (mapInArrow, zero shuffle) — the scale path once n_cells ∝ N makes the per-pair HOF dot quadratic; downstream within-cell collapse identical to the HOF query",
     "events_anomaly_bucketed": "the trailing window partitions on (event_type, day-bucket) with boundary rows duplicated one bucket forward as frame context — parallelism ∝ keys × buckets instead of the 5-value key cap; frames (and rows) bit-identical to events_anomaly",
-    "meds_agg_quantiles_approx": "one hash-agg pass of mergeable GK sketches (percentile_approx) — map-side partial sketches, O(accuracy) per group, no per-group sort or cumulative window; rows-only by design (sketch internals aren't SQL-replayable)",
+    "meds_agg_quantiles_approx": "one hash-agg pass of mergeable GK sketches (percentile_approx) — map-side partial sketches, O(accuracy) per group, no per-group sort or cumulative window; plus the round-7 certificate: one conditional-sum pass ranks each sketch result against its group, the oracle replays exact nearest-ranks and a constant-TRUE within_tol",
 }
 
 

@@ -84,3 +84,41 @@ def test_quantile_stages_registered(spark):
         out = st.fn(meds, quantiles=[0.5])
         assert out.columns == ["code", "q0.5"]
         assert out.count() > 0
+
+
+def test_certificate_green_on_live_sketch(spark):
+    """approx_quantiles_certificate: every (code, q) row certifies the
+    live GK sketch within tolerance, and exact_value matches the
+    grouped_exact_quantiles value."""
+    from meds_transforms_spark.operators.quantiles import (
+        approx_quantiles_certificate,
+    )
+
+    meds = events_as_meds(spark, "/root/testdata/sf0.01")
+    out = approx_quantiles_certificate(meds, [0.25, 0.5, 0.75], accuracy=10_000)
+    rows = out.collect()
+    assert len(rows) == 3 * out.select("code").distinct().count()
+    assert all(r.within_tol for r in rows)
+    e = {r.code: r for r in grouped_exact_quantiles(meds, [0.25, 0.5, 0.75]).collect()}
+    for r in rows:
+        assert float(r.exact_value) == float(e[r.code][f"q{r.q}"])
+
+
+def test_certificate_flags_out_of_bound_candidates(spark):
+    """The certificate must be able to FAIL: candidate 'quantiles' far
+    from the true rank (group max for q=0.25) flip within_tol to
+    False — proving the driver check is a real gate, not a tautology."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.quantiles import (
+        approx_quantiles_certificate,
+    )
+
+    meds = events_as_meds(spark, "/root/testdata/sf0.001")
+    bad = meds.filter("numeric_value is not null").groupBy("code").agg(
+        F.max("numeric_value").alias("q0.25")
+    )
+    out = approx_quantiles_certificate(
+        meds, [0.25], accuracy=10_000, candidates=bad
+    ).collect()
+    assert out and all(not r.within_tol for r in out)
