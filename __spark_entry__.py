@@ -1160,8 +1160,10 @@ def q_docs_winnow_overlap(spark, sf_dir):
     the winnowed (id, long) rows), boilerplate fingerprints with
     df > 100 (2% of the sf0.1 corpus — the standard winnowing
     stop-fingerprint threshold) dropped, then pairs sharing ≥5
-    fingerprints via the packed-pair-key aggregate. The oracle
-    replays the identical pipeline with an unnest + window min."""
+    fingerprints via the packed-pair-key aggregate. Gram hashing is
+    the Arrow-batched poly64 rolling hash (operators/grams); the
+    oracle replays the identical pipeline — including the exact hash
+    fold — with an unnest + window min."""
     from meds_transforms_spark.operators.winnow import winnow_overlap
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1169,7 +1171,7 @@ def q_docs_winnow_overlap(spark, sf_dir):
     # guarded 64-bit pair key applies (auto would take the two-column
     # aggregate for an arbitrary long id space).
     return winnow_overlap(
-        docs, k=10, w=8, min_shared=5, max_df=100, hash_fn="md5_60",
+        docs, k=10, w=8, min_shared=5, max_df=100, hash_fn="poly64",
         packed_ids=True,
     ).select("id_a", "id_b", "n_shared")
 
@@ -1222,14 +1224,14 @@ def q_docs_winnow_contains(spark, sf_dir):
     winnow_contains): even-id docs play the training corpus, ids ≡1
     (mod 10) the eval probes; winnowed-fingerprint containment with the
     probe side broadcast — the corpus fingerprint stream never
-    shuffles. Same md5 gram hashing as docs_winnow_overlap."""
+    shuffles. Same poly64 gram hashing as docs_winnow_overlap."""
     from meds_transforms_spark.operators.winnow import winnow_contains
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probes = docs.filter(F.col("doc_id") % 10 == 1)
     out = winnow_contains(
-        corpus, probes, k=10, w=8, min_shared=3, max_df=500, hash_fn="md5_60"
+        corpus, probes, k=10, w=8, min_shared=3, max_df=500, hash_fn="poly64"
     )
     return out.select("doc_id", "probe_id", "n_shared")
 
@@ -1256,6 +1258,7 @@ def q_docs_ccnet_e2e(spark, sf_dir):
         n_shards=8,
         seed=42,
         hash_fn="md5_60",
+        winnow_hash_fn="poly64",
         round_to=6,
     )
     return out.select("doc_id", "lang", "ppl_bucket", "shard_id", "pos_in_shard")
@@ -2062,9 +2065,17 @@ def _dsir_weight_ctes(source: str) -> str:
 def _winnow_fps_sql(source: str, k: int, w: int) -> str:
     """Subquery yielding the winnowed ``(doc_id, fp)`` set of
     ``source`` — the SQL mirror of operators/winnow.
-    winnow_fingerprints(hash_fn="md5_60") at gram size ``k``, window
+    winnow_fingerprints(hash_fn="poly64") at gram size ``k``, window
     ``w`` (full-window minima for long docs, whole-text minimum for
-    docs with fewer than ``w`` grams)."""
+    docs with fewer than ``w`` grams).
+
+    The per-gram hash replays operators/grams.poly64 exactly:
+    ``h = fold(h·B + byte) mod 2^64`` with B = the 64-bit FNV prime,
+    in HUGEINT arithmetic. Window minima are taken over the UNSIGNED
+    value (the Spark kernel mins uint64), and the final fingerprint is
+    converted to the signed two's-complement long Spark emits."""
+    b = 1099511628211
+    m = 1 << 64
     return rf"""
               WITH norm AS (
                 SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
@@ -2073,19 +2084,36 @@ def _winnow_fps_sql(source: str, k: int, w: int) -> str:
                 SELECT doc_id, txt, greatest(len(txt) - {k - 1}, 1) AS ng FROM norm
               ), pos AS (
                 SELECT doc_id, txt, ng, unnest(range(1, ng + 1)) AS i FROM g
-              ), h AS (
+              ), grm AS (
                 SELECT doc_id, ng, CAST(i AS BIGINT) AS i,
-                       CAST('0x' || substr(md5(substr(txt, CAST(i AS BIGINT), {k})), 1, 15) AS BIGINT) AS hv
+                       substr(txt, CAST(i AS BIGINT), {k}) AS gg
                 FROM pos
+              ), h AS (
+                -- list_reduce THROWS on an empty list (it does not
+                -- return NULL), so the empty gram (an empty normalized
+                -- doc) needs an explicit 0 branch — poly64('') == 0.
+                SELECT doc_id, ng, i,
+                       CASE WHEN len(gg) = 0 THEN 0::HUGEINT
+                            ELSE list_reduce(
+                              list_transform(range(1, len(gg) + 1),
+                                j -> CAST(ascii(substr(gg, CAST(j AS BIGINT), 1)) AS HUGEINT)),
+                              (a, x) -> (a * {b} + x) % {m}::HUGEINT)
+                       END AS hv
+                FROM grm
               ), wm AS (
                 SELECT doc_id, ng, i,
                        min(hv) OVER (PARTITION BY doc_id ORDER BY i
                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
                 FROM h
+              ), ufp AS (
+                SELECT DISTINCT doc_id, mh AS u FROM wm WHERE ng >= {w} AND i <= ng - {w - 1}
+                UNION
+                SELECT doc_id, min(hv) AS u FROM h WHERE ng < {w} GROUP BY doc_id
               )
-              SELECT DISTINCT doc_id, mh AS fp FROM wm WHERE ng >= {w} AND i <= ng - {w - 1}
-              UNION
-              SELECT doc_id, min(hv) AS fp FROM h WHERE ng < {w} GROUP BY doc_id"""
+              SELECT doc_id,
+                     CAST(u - CASE WHEN u >= {m // 2}::HUGEINT
+                              THEN {m}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS fp
+              FROM ufp"""
 
 
 def oracle_sql() -> dict[str, str]:

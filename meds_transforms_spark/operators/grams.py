@@ -1,0 +1,377 @@
+"""Arrow-batched rolling-hash gram machinery — the vectorized escape
+from interpreted per-gram Catalyst lambdas.
+
+Catalyst higher-order functions run INTERPRETED (CodegenFallback): one
+``transform(sequence(1, n), i -> hash(substr(txt, i, k)))`` evaluation
+costs ~µs per gram in expression-tree walking — measured as ~4 s of
+``docs_winnow_overlap``'s 5.9 s at a mere 1.4M grams (SCALING.md).
+This module computes the same gram streams with a Rabin-Karp
+POLYNOMIAL rolling hash over UTF-8 bytes in ONE batched numpy pass per
+Arrow batch: every document in the batch is concatenated into a single
+byte array, one prefix pass yields every substring hash as
+
+    hash(bytes[a:b)) = B^b · (S[b] − S[a])   (mod 2^64)
+
+where ``S[i] = Σ_{j<i} B^{−(j+1)}·byte_j`` (B is odd, hence invertible
+mod 2^64), so char-gram hashes, word-gram hashes, AND winnow window
+minima all fall out of vectorized index arithmetic — no per-gram
+Python, no per-gram interpreted expression.
+
+The hash (``poly64``: h = fold(h·B + byte) mod 2^64, B = the 64-bit
+FNV prime) is deliberately engine-reproducible: the DuckDB oracles
+replay it exactly with
+``list_reduce(codes, (a, x) -> (a·B + x) % 2^64)`` in HUGEINT
+arithmetic, so the full winnowed-fingerprint pipeline stays
+bitwise-checkable end to end (see ``__spark_entry__._winnow_fps_sql``).
+
+Contract differences from the HOF/md5_60 path (both documented, both
+irrelevant for the winnowing GUARANTEE, which only needs a
+deterministic hash):
+
+- gram positions are UTF-8 **byte** offsets, not char offsets — on
+  non-ASCII text the gram set differs from ``substr``-based grams (on
+  ASCII they are identical, and equal substrings hash equal either
+  way, so shared-substring detection is unaffected);
+- the empty normalized document hashes to 0.
+
+Scale shape is unchanged from the HOF path: normalization runs in
+whole-stage codegen BEFORE ``mapInArrow`` (one shared definition with
+the dedup family), text never shuffles, and only the winnowed
+``(id, long)`` fingerprints (density ≈ 2/(w+1)) hit an exchange.
+Per-batch memory is bounded by slicing each Arrow batch to
+≤ ``_MAX_SLICE_BYTES`` of text before the numpy pass.
+
+Reference anchor: the winnowing semantics mirror
+operators/winnow.winnow_fingerprints (Schleimer et al., SIGMOD 2003);
+the word-n-gram semantics mirror operators/dedup.word_ngrams_of
+(grams of fewer-than-n-token docs collapse to the full token window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meds_transforms_spark.operators.base import register_stage
+from meds_transforms_spark.operators.dedup import _normalized
+
+POLY_BASE = 1099511628211  # FNV-1a 64 prime; odd => invertible mod 2^64
+POLY_BASE_INV = pow(POLY_BASE, -1, 1 << 64)
+_MOD = 1 << 64
+_MAX_SLICE_BYTES = 16 << 20  # numpy working set per slice ≈ 6×16 MB
+
+
+def poly64(data: bytes) -> int:
+    """Reference scalar poly64 (tests + oracle documentation)."""
+    h = 0
+    for b in data:
+        h = (h * POLY_BASE + b) % _MOD
+    return h
+
+
+def _flat_utf8(arr):
+    """(data_bytes_uint64, offsets_int64) of a non-null Arrow string
+    array — zero-copy views of the Arrow buffers."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offs = np.frombuffer(buffers[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    if buffers[2] is None:
+        data = np.empty(0, dtype=np.uint8)
+    else:
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+    return data, offs
+
+
+def _prefix(x: np.ndarray):
+    """(S, bpow) prefix arrays over byte stream ``x`` (uint64), such
+    that hash(x[a:b]) == bpow[b] * (S[b] - S[a]) mod 2^64."""
+    n = len(x)
+    with np.errstate(over="ignore"):
+        bpow = np.ones(n + 1, dtype=np.uint64)
+        binvpow = np.ones(n + 1, dtype=np.uint64)
+        if n:
+            np.cumprod(np.full(n, POLY_BASE, dtype=np.uint64), out=bpow[1:])
+            np.cumprod(np.full(n, POLY_BASE_INV, dtype=np.uint64), out=binvpow[1:])
+        s = np.zeros(n + 1, dtype=np.uint64)
+        if n:
+            np.cumsum(binvpow[1:] * x, out=s[1:])
+    return s, bpow
+
+
+def _slice_hashes(s, bpow, starts, ends):
+    """Vectorized hash(bytes[a:b)) for aligned start/end arrays."""
+    with np.errstate(over="ignore"):
+        return bpow[ends] * (s[ends] - s[starts])
+
+
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(start_i, start_i + count_i) — the
+    standard vectorized multi-range trick."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    return np.arange(total, dtype=np.int64) + rep
+
+
+def _dedup_per_doc(doc_idx: np.ndarray, fps: np.ndarray):
+    """Distinct (doc_idx, fp) pairs, vectorized via lexsort."""
+    if len(doc_idx) == 0:
+        return doc_idx, fps
+    order = np.lexsort((fps, doc_idx))
+    di, fp = doc_idx[order], fps[order]
+    keep = np.empty(len(di), dtype=bool)
+    keep[0] = True
+    keep[1:] = (di[1:] != di[:-1]) | (fp[1:] != fp[:-1])
+    return di[keep], fp[keep]
+
+
+def _batch_slices(rb, max_bytes: int):
+    """Split a record batch into row slices whose text payload is
+    bounded, so the numpy working set stays O(max_bytes)."""
+    import pyarrow.compute as pc
+
+    n = rb.num_rows
+    if n == 0:
+        return
+    sizes = pc.binary_length(rb.column(1)).to_numpy(zero_copy_only=False)
+    sizes = np.nan_to_num(sizes.astype(np.float64), nan=0.0).astype(np.int64)
+    cum = np.cumsum(sizes)
+    lo = 0
+    while lo < n:
+        hi = int(np.searchsorted(cum, (cum[lo - 1] if lo else 0) + max_bytes)) + 1
+        hi = max(hi, lo + 1)
+        hi = min(hi, n)
+        yield rb.slice(lo, hi - lo)
+        lo = hi
+
+
+def _winnow_batch(ids_arr, txt_arr, k: int, w: int):
+    """(doc_positions, fp_uint64) winnowed fingerprints of one slice."""
+    data, offs = _flat_utf8(txt_arr)
+    x = data.astype(np.uint64)
+    s, bpow = _prefix(x)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    n = len(x)
+
+    out_docs, out_fps = [], []
+
+    # Class 1: full-window docs (ng >= w, i.e. len >= k + w - 1):
+    # global gram hashes + global sliding min, valid indices selected
+    # per doc (windows crossing a doc boundary are never selected).
+    full = np.flatnonzero(lens >= k + w - 1)
+    if len(full) and n >= k:
+        g = _slice_hashes(s, bpow, np.arange(n - k + 1), np.arange(k, n + 1))
+        if len(g) >= w:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            mins = sliding_window_view(g, w).min(axis=1)
+            cnt = (lens[full] - (k + w - 1) + 1).astype(np.int64)
+            idx = _ranges(starts[full].astype(np.int64), cnt)
+            out_docs.append(np.repeat(full, cnt))
+            out_fps.append(mins[idx])
+
+    # Class 2: at least one gram but a short window (k <= len < k+w-1):
+    # a single fingerprint — the min over all ng grams.
+    part = np.flatnonzero((lens >= k) & (lens < k + w - 1))
+    if len(part):
+        cnt = (lens[part] - k + 1).astype(np.int64)
+        idx = _ranges(starts[part].astype(np.int64), cnt)
+        g = _slice_hashes(s, bpow, idx, idx + k)
+        seg_end = np.cumsum(cnt)
+        mins = np.minimum.reduceat(g, np.concatenate(([0], seg_end[:-1])))
+        out_docs.append(part)
+        out_fps.append(mins)
+
+    # Class 3: shorter than one gram (len < k, empty included): the
+    # whole text is the single gram (empty -> 0).
+    tiny = np.flatnonzero(lens < k)
+    if len(tiny):
+        out_docs.append(tiny)
+        out_fps.append(
+            _slice_hashes(
+                s, bpow, starts[tiny].astype(np.int64), ends[tiny].astype(np.int64)
+            )
+        )
+
+    if not out_docs:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.uint64)
+    return _dedup_per_doc(np.concatenate(out_docs), np.concatenate(out_fps))
+
+
+@register_stage("winnow_fingerprints_poly")
+def winnow_fingerprints_poly(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed ``(id_col, fp)`` fingerprints via the batched poly64
+    rolling hash — drop-in for
+    :func:`~meds_transforms_spark.operators.winnow.winnow_fingerprints`
+    with ``hash_fn="poly64"`` (that wrapper routes here).
+
+    Same selection semantics (full-window minima for long docs, the
+    whole-gram-stream minimum for short docs, the whole text as a
+    single gram below ``k`` bytes, per-doc distinct), same
+    zero-shuffle plan shape; the per-gram hashing moves from an
+    interpreted Catalyst lambda to one numpy pass per Arrow slice.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints_poly: k and w must be >= 1")
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    id_type = df.select(id_col).schema[0].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("fp", T.LongType())]
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _normalized(F.col(text_col)).alias("__txt")
+    )
+
+    def fn(batches):
+        for rb in batches:
+            for sl in _batch_slices(rb, _MAX_SLICE_BYTES):
+                doc_pos, fps = _winnow_batch(sl.column(0), sl.column(1), k, w)
+                ids = sl.column(0)
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(doc_pos)),
+                        pa.array(fps.view(np.int64)),
+                    ],
+                    names=[id_col, "fp"],
+                )
+
+    return base.mapInArrow(fn, schema=out_schema)
+
+
+def _word_gram_batch(txt_arr, n: int):
+    """(doc_positions, gram_hash_uint64) distinct word-n-gram hashes of
+    one slice. Tokens are the maximal non-space runs of the normalized
+    text (single spaces by construction); the gram key is the poly64
+    hash of the space-joined token window — i.e. of the SUBSTRING from
+    the first token's start to the last token's end. Docs with no
+    tokens emit nothing; docs with fewer than ``n`` tokens emit one
+    gram covering every token (word_ngrams_of parity)."""
+    data, offs = _flat_utf8(txt_arr)
+    x = data.astype(np.uint64)
+    s, bpow = _prefix(x)
+    starts, ends = offs[:-1].astype(np.int64), offs[1:].astype(np.int64)
+    n_docs = len(starts)
+
+    # _normalized trims only ASCII spaces BEFORE the whitespace
+    # collapse, so a doc that began/ended with a tab keeps exactly one
+    # boundary space here; word_tokens drops the empty token it would
+    # create — strip it so the token sets agree.
+    nz = np.flatnonzero(ends > starts)
+    if len(nz):
+        starts = starts.copy()
+        starts[nz] += data[starts[nz]] == 32
+    nz = np.flatnonzero(ends > starts)
+    if len(nz):
+        ends = ends.copy()
+        ends[nz] -= data[ends[nz] - 1] == 32
+
+    # Token boundaries from space positions: interior spaces are single
+    # by construction, so token starts are doc starts + (space+1),
+    # token ends are spaces + doc ends.
+    sp = np.flatnonzero(data == 32)
+    doc_of_space = np.searchsorted(offs[1:], sp, side="right")
+    inside = (sp >= starts[doc_of_space]) & (sp < ends[doc_of_space])
+    sp, doc_of_space = sp[inside], doc_of_space[inside]
+    spaces_per_doc = np.bincount(doc_of_space, minlength=n_docs)
+    lens = ends - starts
+    tok_counts = np.where(lens > 0, spaces_per_doc + 1, 0)
+
+    # Per-doc token start/end arrays, flattened:
+    # starts: [doc_start, sp+1 ...]; ends: [sp ..., doc_end]
+    tot = int(tok_counts.sum())
+    if tot == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.uint64)
+    tok_starts = np.empty(tot, dtype=np.int64)
+    tok_ends = np.empty(tot, dtype=np.int64)
+    first_tok = np.concatenate(([0], np.cumsum(tok_counts)[:-1]))
+    has_tok = tok_counts > 0
+    tok_starts[first_tok[has_tok]] = starts[has_tok]
+    last_tok = first_tok + tok_counts - 1
+    tok_ends[last_tok[has_tok]] = ends[has_tok]
+    if len(sp):
+        # space j is the (count of prior spaces in its doc)-th
+        # separator: it ENDS that token and STARTS the next one.
+        sep_rank = np.arange(len(sp)) - np.concatenate(
+            ([0], np.cumsum(spaces_per_doc)[:-1])
+        )[doc_of_space]
+        tok_ends[first_tok[doc_of_space] + sep_rank] = sp
+        tok_starts[first_tok[doc_of_space] + sep_rank + 1] = sp + 1
+
+    # Gram g of doc d spans tokens [g, g+n-1]; docs with < n tokens get
+    # ONE gram spanning all tokens.
+    gram_counts = np.maximum(tok_counts - (n - 1), 1) * has_tok
+    gram_first = _ranges(first_tok[has_tok], gram_counts[has_tok])
+    span = np.minimum(
+        np.repeat(tok_counts[has_tok], gram_counts[has_tok]), n
+    )
+    g_start = tok_starts[gram_first]
+    g_end = tok_ends[gram_first + span - 1]
+    fps = _slice_hashes(s, bpow, g_start, g_end)
+    doc_pos = np.repeat(np.flatnonzero(has_tok), gram_counts[has_tok])
+    return _dedup_per_doc(doc_pos, fps)
+
+
+def word_ngram_hashes_poly(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "__gh",
+) -> DataFrame:
+    """Distinct word-n-gram poly64 hashes: one ``(id_col, out_col)``
+    row per distinct gram — the batched-numpy twin of the
+    ``word_ngrams_of`` + ``xxhash64(slice)`` gram streams in
+    decontaminate/jaccard. NULL and token-less docs emit no rows."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    id_type = df.select(id_col).schema[0].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField(out_col, T.LongType())]
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _normalized(F.col(text_col)).alias("__txt")
+    )
+
+    def fn(batches):
+        for rb in batches:
+            for sl in _batch_slices(rb, _MAX_SLICE_BYTES):
+                doc_pos, fps = _word_gram_batch(sl.column(1), n)
+                ids = sl.column(0)
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(doc_pos)),
+                        pa.array(fps.view(np.int64)),
+                    ],
+                    names=[id_col, out_col],
+                )
+
+    return base.mapInArrow(fn, schema=out_schema)

@@ -70,10 +70,19 @@ def winnow_fingerprints(
     Documents shorter than a full window keep the minimum over the
     grams they do have (so short docs still fingerprint); NULL text
     yields no rows. ``hash_fn="md5_60"`` makes the fingerprints
-    engine-reproducible for the DuckDB oracle.
+    engine-reproducible for the DuckDB oracle; ``hash_fn="poly64"``
+    routes to the Arrow-batched rolling-hash kernel
+    (:func:`~meds_transforms_spark.operators.grams.winnow_fingerprints_poly`)
+    — ALSO engine-reproducible (DuckDB ``list_reduce`` fold) and ~10×
+    cheaper per gram than the interpreted HOF lambda; its grams are
+    UTF-8 byte windows (identical to char windows on ASCII text).
     """
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    if hash_fn == "poly64":
+        from meds_transforms_spark.operators.grams import winnow_fingerprints_poly
+
+        return winnow_fingerprints_poly(df, k, w, text_col, id_col)
     # dedup-family normalization (ONE shared definition — fingerprints
     # must stay hash-compatible with the dedup/oracle mirrors)
     txt = _normalized(F.col(text_col))

@@ -135,6 +135,7 @@ def curate_corpus_ccnet(
     probe_text_col: str | None = None,
     probe_id_col: str | None = None,
     hash_fn: str = "xxhash64",
+    winnow_hash_fn: str | None = None,
     round_to: int | None = None,
 ) -> DataFrame:
     """The CCNet-shaped curation composition, end to end:
@@ -156,7 +157,11 @@ def curate_corpus_ccnet(
     two-phase prefix.
 
     ``hash_fn="md5_60"`` + ``round_to`` give the engine-reproducible
-    mode the driver oracle replays.
+    mode the driver oracle replays. ``winnow_hash_fn`` (default: same
+    as ``hash_fn``) selects the decontamination stage's gram hash
+    independently — ``"poly64"`` routes that stage to the Arrow-batched
+    rolling-hash kernel (operators/grams), also oracle-reproducible,
+    while the shard hashing stays on ``hash_fn``.
     """
     from meds_transforms_spark.operators.ids import shuffle_shards
     from meds_transforms_spark.operators.lm import ccnet_buckets
@@ -185,7 +190,7 @@ def curate_corpus_ccnet(
             min_shared=min_shared, max_df=max_df,
             text_col=text_col, id_col=id_col,
             probe_text_col=probe_text_col, probe_id_col=probe_id_col,
-            hash_fn=hash_fn,
+            hash_fn=winnow_hash_fn or hash_fn,
         )
         .select(id_col)
         .distinct()

@@ -1,0 +1,161 @@
+"""operators/grams — the Arrow-batched poly64 rolling-hash kernels.
+
+The batch kernels are pinned against scalar pure-Python references
+(same normalization as Spark's _normalized on ASCII), against the
+Catalyst HOF implementations at the operator level, and against the
+DuckDB list_reduce fold the oracles replay.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pytest
+
+from meds_transforms_spark.operators.grams import (
+    POLY_BASE,
+    _word_gram_batch,
+    _winnow_batch,
+    poly64,
+)
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog again and again and again",
+    "short",
+    "",
+    " ",
+    "a b",
+    "x" * 200,
+    "hello world " * 30,
+    "\tleading tab and trailing\t",
+    "one",
+    "ab cd ef gh ij kl mn op qr st uv wx yz " * 3,
+]
+
+
+def _norm(t: str) -> str:
+    # ASCII mirror of operators/dedup._normalized (trim strips spaces
+    # only, then lower, then \s+ -> ' ')
+    return re.sub(r"\s+", " ", t.strip(" ").lower())
+
+
+def _ref_winnow(t: str, k: int, w: int) -> set[int]:
+    b = _norm(t).encode()
+    n = len(b)
+    if n < k:
+        return {poly64(b)}
+    g = [poly64(b[i : i + k]) for i in range(n - k + 1)]
+    if len(g) < w:
+        return {min(g)}
+    return {min(g[i : i + w]) for i in range(len(g) - w + 1)}
+
+
+def _ref_wordgrams(t: str, n: int) -> set[int]:
+    toks = [x for x in _norm(t).split(" ") if x]
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {poly64(" ".join(toks).encode())}
+    return {poly64(" ".join(toks[i : i + n]).encode()) for i in range(len(toks) - n + 1)}
+
+
+def _collect(doc_pos, fps):
+    got: dict[int, set[int]] = {}
+    for d, f in zip(doc_pos, fps):
+        got.setdefault(int(d), set()).add(int(f) % (1 << 64))
+    return got
+
+
+@pytest.mark.parametrize("k,w", [(10, 8), (5, 4), (3, 1), (10, 20)])
+def test_winnow_batch_matches_scalar_reference(k, w):
+    arr = pa.array([_norm(t) for t in TEXTS], type=pa.string())
+    got = _collect(*_winnow_batch(pa.array(range(len(TEXTS))), arr, k, w))
+    for i, t in enumerate(TEXTS):
+        assert got.get(i, set()) == _ref_winnow(t, k, w), (k, w, i, t[:30])
+
+
+@pytest.mark.parametrize("n", [13, 3, 1])
+def test_word_gram_batch_matches_scalar_reference(n):
+    arr = pa.array([_norm(t) for t in TEXTS], type=pa.string())
+    got = _collect(*_word_gram_batch(arr, n))
+    for i, t in enumerate(TEXTS):
+        assert got.get(i, set()) == _ref_wordgrams(t, n), (n, i, t[:30])
+
+
+def test_winnow_batch_respects_array_offset():
+    """Sliced (non-zero-offset) Arrow arrays must read the right
+    buffer window — the classic zero-copy bug class."""
+    arr = pa.array([_norm(t) for t in TEXTS], type=pa.string())
+    ids = pa.array(range(len(TEXTS)))
+    got = _collect(*_winnow_batch(ids.slice(2, 6), arr.slice(2, 6), 5, 4))
+    for j, i in enumerate(range(2, 8)):
+        assert got.get(j, set()) == _ref_winnow(TEXTS[i], 5, 4)
+
+
+def test_poly64_matches_duckdb_fold():
+    """The oracle replay (list_reduce HUGEINT fold) computes the
+    identical hash — the cross-engine contract behind the poly64
+    winnow oracles."""
+    import duckdb
+
+    con = duckdb.connect()
+    for g in ["hello-spark", "a", "", "the quick brown fox"]:
+        got = con.execute(
+            r"""
+            SELECT CASE WHEN len(g) = 0 THEN 0::HUGEINT
+                   ELSE list_reduce(
+                     list_transform(range(1, len(g) + 1),
+                       j -> CAST(ascii(substr(g, CAST(j AS BIGINT), 1)) AS HUGEINT)),
+                     (a, x) -> (a * ? + x) % 18446744073709551616::HUGEINT)
+                   END
+            FROM (SELECT ? AS g)
+            """,
+            [POLY_BASE, g],
+        ).fetchone()[0]
+        assert int(got) == poly64(g.encode()), g
+
+
+def test_winnow_poly_operator_invariant(spark):
+    """Spark-level winnow guarantee on the poly64 path: two docs
+    sharing a substring of length >= w + k - 1 share a fingerprint;
+    and the operator output equals the batch kernel's."""
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    shared = "this exact passage is long enough to guarantee overlap"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix junk {shared} more junk"),
+            (2, f"{shared} totally different tail content here"),
+            (3, "unrelated text with nothing in common at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=10, w=8, hash_fn="poly64")
+    by_doc: dict[int, set[int]] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert 4 not in by_doc  # NULL text emits nothing
+    for i, t in [(1, f"prefix junk {shared} more junk"),
+                 (2, f"{shared} totally different tail content here"),
+                 (3, "unrelated text with nothing in common at all")]:
+        exp = {v - (1 << 64) if v >= (1 << 63) else v for v in _ref_winnow(t, 10, 8)}
+        assert by_doc[i] == exp
+
+
+def test_decontaminate_arrow_matches_expr(spark):
+    """ngram_decontaminate impl='arrow' flags the identical doc set as
+    the pure-Catalyst impl='expr' (hashes differ, overlap does not)."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.decontaminate import ngram_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter("doc_id % 7 = 1").select(F.col("text"))
+    a = {r.doc_id: r.contaminated
+         for r in ngram_decontaminate(docs, ev, n=13, impl="arrow").collect()}
+    e = {r.doc_id: r.contaminated
+         for r in ngram_decontaminate(docs, ev, n=13, impl="expr").collect()}
+    assert a == e and any(a.values())
