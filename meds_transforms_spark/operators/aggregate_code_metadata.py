@@ -274,12 +274,17 @@ def join_and_replace(new: DataFrame, old: DataFrame | None, keys: Sequence[str])
         return new
     # Null-safe join keys: metadata rows may carry null keys (grand-total
     # row, nullable modifiers) — reference uses nulls_equal=True (:784).
+    # Explicit frame aliases: new and old often share lineage (the
+    # pipeline derives both from one frame), and same-exprId eqNullSafe
+    # terms make Spark emit its "trivially true equals predicate" WARN
+    # per query.
+    n, r = new.alias("__jr_n"), right.alias("__jr_r")
     cond = None
     for k in keys:
-        term = new[k].eqNullSafe(right[k])
+        term = F.col(f"__jr_n.`{k}`").eqNullSafe(F.col(f"__jr_r.`{k}`"))
         cond = term if cond is None else cond & term
-    joined = new.join(F.broadcast(right), cond, "left")
+    joined = n.join(F.broadcast(r), cond, "left")
     return joined.select(
-        *[new[c] for c in new.columns],
-        *[right[c] for c in right.columns if c not in keys],
+        *[F.col(f"__jr_n.`{c}`") for c in new.columns],
+        *[F.col(f"__jr_r.`{c}`") for c in right.columns if c not in keys],
     )

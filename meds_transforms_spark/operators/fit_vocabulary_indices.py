@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meds_transforms_spark.operators.base import register_stage
@@ -55,14 +55,16 @@ def fit_vocabulary_indices(
     callers that just aggregated by exactly these keys already have
     uniqueness by construction.
 
-    The global (unpartitioned) row_number window below is INTENTIONAL:
-    vocab indices are a total order over the code dimension table,
-    which is small by nature (SURVEY A1 — "driver-side is fine"), and
-    Spark will WARN about it. ``max_rows`` turns that assumption into
-    a hard check so the warning can never mask a real global-window
-    regression — if the metadata frame outgrows it, the caller needs a
-    distributed ranking (operators/quantiles.py shows the pattern),
-    not a bigger limit. ``None`` skips the (eager) count.
+    Vocab indices are a total order over the code dimension table.
+    The ranking routes through
+    :func:`~meds_transforms_spark.operators.ids.assign_stable_ids`
+    (range exchange → per-partition local rank → broadcast offsets),
+    so there is NO single-partition global window at any table size —
+    the rank is a pure function of the data and the plan scales past
+    the code-dimension assumption for free. ``max_rows`` is kept as a
+    sanity bound on the table a caller feeds here (vocab tables are
+    broadcast downstream by normalization); ``None`` skips the (eager)
+    count.
     """
     keys = [CODE, *code_modifiers]
     if validate or max_rows is not None:
@@ -81,6 +83,21 @@ def fit_vocabulary_indices(
                 f"(> max_rows={max_rows}); a single-partition window over "
                 "it would bottleneck. Use a distributed ranking instead."
             )
-    # nulls first matches the reference's nulls_last=False argsort.
-    w = W.orderBy(*[F.col(k).asc_nulls_first() for k in keys])
-    return code_metadata.withColumn("code/vocab_index", F.row_number().over(w))
+    # nulls first matches the reference's nulls_last=False argsort
+    # (repartitionByRange + orderBy default to asc_nulls_first).
+    # validate=False: key-tuple uniqueness was just checked above (or
+    # waived by the caller, who asserts it by construction).
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    ranked = assign_stable_ids(
+        code_metadata,
+        order_cols=keys,
+        id_name="code/vocab_index",
+        start=1,
+        validate=False,
+    )
+    # row_number() emitted INT; keep the narrower type as the schema
+    # contract (indices are bounded by max_rows anyway).
+    return ranked.withColumn(
+        "code/vocab_index", F.col("`code/vocab_index`").cast("int")
+    )

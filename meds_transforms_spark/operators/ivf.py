@@ -168,10 +168,12 @@ def assign_cells_arrow(
 
 
 def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
-    # The global row_number window below runs over the LIMIT n_cells
-    # frame — bounded by construction, so the unpartitioned-window WARN
-    # is benign. The assert keeps it that way: centroid tables are
-    # broadcast to every probe join, so a huge n_cells is wrong twice.
+    # Cell numbering routes through assign_stable_ids (range exchange +
+    # local rank + broadcast offsets) — dense rank by vec_id with no
+    # single-partition window; as a bonus it REJECTS duplicate seed ids,
+    # which the old row_number silently tie-broke nondeterministically.
+    # The assert keeps the frame broadcastable: centroid tables join
+    # every probe, so a huge n_cells is wrong twice.
     if n_cells > 1_000_000:
         raise ValueError(
             f"ivf_centroids: n_cells={n_cells} is past broadcast/global-"
@@ -185,14 +187,15 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", co
     c = corpus.filter(
         F.col(corpus_vec).isNotNull() & (F.size(F.col(corpus_vec)) > 0)
     ).select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
-    return (
-        c.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(W.orderBy("vec_id")).alias("__cell"),
-            F.col("__cvec0").alias("__cvec"),
-            l2_norm(F.col("__cvec0")).alias("__cnorm"),
-        )
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    seeds = c.orderBy("vec_id").limit(n_cells)
+    return assign_stable_ids(
+        seeds, order_cols=["vec_id"], id_name="__cell", start=1
+    ).select(
+        F.col("__cell").cast("int").alias("__cell"),
+        F.col("__cvec0").alias("__cvec"),
+        l2_norm(F.col("__cvec0")).alias("__cnorm"),
     )
 
 

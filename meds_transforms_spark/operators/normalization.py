@@ -58,12 +58,23 @@ def normalization(
 
     # Null-safe equi-join: nullable modifier keys must match null-to-null
     # (nulls_equal=True at normalization.py:214). Spark's `on=[cols]`
-    # form is not null-safe → build an explicit <=> condition.
+    # form is not null-safe → build an explicit <=> condition. Frame
+    # aliases, not bare attribute refs: stats usually derives from df's
+    # lineage, and same-exprId eqNullSafe terms trigger Spark's
+    # "trivially true equals predicate" WARN.
+    d_, s_ = df.alias("__nz_d"), stats.alias("__nz_s")
+
+    def dcol(c):
+        return F.col(f"__nz_d.`{c}`")
+
+    def scol(c):
+        return F.col(f"__nz_s.`{c}`")
+
     cond = None
     for k in keys:
-        term = df[k].eqNullSafe(stats[k])
+        term = dcol(k).eqNullSafe(scol(k))
         cond = term if cond is None else cond & term
-    joined = df.join(F.broadcast(stats), cond, "inner")
+    joined = d_.join(F.broadcast(s_), cond, "inner")
 
     # The reference's normalization emits ONLY the tokenization-ready
     # core schema (its golden outputs drop upstream extras like
@@ -71,16 +82,16 @@ def normalization(
     from meds_transforms_spark.schema import ORDER_KEY, SUBJECT_ID, TIME
 
     keep = [c for c in (SUBJECT_ID, TIME, ORDER_KEY) if c in df.columns]
-    passthrough = [df[c] for c in keep]
-    v = df[NUMERIC_VALUE]
-    diff = v - stats["__mean"]
+    passthrough = [dcol(c) for c in keep]
+    v = dcol(NUMERIC_VALUE)
+    diff = v - scol("__mean")
     # std == 0 mirrors the reference's unguarded (v-mean)/std, which in
     # Polars follows IEEE: ±inf for diff ≠ 0, NaN for diff == 0. Spark 4
     # ANSI errors on double/0, so the IEEE outcomes are spelled out;
     # NULL inputs (v, mean, or std) stay NULL.
     normed = (
-        F.when(v.isNull() | stats["__mean"].isNull() | stats["__std"].isNull(), F.lit(None).cast("double"))
-        .when(stats["__std"] != 0, diff / stats["__std"])
+        F.when(v.isNull() | scol("__mean").isNull() | scol("__std").isNull(), F.lit(None).cast("double"))
+        .when(scol("__std") != 0, diff / scol("__std"))
         # Spark orders NaN above every double, so NaN diff would take
         # the +inf branch; IEEE NaN/0 is NaN
         .when(F.isnan(diff), F.lit(float("nan")))
@@ -90,6 +101,6 @@ def normalization(
     )
     return joined.select(
         *passthrough,
-        stats["__vocab"].cast("long").alias(CODE),
+        scol("__vocab").cast("long").alias(CODE),
         normed.cast("float").alias(NUMERIC_VALUE),
     )
