@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "docs_winnow_overlap",
     "docs_corpus_diff",
     "docs_pack",
+    # round-7 additions: the remaining heavy dedup-family queries, so
+    # regressions surface in the per-round medians, not only in ad-hoc
+    # SCALING runs.
+    "docs_winnow_contains",
+    "docs_minhash_transitive",
+    "emb_semantic_dedup_arrow",
 ]
 
 

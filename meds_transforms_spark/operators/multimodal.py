@@ -8,10 +8,14 @@ structs. Two tiers:
   pure byte-layout arithmetic — implemented here for real, JVM-side
   where the layout is fixed-offset (PNG, WAV) and in an Arrow-batched
   ``mapInPandas`` where it needs scanning (JPEG SOF markers).
-- **Stubbed kernel**: pixel/sample decode and feature extraction need
-  codec libraries not present in this environment; the kernel is a
-  clearly-marked deterministic fake behind the same batch signature —
-  swap in PIL/ffmpeg without touching the Spark plumbing.
+- **Real, dependency-free pixel/sample decode**: stdlib-zlib PNG
+  (decode_png_pixels), baseline-DCT JPEG (operators/jpeg), 16-bit PCM
+  WAV — real pixels/samples with no codec library. PIL is preferred
+  when installed (any format). The ONLY remaining stub is the
+  clearly-marked deterministic _fake_features fallback for payloads no
+  decoder handles (progressive JPEG without PIL, 16-bit PNG, video) —
+  same batch signature, swap in PIL/ffmpeg without touching the Spark
+  plumbing.
 
 Scale notes: payloads dominate row size → never collect, never shuffle
 payload bytes for metadata-only questions (header parsing is a map-side
@@ -258,7 +262,8 @@ def decode_png_pixels(payload: bytes):
 
 def _image_pixels(payload: bytes):
     """(h, w, 4) RGBA uint8 pixels via PIL when installed (any format),
-    else the stdlib PNG decoder; None when undecodable."""
+    else the dependency-free decoders — stdlib-zlib PNG or baseline-DCT
+    JPEG (operators/jpeg); None when undecodable."""
     if payload is None:
         return None
     Image = _pil_image_module()
@@ -272,6 +277,18 @@ def _image_pixels(payload: bytes):
                 return np.asarray(img.convert("RGBA"))
         except Exception:
             return None
+    if payload[:3] == b"\xff\xd8\xff":
+        import numpy as np
+
+        from meds_transforms_spark.operators.jpeg import decode_baseline_jpeg
+
+        rgb = decode_baseline_jpeg(payload)
+        if rgb is None:
+            return None
+        rgba = np.empty((*rgb.shape[:2], 4), dtype=np.uint8)
+        rgba[..., :3] = rgb
+        rgba[..., 3] = 255
+        return rgba
     return decode_png_pixels(payload)
 
 
@@ -302,10 +319,12 @@ IMAGE_DECODE_SCHEMA = (
 def decode_image(df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched image decode: REAL type sniff + dimension parse +
     REAL pixel decode (PIL when installed — any format — else the
-    stdlib zlib PNG decoder for 8-bit non-interlaced PNGs) producing
-    real pixel statistics as the feature vector. Payloads no decoder
-    handles (e.g. JPEG without PIL) fall back to the clearly-marked
-    deterministic _fake_features stub so the batch shape never changes."""
+    dependency-free decoders: stdlib-zlib PNG for 8-bit non-interlaced
+    PNGs, baseline-DCT JPEG via operators/jpeg) producing real pixel
+    statistics as the feature vector. The only payloads no decoder
+    handles (e.g. progressive JPEG without PIL, 16-bit PNG) fall back
+    to the clearly-marked deterministic _fake_features stub so the
+    batch shape never changes."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
