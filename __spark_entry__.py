@@ -1765,87 +1765,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks
     # a capped prefix (~50) of this dict, so each round the prefix
-    # ROTATES to the queries whose latest driver row is oldest.
-    # Round-6 window (slots 1-50): the 9 queries whose code changed in
-    # round 4 (docs_dsir_weights / docs_gopher_filter / docs_pmi via
-    # lm.py+dsir.py+text.py edits; meds_agg_code_metadata /
-    # meds_agg_quantiles / meds_agg_rollup / meds_filter_measurements
-    # via the testdata kk-modifier; emb_quantize, events_rolling),
-    # then the round-6-changed consumers (winnow.py packed-pair +
-    # least-chain, substring.py unique-complement, dedup.py
-    # semantic_dedup assign param, filter_subjects.py dense_rank —
-    # plus the NEW emb_semantic_dedup_arrow, no driver row yet), then
-    # 35 of the 49 queries whose latest driver row is r01. Displaced
-    # r01-cohort members + the 12 <=r02-latest queries fill slots 51+
-    # and lead the round-7 rotation; the queries driver-green in r05
-    # with unchanged code form the tail. The full replica gate
-    # (scripts/check_oracles.py, bitwise-strict) was re-run at sf0.01
-    # after the round-6 review fixes: 114/114 oracle-backed green (+1
-    # rows-only by design) — evidence committed as REPLAY_r06.txt.
-    # Round-7 rotation: run scripts/window_freshness.py, which reads
-    # every CORRECTNESS_r*.json and prints per-query staleness plus
-    # the suggested next 50-slot prefix.
+    # ROTATES to the queries whose latest driver row is oldest or whose
+    # code changed since. Round-7 window (slots 1-50):
+    #   1-20  the 20 stalest rows (12 last seen r01, 8 last seen r02 —
+    #         the full list window_freshness.py printed after r06);
+    #   21-32 the round-7-changed paths: filter_subjects n_unique
+    #         parity + oracle, pipeline e2e (same oracle + aliased
+    #         join_and_replace/normalization), fit_vocab + IVF-family
+    #         (assign_stable_ids ranking), the NEW approx-quantiles
+    #         rank certificate, the poly64 winnow family + ccnet, and
+    #         decontaminate (arrow gram default);
+    #   33-50 the r05-latest cohort (13 non-TPCH + 5 TPC-H).
+    # Remaining r05 TPC-H rows (q9-q22) lead the round-8 rotation from
+    # slot 51; the r06-green queries fill the tail. Run
+    # scripts/window_freshness.py for the per-query staleness table.
     return {
-        # --- slots 1-9: round-4-changed, driver-unseen since ---
-        "docs_dsir_weights": q_docs_dsir_weights,
-        "docs_gopher_filter": q_docs_gopher_filter,
-        "docs_pmi": q_docs_pmi,
-        "meds_agg_code_metadata": q_meds_agg_code_metadata,
-        "meds_agg_quantiles": q_meds_agg_quantiles,
-        "meds_agg_rollup": q_meds_agg_rollup,
-        "meds_filter_measurements": q_meds_filter_measurements,
-        "emb_quantize": q_emb_quantize,
-        "events_rolling": q_events_rolling,
-        # --- slots 10-19: round-6-changed code paths + new queries ---
-        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
-        "events_anomaly_bucketed": q_events_anomaly_bucketed,
-        "events_anomaly": q_events_anomaly,
-        "docs_winnow_overlap": q_docs_winnow_overlap,
-        "docs_winnow_contains": q_docs_winnow_contains,
-        "docs_ccnet_e2e": q_docs_ccnet_e2e,
-        "docs_substring_dedup": q_docs_substring_dedup,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "meds_filter_subjects": q_meds_filter_subjects,
-        # round-7: now ORACLE-BACKED via the rank-error certificate
-        # (exact nearest-rank replay + engine-independent within_tol)
-        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
-        # --- slots 20-50: oldest driver rows (latest = r01) ---
-        # (9 + 10 entries precede, so this group starts at slot 20 and
-        # its last member — docs_exact_dedup below, also r01-stale —
-        # lands at slot 50, INSIDE the driver window.)
-        "meds_occlude_outliers": q_meds_occlude_outliers,
-        "meds_normalization": q_meds_normalization,
-        "meds_fit_vocab": q_meds_fit_vocab,
-        "meds_timeline_deltas": q_meds_timeline_deltas,
-        "meds_time_of_day": q_meds_time_of_day,
-        "meds_age": q_meds_age,
-        "meds_bin_numeric": q_meds_bin_numeric,
-        "meds_match_revise": q_meds_match_revise,
-        "meds_extract_values": q_meds_extract_values,
-        "meds_code_priority": q_meds_code_priority,
-        "meds_pipeline_e2e": q_meds_pipeline_e2e,
-        "meds_quantiles_distributed": q_meds_quantiles_distributed,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "events_hourly": q_events_hourly,
-        "events_asof": q_events_asof,
-        "events_interval_join": q_events_interval_join,
-        "events_pivot": q_events_pivot,
-        "events_grouping_sets": q_events_grouping_sets,
-        "events_rows_window": q_events_rows_window,
-        "events_sliding_windows": q_events_sliding_windows,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_repetition": q_docs_repetition,
-        "docs_boilerplate": q_docs_boilerplate,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_group_cap": q_docs_group_cap,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        # --- slots 51+: displaced r01-cohort (lead round-7 rotation),
-        # --- then remaining <=r02-latest ---
+        # --- slots 1-20: stalest driver rows (r01/r02) ---
         "docs_lang_id": q_docs_lang_id,
         "docs_top_tokens": q_docs_top_tokens,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
@@ -1866,7 +1801,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_keep_latest": q_events_keep_latest,
         "events_transitions": q_events_transitions,
         "events_zorder": q_events_zorder,
-        # --- tail: driver-green in r05, unchanged since ---
+        # --- slots 21-32: round-7-changed code/oracle paths ---
+        "meds_filter_subjects": q_meds_filter_subjects,
+        "meds_pipeline_e2e": q_meds_pipeline_e2e,
+        "meds_normalization": q_meds_normalization,
+        "meds_fit_vocab": q_meds_fit_vocab,
+        # round-7: now ORACLE-BACKED via the rank-error certificate
+        # (exact nearest-rank replay + engine-independent within_tol)
+        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
+        "docs_winnow_overlap": q_docs_winnow_overlap,
+        "docs_winnow_contains": q_docs_winnow_contains,
+        "docs_ccnet_e2e": q_docs_ccnet_e2e,
+        "docs_decontaminate": q_docs_decontaminate,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
+        "emb_cluster_balance": q_emb_cluster_balance,
+        # --- slots 33-50: r05-latest cohort ---
         "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
         "docs_pack": q_docs_pack,
         "docs_curation_e2e": q_docs_curation_e2e,
@@ -1880,7 +1830,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_shards": q_docs_shuffle_shards,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "docs_corpus_diff": q_docs_corpus_diff,
-        **{k: v for k, v in _tpch_suite.QUERIES.items() if k != "tpch_q12"},
+        "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
+        "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
+        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
+        "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
+        "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
+        # --- slots 51+: remaining r05 TPC-H (lead round-8), then the
+        # --- r06-green tail ---
+        **{
+            k: v
+            for k, v in _tpch_suite.QUERIES.items()
+            if k not in ("tpch_q12", "tpch_q2", "tpch_q4", "tpch_q20", "tpch_q7", "tpch_q8")
+        },
+        # q1/q3/q5/q6 live as module-level functions, not in the suite
+        # dict — spell them out so the spread can't drop them.
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "meds_occlude_outliers": q_meds_occlude_outliers,
+        "meds_timeline_deltas": q_meds_timeline_deltas,
+        "meds_time_of_day": q_meds_time_of_day,
+        "meds_age": q_meds_age,
+        "meds_bin_numeric": q_meds_bin_numeric,
+        "meds_match_revise": q_meds_match_revise,
+        "meds_extract_values": q_meds_extract_values,
+        "meds_code_priority": q_meds_code_priority,
+        "meds_quantiles_distributed": q_meds_quantiles_distributed,
+        "meds_agg_code_metadata": q_meds_agg_code_metadata,
+        "meds_agg_quantiles": q_meds_agg_quantiles,
+        "meds_agg_rollup": q_meds_agg_rollup,
+        "meds_filter_measurements": q_meds_filter_measurements,
+        "emb_quantize": q_emb_quantize,
+        "events_rolling": q_events_rolling,
+        "events_anomaly_bucketed": q_events_anomaly_bucketed,
+        "events_anomaly": q_events_anomaly,
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_pmi": q_docs_pmi,
+        "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
+        "events_pivot": q_events_pivot,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_rows_window": q_events_rows_window,
+        "events_sliding_windows": q_events_sliding_windows,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "docs_boilerplate": q_docs_boilerplate,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_group_cap": q_docs_group_cap,
+        "docs_exact_dedup": q_docs_exact_dedup,
         "docs_tfidf": q_docs_tfidf,
         "docs_semantic_search": q_docs_semantic_search,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -1889,9 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_cosine_dedup": q_emb_cosine_dedup,
         "events_sessions": q_events_sessions,
-        "docs_decontaminate": q_docs_decontaminate,
         "events_funnel": q_events_funnel,
-        "emb_cluster_balance": q_emb_cluster_balance,
         "docs_line_dedup": q_docs_line_dedup,
         "events_retention": q_events_retention,
         "docs_domain_mix": q_docs_domain_mix,
