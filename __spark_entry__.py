@@ -1654,7 +1654,11 @@ def q_docs_minhash_transitive(spark, sf_dir):
     """Transitive-closure MinHash dedup (iterative min-label
     connected components on Spark) with md5-derived buckets, verified
     against a DuckDB RECURSIVE-CTE transitive closure of the same
-    co-bucket graph."""
+    co-bucket graph. Stays on the relational md5_60 bucketing (the
+    closure is the point here; the per-gram fold replay of poly64
+    doubles the oracle's recursive-CTE cost, and the Arrow kernel is
+    covered by docs_minhash_dedup) — at scale pass hash_fn="poly64"
+    to the operator to get the O(docs x bands) shuffle."""
     from meds_transforms_spark.operators.components import minhash_lsh_dedup_transitive
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1662,16 +1666,20 @@ def q_docs_minhash_transitive(spark, sf_dir):
 
 
 def q_docs_minhash_dedup(spark, sf_dir):
-    """MinHash-LSH near-dedup with hash_fn="md5_60" so the ENTIRE
-    pipeline — normalize → shingle → one-permutation slots → band
-    buckets → representative election — is reproduced verbatim by the
-    DuckDB oracle (md5 is engine-independent; xxhash64, the perf
-    default, has no DuckDB equivalent)."""
+    """MinHash-LSH near-dedup on the Arrow signature kernel
+    (hash_fn="poly64" → operators/grams.lsh_band_buckets_poly): the
+    whole one-permutation signature is computed per document inside
+    each Arrow batch, so the only shuffled rows are (id, band bucket)
+    — O(docs × bands), not O(shingles). The DuckDB oracle reproduces
+    the ENTIRE pipeline — normalize → byte shingles → poly64 →
+    unsigned slot minima → band fold → representative election —
+    bitwise (the md5_60 relational path keeps its own oracle via
+    docs_incremental_dedup / docs_corpus_prep)."""
     from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_dedup(
-        docs, num_hashes=32, bands=8, hash_fn="md5_60"
+        docs, num_hashes=32, bands=8, hash_fn="poly64"
     ).select("doc_id")
 
 
@@ -1898,6 +1906,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
     }
+
+
+def _minhash_bands_poly_sql(source: str = "documents", k: int = 5,
+                            num_hashes: int = 32, bands: int = 8) -> str:
+    """Shared poly64 MinHash band-bucket pipeline — the SQL mirror of
+    operators/grams.lsh_band_buckets_poly (normalize → k-byte shingles
+    → poly64 → one-permutation slots on the UNSIGNED value → per-band
+    fold bucket), ending in the signed bucket Spark emits."""
+    b, m, r = 1099511628211, 1 << 64, num_hashes // bands
+    return rf"""norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+              FROM {source}
+            ), mh_pos AS (
+              SELECT doc_id, substr(txt, CAST(i AS BIGINT), {k}) AS gg
+              FROM (SELECT doc_id, txt,
+                           unnest(range(1, greatest(len(txt) - {k - 1}, 1) + 1)) AS i
+                    FROM norm)
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(gg) = 0 THEN 0::HUGEINT
+                          ELSE list_reduce(
+                            list_transform(range(1, len(gg) + 1),
+                              j -> CAST(ascii(substr(gg, CAST(j AS BIGINT), 1)) AS HUGEINT)),
+                            (a, x) -> (a * {b} + x) % {m}::HUGEINT)
+                     END AS u
+              FROM mh_pos
+            ), slots AS (
+              SELECT doc_id, u % {num_hashes} AS slot, min(u) AS mh
+              FROM sh GROUP BY doc_id, slot
+            ), bands AS (
+              SELECT doc_id,
+                     CAST(bu - CASE WHEN bu >= {m // 2}::HUGEINT
+                              THEN {m}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS bucket
+              FROM (
+                SELECT doc_id,
+                       list_reduce(
+                         list_prepend(CAST(slot // {r} AS HUGEINT),
+                           flatten(list([CAST(slot AS HUGEINT), mh] ORDER BY slot))),
+                         (a, x) -> (a * {b} + x) % {m}::HUGEINT) AS bu
+                FROM slots GROUP BY doc_id, slot // {r}
+              )
+            )"""
 
 
 def _minhash_bands_sql(source: str = "documents") -> str:
@@ -3613,7 +3663,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 2 = 1
         """,
         "docs_minhash_dedup": r"""
-            WITH """ + _minhash_bands_sql() + r""", reps AS (
+            WITH """ + _minhash_bands_poly_sql() + r""", reps AS (
               SELECT bucket, min(doc_id) AS rep FROM bands GROUP BY bucket
             ), doc_rep AS (
               SELECT b.doc_id, min(r.rep) AS rep

@@ -161,10 +161,23 @@ def lsh_band_buckets(
 
     Everything stays in whole-stage codegen; the only shuffles move
     (doc_id, slot/band, long) tuples, never text.
+
+    ``hash_fn="poly64"`` routes to the Arrow-batched kernel
+    (operators/grams.lsh_band_buckets_poly): the whole signature is
+    computed per document inside the batch, so the only rows that ever
+    shuffle are the (id, band bucket) outputs — O(docs × bands), not
+    O(shingles). Also DuckDB-replayable. Prefer it at scale; the
+    relational form remains the JVM-only path.
     """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    if hash_fn == "poly64":
+        from meds_transforms_spark.operators.grams import lsh_band_buckets_poly
+
+        return lsh_band_buckets_poly(
+            df, text_col, id_col, num_hashes, bands, shingle_k
+        ).withColumnRenamed("__bucket", "__bucket")
     # Shingle in codegen, not via array HOFs: explode position ranges,
     # then substring+hash as plain projections. Duplicate shingles are
     # harmless (they can't change a per-slot minimum), so no distinct.

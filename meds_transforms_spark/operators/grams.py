@@ -375,3 +375,128 @@ def word_ngram_hashes_poly(
                 )
 
     return base.mapInArrow(fn, schema=out_schema)
+
+
+def _minhash_batch(txt_arr, k: int, num_hashes: int, bands: int):
+    """(doc_positions, band_bucket_uint64) one-permutation MinHash band
+    buckets of one slice — the whole signature computed per document
+    with NO gram rows ever leaving the batch.
+
+    Scheme (identical to operators/dedup.lsh_band_buckets, re-based on
+    poly64): shingle hash u = poly64(bytes[i:i+k]); slot = u mod
+    num_hashes; per-(doc, slot) UNSIGNED min; band bucket = the fold
+    ``acc = band; for (slot, min) in slot order: acc = acc·B + slot;
+    acc = acc·B + min`` (mod 2^64) — replayable in DuckDB as one
+    list_reduce. Docs shorter than ``k`` contribute their whole text
+    as the single shingle (empty text hashes to 0), so identical short
+    docs still collapse."""
+    r = num_hashes // bands
+    data, offs = _flat_utf8(txt_arr)
+    x = data.astype(np.uint64)
+    s, bpow = _prefix(x)
+    starts, ends = offs[:-1].astype(np.int64), offs[1:].astype(np.int64)
+    lens = ends - starts
+
+    big = np.flatnonzero(lens >= k)
+    tiny = np.flatnonzero(lens < k)
+    parts_doc, parts_h = [], []
+    if len(big):
+        cnt = (lens[big] - k + 1).astype(np.int64)
+        idx = _ranges(starts[big], cnt)
+        parts_doc.append(np.repeat(big, cnt))
+        parts_h.append(_slice_hashes(s, bpow, idx, idx + k))
+    if len(tiny):
+        parts_doc.append(tiny)
+        parts_h.append(_slice_hashes(s, bpow, starts[tiny], ends[tiny]))
+    if not parts_doc:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.uint64)
+    doc_idx = np.concatenate(parts_doc)
+    gh = np.concatenate(parts_h)
+
+    # per-(doc, slot) unsigned min: sort by (key asc, hash asc), keep
+    # the first row of each key group
+    slot = (gh % np.uint64(num_hashes)).astype(np.int64)
+    key = doc_idx * num_hashes + slot
+    order = np.lexsort((gh, key))
+    ks, hs = key[order], gh[order]
+    first = np.empty(len(ks), dtype=bool)
+    first[0] = True
+    first[1:] = ks[1:] != ks[:-1]
+    ks, hs = ks[first], hs[first]
+    d2 = ks // num_hashes
+    sl = ks % num_hashes
+    band = sl // r
+
+    # segmented fold per (doc, band) — groups are consecutive (the key
+    # sort made slots ascending within each doc) and hold <= r pairs,
+    # so a loop over position-within-group (r iterations) vectorizes
+    # the fold across every group at once.
+    gkey = d2 * bands + band
+    gfirst = np.empty(len(gkey), dtype=bool)
+    gfirst[0] = True
+    gfirst[1:] = gkey[1:] != gkey[:-1]
+    gstart = np.flatnonzero(gfirst)
+    gcount = np.diff(np.concatenate((gstart, [len(gkey)])))
+    b64 = np.uint64(POLY_BASE)
+    with np.errstate(over="ignore"):
+        acc = band[gstart].astype(np.uint64)
+        for j in range(int(gcount.max())):
+            live = gcount > j
+            pos = gstart[live] + j
+            acc[live] = (acc[live] * b64 + sl[pos].astype(np.uint64)) * b64 + hs[pos]
+    return d2[gstart], acc
+
+
+def lsh_band_buckets_poly(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """One-permutation MinHash band buckets, Arrow-batched: the scale
+    rewrite of operators/dedup.lsh_band_buckets.
+
+    The relational form explodes one row per shingle and aggregates
+    (doc, slot) minima — correct, but its first exchange carries
+    O(total shingles) rows (≈ corpus bytes × 20 at k=5). This kernel
+    computes each document's whole signature inside the Arrow batch,
+    so the ONLY rows that ever shuffle are the (id, band bucket)
+    outputs: O(docs × bands) — at 100 TB that is the difference
+    between shuffling ~2 PB of gram tuples and ~tens of GB. Hashes are
+    poly64 (DuckDB-replayable); NULL-text docs emit no rows.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    id_type = df.select(id_col).schema[0].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("__bucket", T.LongType())]
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _normalized(F.col(text_col)).alias("__txt")
+    )
+
+    def fn(batches):
+        for rb in batches:
+            for sl_ in _batch_slices(rb, _MAX_SLICE_BYTES):
+                doc_pos, buckets = _minhash_batch(
+                    sl_.column(1), shingle_k, num_hashes, bands
+                )
+                ids = sl_.column(0)
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(doc_pos)),
+                        pa.array(buckets.view(np.int64)),
+                    ],
+                    names=[id_col, "__bucket"],
+                )
+
+    return base.mapInArrow(fn, schema=out_schema)
