@@ -177,7 +177,7 @@ def lsh_band_buckets(
 
         return lsh_band_buckets_poly(
             df, text_col, id_col, num_hashes, bands, shingle_k
-        ).withColumnRenamed("__bucket", "__bucket")
+        )
     # Shingle in codegen, not via array HOFs: explode position ranges,
     # then substring+hash as plain projections. Duplicate shingles are
     # harmless (they can't change a per-slot minimum), so no distinct.

@@ -159,3 +159,66 @@ def test_decontaminate_arrow_matches_expr(spark):
     e = {r.doc_id: r.contaminated
          for r in ngram_decontaminate(docs, ev, n=13, impl="expr").collect()}
     assert a == e and any(a.values())
+
+
+def test_minhash_batch_matches_scalar_reference():
+    """One-permutation MinHash band buckets: the batched kernel's
+    (slot-min, band-fold) pipeline pinned against a scalar reference."""
+    from meds_transforms_spark.operators.grams import _minhash_batch
+
+    M = 1 << 64
+
+    def ref_buckets(t, k, H, bands):
+        b = _norm(t).encode()
+        r = H // bands
+        grams = (
+            [b[i : i + k] for i in range(len(b) - k + 1)] if len(b) >= k else [b]
+        )
+        slots: dict[int, int] = {}
+        for g in grams:
+            u = poly64(g)
+            slots[u % H] = min(slots.get(u % H, u), u)
+        out = set()
+        for band in range(bands):
+            pairs = [(sl, mh) for sl, mh in sorted(slots.items()) if sl // r == band]
+            if not pairs:
+                continue
+            acc = band
+            for sl, mh in pairs:
+                acc = ((acc * POLY_BASE + sl) * POLY_BASE + mh) % M
+            out.add(acc % M)
+        return out
+
+    arr = pa.array([_norm(t) for t in TEXTS], type=pa.string())
+    for k, h, bands in [(5, 32, 8), (5, 16, 4), (10, 32, 8)]:
+        dp, bk = _minhash_batch(arr, k, h, bands)
+        got: dict[int, set[int]] = {}
+        for d, u in zip(dp, bk):
+            got.setdefault(int(d), set()).add(int(u) % M)
+        for i, t in enumerate(TEXTS):
+            assert got.get(i, set()) == ref_buckets(t, k, h, bands), (k, h, bands, i)
+
+
+def test_minhash_poly_dedup_collapses_near_dups(spark):
+    """Spark-level: poly64 bucketing collapses near-duplicates and the
+    empty/identical-short-doc classes exactly like the relational path."""
+    from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps going "
+            "for quite a while longer with many shared shingles ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body + " tiny tail difference"),
+            (3, "completely unrelated text about something else entirely here"),
+            (4, ""),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in minhash_lsh_dedup(docs, hash_fn="poly64").collect()}
+    assert 1 in kept and 2 not in kept  # near-dups collapse to min id
+    assert 3 in kept                    # unrelated survives
+    assert 4 in kept and 5 not in kept  # identical empties collapse
+    assert 6 in kept                    # NULL text passes through
