@@ -77,6 +77,15 @@ def get_spark(
         # overcommit; SPARK_DRIVER_MEMORY stays the escape hatch.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
     )
+    # NOT set: a local-only spark.sql.files.maxPartitionBytes override
+    # (4 MB splits so 10-30 MB testdata files scan on all cores) was
+    # A/B-measured in round 7 — 5 interleaved fresh-process passes on
+    # the 6 scan-rooted headline queries: ccnet_e2e ~-1 s (its two
+    # single-task 3 s checkpoint-materialization stages parallelize),
+    # but the mapInArrow family pays ~+0.7 s (more scan tasks = more
+    # Python workers to warm), everything else inside noise. No net
+    # win, and it perturbs every measured plan — at real scale files
+    # exceed 128 MB and the default splitting already parallelizes.
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(int(shuffle_partitions))

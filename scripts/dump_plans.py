@@ -18,7 +18,7 @@ REVIEW = {
     "tpch_q1": "scan with shipdate pushed to parquet → partial/final hash agg on 2 keys",
     "tpch_q3": "lineitem scan filtered at source; orders join (AQE picks build side), customer broadcast, then agg + topK sort",
     "docs_exact_dedup": "one scan, one exchange on the 64-bit content hash, window min, filter",
-    "docs_minhash_dedup": "explode→hash projections (codegen), two small-key hash aggs, window rep-select, semi join back",
+    "docs_minhash_dedup": "Arrow signature kernel (grams.lsh_band_buckets_poly): whole one-permutation signature per doc inside each batch — the ONLY shuffled rows are (id, band bucket), O(docs×bands) vs the relational form's O(shingles) first exchange (658→88 MB at 500k docs); then window rep-select + semi join back",
     "emb_topk_cosine": "corpus scan map-side joined to broadcast queries; rank window on query_id only",
     "tpch_q21": "double-EXISTS as two chained hash aggs ((order,supplier) then order) + broadcast supplier — 2 exchanges, no semi/anti re-shuffles",
     "events_asof": "both sides unioned → ONE exchange on user_id → running last(ignorenulls) window; no range join anywhere",
@@ -32,7 +32,7 @@ REVIEW = {
     "tpch_q2": "min-cost-supplier correlated subquery as a grouped pre-agg joined back on (part, cost); all dims broadcast, part table scanned once",
     "tpch_q7": "two-nation volume: lineitem joined to broadcast supplier/customer/nation pair filter, one agg on (nations, year)",
     "tpch_q9": "profit rollup: part filter broadcast into lineitem, orders join for the year, agg on (nation, year) — the biggest input scans once",
-    "docs_decontaminate": "train grams explode→hash in codegen; eval gram-hash set dedup'd + broadcast; LEFT SEMI map-side probe → contaminated ids → one id join back; document text never shuffles",
+    "docs_decontaminate": "train/eval word-13-gram hashes via the Arrow poly64 rolling-hash kernel (grams.word_ngram_hashes_poly — one numpy pass per batch, 2.7× the interpreted gram stream at 1M docs); eval gram-hash set dedup'd + broadcast; LEFT SEMI map-side probe → contaminated ids → one id join back; document text never shuffles",
     "events_funnel": "agg_join strategy: per-step full hash agg with map-side combine (shuffle carries one partial row per entity-partition), per-entity step table broadcast back into the next scan — zero full-data shuffles, no sort; window strategy available for unbroadcastable entity dims",
     "docs_pack": "two-phase prefix sum: range exchange on the order key, per-partition running sums, #partitions offset rows broadcast back — no SinglePartition exchange anywhere (the naive global-window cumsum is the anti-pattern this operator replaces)",
     "emb_cluster_balance": "centroids broadcast into a map-side scoring join (corpus never shuffles for assignment); the cap is group_cap's two-phase per-key top-k — phase 1 caps within (cluster, input-partition), phase 2 ranks only survivors",
@@ -58,7 +58,7 @@ REVIEW = {
     "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
     "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
-    "docs_winnow_overlap": "gram hashing + window minima entirely inside per-row array HOFs (zero shuffle until fingerprints; least-of-gets chain avoids per-window slice allocation; the array expr explodes DIRECTLY in one select — the withColumn form re-inlines under Generate, measured 150×); fp-bucketed pair join, then the pair aggregate runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle",
+    "docs_winnow_overlap": "gram hashing + window minima via the Arrow poly64 rolling-hash kernel (grams.winnow_fingerprints_poly: one prefix pass per batch yields every gram hash; sliding-window minima in vectorized numpy; zero shuffle until the (id, long) fingerprints); fp-bucketed pair join, then the pair aggregate runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle",
     "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles; same max_df guard before pairing",
     "docs_bigram_ppl": "bigrams form in a per-row HOF (no lag window over exploded tokens); the per-doc aggregate is PERSISTED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — explode runs once, everything else re-aggregates the cache",
     "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
