@@ -262,14 +262,12 @@ def winnow_fingerprints_poly(
     return base.mapInArrow(fn, schema=out_schema)
 
 
-def _word_gram_batch(txt_arr, n: int):
-    """(doc_positions, gram_hash_uint64) distinct word-n-gram hashes of
-    one slice. Tokens are the maximal non-space runs of the normalized
-    text (single spaces by construction); the gram key is the poly64
-    hash of the space-joined token window — i.e. of the SUBSTRING from
-    the first token's start to the last token's end. Docs with no
-    tokens emit nothing; docs with fewer than ``n`` tokens emit one
-    gram covering every token (word_ngrams_of parity)."""
+def _token_bounds(txt_arr):
+    """Token boundary arrays of one normalized-text slice: returns
+    ``(s, bpow, tok_starts, tok_ends, tok_counts, first_tok)`` where
+    tokens are the maximal non-space byte runs of each document (the
+    shared substrate of the word-gram and bigram kernels), or ``None``
+    when the slice holds no tokens at all."""
     data, offs = _flat_utf8(txt_arr)
     x = data.astype(np.uint64)
     s, bpow = _prefix(x)
@@ -304,8 +302,7 @@ def _word_gram_batch(txt_arr, n: int):
     # starts: [doc_start, sp+1 ...]; ends: [sp ..., doc_end]
     tot = int(tok_counts.sum())
     if tot == 0:
-        e = np.empty(0, dtype=np.int64)
-        return e, e.astype(np.uint64)
+        return None
     tok_starts = np.empty(tot, dtype=np.int64)
     tok_ends = np.empty(tot, dtype=np.int64)
     first_tok = np.concatenate(([0], np.cumsum(tok_counts)[:-1]))
@@ -321,6 +318,22 @@ def _word_gram_batch(txt_arr, n: int):
         )[doc_of_space]
         tok_ends[first_tok[doc_of_space] + sep_rank] = sp
         tok_starts[first_tok[doc_of_space] + sep_rank + 1] = sp + 1
+    return s, bpow, tok_starts, tok_ends, tok_counts, first_tok
+
+
+def _word_gram_batch(txt_arr, n: int):
+    """(doc_positions, gram_hash_uint64) distinct word-n-gram hashes of
+    one slice. The gram key is the poly64 hash of the space-joined
+    token window — i.e. of the SUBSTRING from the first token's start
+    to the last token's end. Docs with no tokens emit nothing; docs
+    with fewer than ``n`` tokens emit one gram covering every token
+    (word_ngrams_of parity)."""
+    tb = _token_bounds(txt_arr)
+    if tb is None:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.uint64)
+    s, bpow, tok_starts, tok_ends, tok_counts, first_tok = tb
+    has_tok = tok_counts > 0
 
     # Gram g of doc d spans tokens [g, g+n-1]; docs with < n tokens get
     # ONE gram spanning all tokens.
@@ -497,6 +510,95 @@ def lsh_band_buckets_poly(
                         pa.array(buckets.view(np.int64)),
                     ],
                     names=[id_col, "__bucket"],
+                )
+
+    return base.mapInArrow(fn, schema=out_schema)
+
+
+def _bigram_counts_batch(txt_arr):
+    """(doc_positions, h1_uint64, h2_uint64, counts) per-document
+    bigram-hash counts of one slice: token hashes are poly64 over each
+    token's bytes; adjacent pairs are counted per doc (multiplicities
+    kept — LM fitting needs events, not the distinct set)."""
+    tb = _token_bounds(txt_arr)
+    if tb is None:
+        e = np.empty(0, dtype=np.int64)
+        u = e.astype(np.uint64)
+        return e, u, u, e
+    s, bpow, tok_starts, tok_ends, tok_counts, first_tok = tb
+    th = _slice_hashes(s, bpow, tok_starts, tok_ends)
+
+    multi = np.flatnonzero(tok_counts >= 2)
+    if len(multi) == 0:
+        e = np.empty(0, dtype=np.int64)
+        u = e.astype(np.uint64)
+        return e, u, u, e
+    bg_counts = (tok_counts[multi] - 1).astype(np.int64)
+    i1 = _ranges(first_tok[multi], bg_counts)
+    h1, h2 = th[i1], th[i1 + 1]
+    doc_pos = np.repeat(multi, bg_counts)
+
+    # run-length count per (doc, h1, h2)
+    order = np.lexsort((h2, h1, doc_pos))
+    d, a, b = doc_pos[order], h1[order], h2[order]
+    newgrp = np.empty(len(d), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    gstart = np.flatnonzero(newgrp)
+    counts = np.diff(np.concatenate((gstart, [len(d)])))
+    return d[gstart], a[gstart], b[gstart], counts
+
+
+def bigram_hash_counts_poly(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram counts keyed by 64-bit token hashes:
+    ``(id_col, w1, w2, __n_local)`` — the batched-numpy twin of
+    operators/lm._per_doc_bigrams.
+
+    The LM pipeline never exposes its keys (only per-doc scores leave
+    the model plane), so hashing the tokens changes nothing observable
+    — same count multiset, same marginals, same distinct-w2 V — while
+    the token split + bigram struct HOF (interpreted per pair) becomes
+    one numpy pass per Arrow batch, and every model-side shuffle
+    carries fixed-width longs instead of word pairs. Tokenization
+    matches ``_tokens(lower(text))`` exactly (whitespace split, empty
+    tokens dropped — normalization cannot change the token sequence).
+    """
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    id_type = df.select(id_col).schema[0].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("w1", T.LongType()),
+            T.StructField("w2", T.LongType()),
+            T.StructField("__n_local", T.LongType()),
+        ]
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _normalized(F.col(text_col)).alias("__txt")
+    )
+
+    def fn(batches):
+        for rb in batches:
+            for sl_ in _batch_slices(rb, _MAX_SLICE_BYTES):
+                doc_pos, h1, h2, counts = _bigram_counts_batch(sl_.column(1))
+                ids = sl_.column(0)
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(doc_pos)),
+                        pa.array(h1.view(np.int64)),
+                        pa.array(h2.view(np.int64)),
+                        pa.array(counts.astype(np.int64)),
+                    ],
+                    names=[id_col, "w1", "w2", "__n_local"],
                 )
 
     return base.mapInArrow(fn, schema=out_schema)

@@ -156,3 +156,52 @@ def shuffle_shards(
         )
         .drop("__shufkey", "__rank")
     )
+
+
+def attach_dense_rank_bounded(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str,
+    start: int = 0,
+) -> DataFrame:
+    """Dense 0..N-1 index over a BOUNDED dimension table: one exchange
+    to a single partition, an in-partition sort, and one Arrow pass
+    attaching the running index.
+
+    The cheap sibling of :func:`assign_stable_ids` for tables that are
+    small by contract (vocab/code metadata behind max_rows guards, IVF
+    seed centroids behind limit(n_cells)): same deterministic result
+    (index = dense rank in the total order, nulls first), but ONE job
+    and no driver-side counts collect — where assign_stable_ids pays a
+    range exchange + eager checkpoint + offsets collect to stay
+    distributed, which is the right trade only when the table isn't
+    broadcast-sized. Also no WindowExec, so no single-partition window
+    warning to squint at.
+
+    Ties in ``order_cols`` get positional (partition-internal) ranks —
+    same contract as row_number; callers needing tie rejection use
+    assign_stable_ids(validate=True).
+    """
+    from pyspark.sql import types as T
+
+    sorted_df = df.repartition(1).sortWithinPartitions(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    )
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(id_name, T.LongType())]
+    )
+    base = int(start)
+
+    def attach(batches):
+        import pyarrow as pa
+
+        off = 0
+        for rb in batches:
+            idx = pa.array(range(base + off, base + off + rb.num_rows), type=pa.int64())
+            off += rb.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)] + [idx],
+                names=[f.name for f in schema.fields],
+            )
+
+    return sorted_df.mapInArrow(attach, schema=schema)

@@ -168,10 +168,11 @@ def assign_cells_arrow(
 
 
 def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
-    # Cell numbering routes through assign_stable_ids (range exchange +
-    # local rank + broadcast offsets) — dense rank by vec_id with no
-    # single-partition window; as a bonus it REJECTS duplicate seed ids,
-    # which the old row_number silently tie-broke nondeterministically.
+    # Cell numbering via ids.attach_dense_rank_bounded: the frame is
+    # bounded by limit(n_cells), so the one-exchange single-partition
+    # Arrow index pass is strictly cheaper than a distributed ranking
+    # (assign_stable_ids' eager pin + offsets collect measured ~3x on
+    # emb_semantic_dedup at sf0.1) and emits no WindowExec warning.
     # The assert keeps the frame broadcastable: centroid tables join
     # every probe, so a huge n_cells is wrong twice.
     if n_cells > 1_000_000:
@@ -187,10 +188,10 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", co
     c = corpus.filter(
         F.col(corpus_vec).isNotNull() & (F.size(F.col(corpus_vec)) > 0)
     ).select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cvec0"))
-    from meds_transforms_spark.operators.ids import assign_stable_ids
+    from meds_transforms_spark.operators.ids import attach_dense_rank_bounded
 
     seeds = c.orderBy("vec_id").limit(n_cells)
-    return assign_stable_ids(
+    return attach_dense_rank_bounded(
         seeds, order_cols=["vec_id"], id_name="__cell", start=1
     ).select(
         F.col("__cell").cast("int").alias("__cell"),

@@ -66,7 +66,24 @@ def fit_bigram_lm(
     return per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
 
 
-def _per_doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _per_doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str, keys: str = "tokens"
+) -> DataFrame:
+    """Per-doc bigram counts ``(id, w1, w2, __n_local)``.
+
+    ``keys="tokens"``: w1/w2 are the token STRINGS (the public model
+    key — what fit_bigram_lm returns). ``keys="hash64"``: w1/w2 are
+    64-bit poly64 token hashes via the Arrow kernel
+    (operators/grams.bigram_hash_counts_poly) — same count multiset,
+    same marginals (collisions aside), but the token split + per-pair
+    struct HOF (interpreted) becomes one numpy pass per batch and the
+    model-plane shuffles carry fixed-width longs instead of word
+    pairs. Valid whenever the keys never leave the model plane (the
+    self-fit scoring path)."""
+    if keys == "hash64":
+        from meds_transforms_spark.operators.grams import bigram_hash_counts_poly
+
+        return bigram_hash_counts_poly(df, text_col=text_col, id_col=id_col)
     toks_df = df.select(
         F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__toks")
     )
@@ -123,8 +140,24 @@ def _bigram_scores(
     """The slim ``(id_col, avg_bigram_logprob)`` scoring frame — shared
     by :func:`bigram_logprob` (which joins it back onto ``df``) and
     :func:`ccnet_buckets` (which persists it so the quantile pass and
-    the output join evaluate the scoring pipeline once)."""
-    per_doc = _per_doc_bigrams(df, text_col, id_col)
+    the output join evaluate the scoring pipeline once).
+
+    Self-fit (lm=None) keys the model plane by 64-bit token hashes
+    (the Arrow bigram kernel): only per-doc SCORES leave this
+    function, and the score is a pure function of the count multiset,
+    so the key representation is unobservable — while the bigram
+    construction drops the interpreted per-pair HOF and the model
+    shuffles carry longs. An external ``lm`` is string-keyed by
+    contract, so that path keeps token keys.
+
+    Summation-order note: the per-doc Σ n·ln(p) is a float sum whose
+    addend ORDER is partition-dependent under either keying — the
+    round_to contract (docstring above) already absorbs sub-round_to
+    ULP wiggle; hash keying adds no new error class.
+    """
+    per_doc = _per_doc_bigrams(
+        df, text_col, id_col, keys="hash64" if lm is None else "tokens"
+    )
     if lm is None:
         # Self-fit: per_doc feeds FIVE consumers (the score join, lm,
         # and through lm both marginals and the totals) and their

@@ -191,3 +191,25 @@ def test_projection_scores_streams(spark, tmp_path):
         assert rows[10] is not None and rows[10] > rows[11]  # unseen floor
     finally:
         q.stop()
+
+
+def test_bigram_scores_hash_keys_match_token_keys(spark):
+    """The self-fit scoring path keys its model plane by token hashes
+    (Arrow kernel); scores must equal the string-keyed form exactly at
+    the round_to contract — the keys are unobservable."""
+    from meds_transforms_spark.operators.lm import _bigram_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashk = {
+        r.doc_id: r.avg_bigram_logprob
+        for r in _bigram_scores(docs, None, "text", "doc_id", 0.7, 0.1, 6).collect()
+    }
+    # force the string-keyed path by fitting the model explicitly
+    from meds_transforms_spark.operators.lm import fit_bigram_lm
+
+    lm = fit_bigram_lm(docs)
+    tokk = {
+        r.doc_id: r.avg_bigram_logprob
+        for r in _bigram_scores(docs, lm, "text", "doc_id", 0.7, 0.1, 6).collect()
+    }
+    assert hashk == tokk and len(hashk) > 100
