@@ -930,9 +930,10 @@ def q_docs_dsir_weights(spark, sf_dir):
     al. NeurIPS 2023): hashed unigram+bigram bag features, two unigram
     models fit in ONE aggregation pass (raw pool vs target = sources
     src0-2), add-1-smoothed log-ratio broadcast back, per-doc summed.
-    md5_60 feature hashing + round-6 let the oracle replay the ENTIRE
-    fit + score pipeline — bucketing, both models, smoothing, log
-    ratio, per-doc reduction — in SQL."""
+    poly64 feature hashing (the Arrow bucket kernel — per-doc bucket
+    counts in one numpy pass per batch) + round-6 let the oracle
+    replay the ENTIRE fit + score pipeline — bucketing, both models,
+    smoothing, log ratio, per-doc reduction — in SQL."""
     from meds_transforms_spark.operators.dsir import dsir_weights
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -940,7 +941,7 @@ def q_docs_dsir_weights(spark, sf_dir):
         docs,
         "source IN ('src0','src1','src2')",
         n_buckets=8192,
-        hash_fn="md5_60",
+        hash_fn="poly64",
         round_to=6,
     )
     return out.select("doc_id", "dsir_logweight")
@@ -1115,6 +1116,7 @@ def q_docs_curation_e2e(spark, sf_dir):
         docs,
         "source IN ('src0','src1','src2')",
         hash_fn="md5_60",
+        dsir_hash_fn="poly64",
         round_to=6,
     )
     return out.select("doc_id", "n_tokens", "pack_id", "pack_pos", "pack_offset")
@@ -2065,13 +2067,15 @@ def _gopher_rules_ctes(source: str) -> str:
             )"""
 
 
-def _dsir_weight_ctes(source: str) -> str:
+def _dsir_weight_ctes(source: str, n_buckets: int = 8192) -> str:
     """CTE chain ``toks…dsw`` computing per-doc DSIR log-weights over
     ``source`` (a table or CTE name) — the SQL mirror of
-    operators/dsir (md5_60 features, bucket hashing, add-1 smoothed
-    log-ratio). Shared by docs_dsir_weights and the curation e2e
+    operators/dsir with hash_fn="poly64" (the Arrow bucket kernel:
+    bucket = unsigned poly64(feature) mod n_buckets), add-1 smoothed
+    log-ratio. Shared by docs_dsir_weights and the curation e2e
     composition so a model tweak cannot silently drift between them.
     ``dsw`` carries (doc_id, wgt)."""
+    b, m = 1099511628211, 1 << 64
     return rf"""toks AS (
               SELECT doc_id, source IN ('src0','src1','src2') AS t,
                      list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -2088,7 +2092,11 @@ def _dsir_weight_ctes(source: str) -> str:
               FROM toks
             ), fb AS (
               SELECT doc_id, t,
-                     CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 8192 AS b
+                     CAST(list_reduce(
+                       list_transform(range(1, len(f) + 1),
+                         j -> CAST(ascii(substr(f, CAST(j AS BIGINT), 1)) AS HUGEINT)),
+                       (a, x) -> (a * {b} + x) % {m}::HUGEINT
+                     ) % {n_buckets} AS BIGINT) AS b
               FROM feats
             ), model AS (
               SELECT b, count(*) AS n_raw,
@@ -2099,8 +2107,8 @@ def _dsir_weight_ctes(source: str) -> str:
                      CAST(sum(n_tgt) AS DOUBLE) AS ttgt
               FROM model
             ), lr AS (
-              SELECT b, ln((n_tgt + 1) / (ttgt + 8192))
-                        - ln((n_raw + 1) / (traw + 8192)) AS lr
+              SELECT b, ln((n_tgt + 1) / (ttgt + {n_buckets}))
+                        - ln((n_raw + 1) / (traw + {n_buckets})) AS lr
               FROM model, tot
             ), per AS (
               SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b

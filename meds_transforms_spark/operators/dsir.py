@@ -233,36 +233,62 @@ def dsir_weights(
     Both unigram models are fit in one aggregation pass; documents with
     no tokens get weight 0.0. ``hash_fn="md5_60"`` makes the feature
     hashing engine-independent so a SQL oracle can replay the whole
-    fit + score pipeline; ``round_to`` absorbs cross-engine ``ln``
-    ULPs the same way the tf_idf/unigram oracles do.
+    fit + score pipeline; ``hash_fn="poly64"`` is ALSO
+    oracle-replayable and routes the feature stream through the Arrow
+    kernel (operators/grams.word_feature_bucket_counts_poly): per-doc
+    bucket counts come out of one numpy pass per batch — no
+    interpreted per-feature HOF, no feature-string explode, and the
+    first exchange carries pre-aggregated (id, t, bucket, n) rows.
+    ``round_to`` absorbs cross-engine ``ln`` ULPs the same way the
+    tf_idf/unigram oracles do.
     """
     if isinstance(target, str):
         target = F.expr(target)
     b = int(n_buckets)
-    feats = df.select(
-        F.col(id_col),
-        target.alias("__t"),
-        F.explode(_features(F.col(text_col), use_bigrams)).alias("__f"),
-    ).select(
-        id_col, "__t", F.pmod(_h64(hash_fn, F.col("__f")), F.lit(b)).alias("__b")
-    )
-    # Semantically a no-op (__f is non-null ⇒ __b is non-null), but it
-    # matters for the plan: the broadcast join below injects this exact
-    # null filter into ITS branch only, which would de-canonicalize the
-    # two consumers of per_doc and defeat ReuseExchange — with the
-    # filter on both, the (id, t, bucket) shuffle is computed once and
-    # the model rollup reads the reused exchange instead of re-scanning
-    # and re-exploding the text.
-    # (same story for the id: the final left join pushes
-    # isnotnull(doc_id) into its branch's scan only)
-    feats = feats.where(F.col("__b").isNotNull() & F.col(id_col).isNotNull())
-    # ONE pass over the exploded text: pre-aggregate on (doc, bucket).
-    # Both the per-doc reduction AND the model derive from this frame —
-    # the model rollup reads #docs×#distinct-buckets rows, not the raw
-    # feature stream, so text is scanned and exploded exactly once.
-    per_doc = feats.groupBy(id_col, "__t", "__b").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
+    if hash_fn == "poly64":
+        from meds_transforms_spark.operators.grams import (
+            word_feature_bucket_counts_poly,
+        )
+
+        per_doc = word_feature_bucket_counts_poly(
+            df.select(F.col(id_col), target.alias("__t"), F.col(text_col)).where(
+                F.col(id_col).isNotNull()
+            ),
+            n_buckets=b,
+            text_col=text_col,
+            passthrough=(id_col, "__t"),
+            use_bigrams=use_bigrams,
+        )
+        # kernel output is already per-(doc, t, bucket) counts; pin it —
+        # the model rollup AND the weight join both consume it, and a
+        # Python-stage subtree never canonicalizes into ReusedExchange
+        per_doc = per_doc.localCheckpoint(eager=False)
+    else:
+        feats = df.select(
+            F.col(id_col),
+            target.alias("__t"),
+            F.explode(_features(F.col(text_col), use_bigrams)).alias("__f"),
+        ).select(
+            id_col, "__t", F.pmod(_h64(hash_fn, F.col("__f")), F.lit(b)).alias("__b")
+        )
+        # Semantically a no-op (__f is non-null ⇒ __b is non-null), but
+        # it matters for the plan: the broadcast join below injects this
+        # exact null filter into ITS branch only, which would
+        # de-canonicalize the two consumers of per_doc and defeat
+        # ReuseExchange — with the filter on both, the (id, t, bucket)
+        # shuffle is computed once and the model rollup reads the reused
+        # exchange instead of re-scanning and re-exploding the text.
+        # (same story for the id: the final left join pushes
+        # isnotnull(doc_id) into its branch's scan only)
+        feats = feats.where(F.col("__b").isNotNull() & F.col(id_col).isNotNull())
+        # ONE pass over the exploded text: pre-aggregate on (doc,
+        # bucket). Both the per-doc reduction AND the model derive from
+        # this frame — the model rollup reads #docs×#distinct-buckets
+        # rows, not the raw feature stream, so text is scanned and
+        # exploded exactly once.
+        per_doc = feats.groupBy(id_col, "__t", "__b").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
     model = per_doc.groupBy("__b").agg(
         F.sum("__n").alias("__n_raw"),
         F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(0)).alias("__n_tgt"),

@@ -602,3 +602,114 @@ def bigram_hash_counts_poly(
                 )
 
     return base.mapInArrow(fn, schema=out_schema)
+
+
+def _feature_bucket_counts_batch(txt_arr, n_buckets: int, use_bigrams: bool):
+    """(doc_positions, bucket_int64, counts) of the DSIR feature stream
+    (unigrams + adjacent-pair bigrams, multiplicities kept): bucket =
+    unsigned poly64 hash of the feature string mod ``n_buckets``.
+    The bigram feature hash equals poly64 of "tok1 tok2" — i.e. the
+    normalized-text SUBSTRING spanning both tokens."""
+    tb = _token_bounds(txt_arr)
+    if tb is None:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    s, bpow, tok_starts, tok_ends, tok_counts, first_tok = tb
+    parts_doc, parts_h = [], []
+
+    has_tok = tok_counts > 0
+    uni_doc = np.repeat(np.flatnonzero(has_tok), tok_counts[has_tok])
+    parts_doc.append(uni_doc)
+    parts_h.append(_slice_hashes(s, bpow, tok_starts, tok_ends))
+
+    if use_bigrams:
+        multi = np.flatnonzero(tok_counts >= 2)
+        if len(multi):
+            bg_counts = (tok_counts[multi] - 1).astype(np.int64)
+            i1 = _ranges(first_tok[multi], bg_counts)
+            parts_doc.append(np.repeat(multi, bg_counts))
+            parts_h.append(_slice_hashes(s, bpow, tok_starts[i1], tok_ends[i1 + 1]))
+
+    doc_pos = np.concatenate(parts_doc)
+    buckets = (np.concatenate(parts_h) % np.uint64(n_buckets)).astype(np.int64)
+    order = np.lexsort((buckets, doc_pos))
+    d, b = doc_pos[order], buckets[order]
+    newgrp = np.empty(len(d), dtype=bool)
+    if len(d) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    newgrp[0] = True
+    newgrp[1:] = (d[1:] != d[:-1]) | (b[1:] != b[:-1])
+    gstart = np.flatnonzero(newgrp)
+    counts = np.diff(np.concatenate((gstart, [len(d)])))
+    return d[gstart], b[gstart], counts
+
+
+def word_feature_bucket_counts_poly(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = ("doc_id",),
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document hashed-feature bucket counts for DSIR-style
+    importance models: ``(*passthrough, __b, __n)`` — the batched twin
+    of the explode → hash → pmod → count pipeline in operators/dsir.
+
+    Buckets are ``poly64(feature) mod n_buckets`` on the UNSIGNED
+    value (DuckDB-replayable); unigram features are the tokens, bigram
+    features the space-joined adjacent pairs (docs with <2 tokens emit
+    no bigrams — dsir._features parity). Token-less/NULL docs emit no
+    rows (they score 0.0 via the callers' left join)."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField(c, df.select(c).schema[0].dataType) for c in passthrough
+    ]
+    out_schema = T.StructType(
+        fields
+        + [T.StructField("__b", T.LongType()), T.StructField("__n", T.LongType())]
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        *[F.col(c) for c in passthrough],
+        _normalized(F.col(text_col)).alias("__txt"),
+    )
+    npass = len(passthrough)
+
+    def fn(batches):
+        for rb in batches:
+            # text is the LAST column here; _batch_slices sizes column 1,
+            # so re-point it at the text column index
+            import pyarrow.compute as pc
+
+            sizes = pc.binary_length(rb.column(npass)).to_numpy(
+                zero_copy_only=False
+            )
+            sizes = np.nan_to_num(sizes.astype(np.float64), nan=0.0).astype(np.int64)
+            cum = np.cumsum(sizes) if len(sizes) else np.empty(0, dtype=np.int64)
+            lo = 0
+            while lo < rb.num_rows:
+                hi = int(
+                    np.searchsorted(cum, (cum[lo - 1] if lo else 0) + _MAX_SLICE_BYTES)
+                ) + 1
+                hi = min(max(hi, lo + 1), rb.num_rows)
+                sl_ = rb.slice(lo, hi - lo)
+                lo = hi
+                doc_pos, buckets, counts = _feature_bucket_counts_batch(
+                    sl_.column(npass), n_buckets, use_bigrams
+                )
+                take = pa.array(doc_pos)
+                cols = []
+                for i in range(npass):
+                    c = sl_.column(i)
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    cols.append(c.take(take))
+                yield pa.RecordBatch.from_arrays(
+                    cols + [pa.array(buckets), pa.array(counts.astype(np.int64))],
+                    names=[f.name for f in out_schema.fields],
+                )
+
+    return base.mapInArrow(fn, schema=out_schema)

@@ -82,6 +82,7 @@ def curate_corpus_dsir(
     top_k: int = 100,
     budget: int = 512,
     hash_fn: str = "xxhash64",
+    dsir_hash_fn: str | None = None,
     round_to: int | None = None,
 ):
     """The round-2c curation composition: published Gopher rules →
@@ -109,7 +110,12 @@ def curate_corpus_dsir(
     )
     kept = g.filter("gopher_pass").select(*docs.columns)
     deduped = exact_dedup(kept)
-    weighted = dsir_weights(deduped, target, hash_fn=hash_fn, round_to=round_to)
+    # dsir_hash_fn (default: hash_fn) selects the DSIR feature hash
+    # independently — "poly64" routes that stage to the Arrow bucket
+    # kernel while the pack-order hash stays on hash_fn.
+    weighted = dsir_weights(
+        deduped, target, hash_fn=dsir_hash_fn or hash_fn, round_to=round_to
+    )
     # top-k: weights are rounded (engine-identical), doc_id breaks ties
     sel = weighted.orderBy(
         F.desc("dsir_logweight"), F.col("doc_id")

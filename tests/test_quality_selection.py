@@ -611,3 +611,30 @@ def test_bigram_projection_rejects_degenerate_params(spark):
         bigram_logprob_projection(docs, lm, alpha=0.0)
     with pytest.raises(ValueError, match="empty lm"):
         bigram_logprob_projection(docs, empty)
+
+
+def test_dsir_weights_poly64_kernel(spark):
+    """The Arrow feature-bucket kernel path: weights exist for every
+    doc, target-domain docs score higher on average (the DSIR
+    contract), and token-less docs get exactly 0.0. Bitwise
+    correctness is the driver oracle's job (docs_dsir_weights replays
+    the full poly64 fit+score in DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.dsir import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.unionByName(
+        spark.createDataFrame([(999999, None, "xx", "srcX", 0)], docs.schema)
+    )
+    out = dsir_weights(
+        docs, "source IN ('src0','src1','src2')", hash_fn="poly64", round_to=6
+    )
+    rows = out.select("doc_id", "source", "dsir_logweight").collect()
+    assert len(rows) == docs.count()
+    assert all(r.dsir_logweight is not None for r in rows)
+    null_doc = [r for r in rows if r.doc_id == 999999][0]
+    assert null_doc.dsir_logweight == 0.0
+    tgt = [r.dsir_logweight for r in rows if r.source in ("src0", "src1", "src2")]
+    rest = [r.dsir_logweight for r in rows if r.source not in ("src0", "src1", "src2")]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
