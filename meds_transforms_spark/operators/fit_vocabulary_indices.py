@@ -6,11 +6,11 @@ a dense 1-based index in lexicographic order WITHOUT reordering the
 table (argsort-of-argsort trick, :164-195); index 0 is reserved for
 "UNK". Uniqueness of the key set is validated first (:98-105).
 
-Spark plan: the code table is vocabulary-sized, so a plain
-``row_number`` window over a global ordering is fine — the single-
-partition window cost is bounded by vocabulary cardinality, not data
-size. No argsort trick needed: ``row_number`` over orderBy gives the
-rank directly and joins back positionally-free.
+Spark plan: the code table is vocabulary-sized (broadcast downstream),
+so the rank is a single-partition sort + Arrow index pass
+(ids.attach_dense_rank_bounded) behind a hard max_rows guard. No
+argsort trick needed: the dense index in the total order IS the rank,
+attached without reordering the caller's frame semantics.
 """
 
 from __future__ import annotations
