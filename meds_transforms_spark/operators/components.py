@@ -51,11 +51,22 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable.
 
     ``edges`` is an undirected edge list of long ids; isolated nodes can
     be absent (callers union them back, or treat absence as singleton).
+
+    Graphs at or below ``small_graph_threshold`` edges short-circuit to
+    a driver-side union-find: the edge count is already computed for
+    shuffle sizing, and below ~10^6 edges the label-propagation loop is
+    pure per-round fixed cost (2 joins + checkpoint + 2 driver actions
+    per round — measured ~6 s for a 40k-edge dedup graph where
+    union-find needs milliseconds). The collect is BOUNDED by the
+    threshold; big graphs take the distributed loop unconditionally.
+    Both paths produce the identical min-id labeling. Set it to 0 to
+    force the loop (tests).
     """
     # Checkpoint (not merely persist) the edge list: every round joins
     # against it, so both its DATA (the caller's LSH/similarity DAG must
@@ -71,6 +82,31 @@ def connected_components(
     # 200-partition shuffle of a few thousand edges is pure task
     # overhead; at 10^10 edges this scales the round back up).
     n_edges = e.count()
+    if n_edges <= int(small_graph_threshold):
+        rows = e.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r0 in rows:
+            a, b = r0["src"], r0["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(out, "id long, component long")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(8, min(int(old_parts), n_edges // 2_000_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))

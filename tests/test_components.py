@@ -70,8 +70,31 @@ def test_components_many_rounds_no_driver_blowup(spark):
         [(i, i + 1) for i in range(199)], "src long, dst long"
     )
     t0 = time.time()
-    comp = connected_components(edges)
+    # threshold 0 forces the DISTRIBUTED loop — this test exists to pin
+    # the loop's per-round plan hygiene, not the union-find escape
+    comp = connected_components(edges, small_graph_threshold=0)
     rows = comp.collect()
     assert time.time() - t0 < 120
     assert len(rows) == 200
     assert {r.component for r in rows} == {0}
+
+
+def test_components_unionfind_matches_loop(spark):
+    """The bounded driver-side union-find escape and the distributed
+    label-propagation loop must produce the IDENTICAL min-id labeling
+    — random-ish multi-component graph with chains, cycles, self-loops
+    and duplicate edges."""
+    from meds_transforms_spark.operators.components import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 40)]          # one long chain
+        + [(100 + i, 100 + (i + 1) % 7) for i in range(7)]  # a cycle
+        + [(200, 200), (201, 202), (202, 201)]      # self-loop + dup
+        + [(300, 305), (305, 301), (301, 309)]
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    fast = {r.id: r.component
+            for r in connected_components(edges).collect()}
+    loop = {r.id: r.component
+            for r in connected_components(edges, small_graph_threshold=0).collect()}
+    assert fast == loop and len(fast) > 50
