@@ -180,6 +180,14 @@ def curate_corpus_ccnet(
     # keep only the pipeline's own columns — the rule booleans served
     # their purpose
     survivors = survivors.select(*docs.columns)
+    # Pin the gopher output: ccnet_buckets consumes it THREE ways (the
+    # bigram-count kernel, the score join, and through `scored` the
+    # quantile pass), and those subtrees never canonicalize into one
+    # ReusedExchange — unpinned, the corpus scan + rule projection ran
+    # 3× per job (profiled round 7: three 19.6 MB single-scan stages on
+    # the critical path). GC-released checkpoint; at scale one
+    # filtered-corpus materialization is cheaper than two extra scans.
+    survivors = survivors.localCheckpoint(eager=False)
     bucketed = ccnet_buckets(
         survivors, text_col=text_col, id_col=id_col, lang_col=lang_col,
         round_to=round_to if round_to is not None else 6,
