@@ -411,9 +411,18 @@ def ngram_jaccard_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_gram_df: int | None = 10_000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) pairs above threshold (id_a < id_b), exact
     word-n-gram Jaccard computed relationally (see inline notes).
+
+    ``impl="arrow"`` (default) draws the per-doc DISTINCT gram stream
+    from the poly64 kernel (operators/grams.word_ngram_hashes_poly):
+    the co-occurrence join and the df-guard window operate on 64-bit
+    hashes, so gram TEXT never reaches an exchange — at 100 TB the
+    dominant shuffle shrinks from O(gram bytes) to 16-byte rows.
+    ``impl="expr"`` keeps the pure-Catalyst gram-string form (equal
+    results modulo 64-bit hash collisions).
 
     ``use_lsh_candidates`` further restricts output to MinHash-LSH
     bucket-sharing pairs; ``max_gram_df`` caps the document frequency of
@@ -436,21 +445,32 @@ def ngram_jaccard_pairs(
     # count — no per-pair array intersections (array HOFs run
     # interpreted), and only pairs sharing ≥1 gram ever materialize,
     # which is exactly the support of jaccard > 0.
-    # word_ngrams_of already array_distincts per doc, so the explode
-    # emits unique (id, gram) rows — a dropDuplicates here would
-    # re-shuffle the gram stream (the plan's largest frame) for nothing
-    grams = df.select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
-    ).select(
-        F.col(id_col), F.explode(word_ngrams_of(F.col("__toks"), n)).alias("__g")
-    ).filter(
-        # word_ngrams_of's short-doc fallback emits one degenerate ''
-        # gram for NULL/empty token arrays — without this filter every
-        # NULL/whitespace-only doc pairs with every other one at
-        # jaccard=1.0 ("NULL text never deduplicates", the module
-        # contract exact_dedup/minhash/simhash all honor).
-        F.col("__g") != ""
-    )
+    if impl == "arrow":
+        from meds_transforms_spark.operators.grams import word_ngram_hashes_poly
+
+        # per-doc distinct by construction; token-less/NULL docs emit
+        # no rows — the same outcome the '' filter below gives the
+        # expr path ("NULL text never deduplicates").
+        grams = word_ngram_hashes_poly(
+            df, n=n, text_col=text_col, id_col=id_col, out_col="__g"
+        )
+    else:
+        # word_ngrams_of already array_distincts per doc, so the
+        # explode emits unique (id, gram) rows — a dropDuplicates here
+        # would re-shuffle the gram stream (the plan's largest frame)
+        # for nothing
+        grams = df.select(
+            F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+        ).select(
+            F.col(id_col), F.explode(word_ngrams_of(F.col("__toks"), n)).alias("__g")
+        ).filter(
+            # word_ngrams_of's short-doc fallback emits one degenerate
+            # '' gram for NULL/empty token arrays — without this filter
+            # every NULL/whitespace-only doc pairs with every other one
+            # at jaccard=1.0 ("NULL text never deduplicates", the
+            # module contract exact_dedup/minhash/simhash all honor).
+            F.col("__g") != ""
+        )
     if max_gram_df is not None:
         # Drop ultra-common grams: a gram in d docs contributes d² join
         # rows but almost no discrimination. EXACT results require None.

@@ -222,3 +222,17 @@ def test_minhash_poly_dedup_collapses_near_dups(spark):
     assert 3 in kept                    # unrelated survives
     assert 4 in kept and 5 not in kept  # identical empties collapse
     assert 6 in kept                    # NULL text passes through
+
+
+def test_jaccard_pairs_arrow_matches_expr(spark):
+    """ngram_jaccard_pairs impl='arrow' (hash gram stream) produces the
+    identical pair set and jaccard values as the gram-string form."""
+    from meds_transforms_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(n=3, threshold=0.2, use_lsh_candidates=False)
+    a = {(r.id_a, r.id_b): round(r.jaccard, 9)
+         for r in ngram_jaccard_pairs(docs, impl="arrow", **kw).collect()}
+    e = {(r.id_a, r.id_b): round(r.jaccard, 9)
+         for r in ngram_jaccard_pairs(docs, impl="expr", **kw).collect()}
+    assert a == e and a
