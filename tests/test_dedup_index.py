@@ -157,3 +157,34 @@ def test_null_text_never_collides_with_index(spark):
     out = {r.doc_id: r.dup_of_corpus for r in dedup_against_index(batch2, idx).collect()}
     assert out[3] is False or out[3] is None or out[3] == 0  # NULL doc never collides
     assert out[4]  # the real duplicate still does
+
+
+def test_minhash_index_poly64_roundtrip(spark, tmp_path):
+    """The durable index works end-to-end on the Arrow poly64 kernel:
+    params persist with the index, reload probes with the SAME hash,
+    and a near-dup batch doc is flagged against the corpus."""
+    from meds_transforms_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    body = ("shared passage that is long enough to produce many common "
+            "shingles across corpus and batch documents ") * 3
+    corpus = spark.createDataFrame(
+        [(1, body), (2, "totally different corpus content here")],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(corpus, hash_fn="poly64")
+    path = str(tmp_path / "idx")
+    save_minhash_index(idx, path, hash_fn="poly64")
+    idx2, params = load_minhash_index(spark, path)
+    assert params["hash_fn"] == "poly64"
+    batch = spark.createDataFrame(
+        [(10, body + " with a tiny suffix"), (11, "fresh unseen text entirely")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.dup_of_corpus
+           for r in dedup_against_index(batch, idx2, index_params=params).collect()}
+    assert out[10] is True and out[11] is False
