@@ -50,7 +50,7 @@ REVIEW = {
     "emb_quantize": "pure codegen array transforms (abs-max, scaled round, clamp) + posexplode — no shuffle at all before the sink",
     "docs_corpus_report": "one (source, fingerprint) pre-agg (map-side combined) folds dup counting into the volume pass; language mode elected from the tiny (source, lang) table — no per-doc shuffle beyond the two group keys",
     "docs_gopher_filter": "single shuffle-free codegen projection: tokens and lines materialize once as array columns (HOF CSE discipline), every Gopher rule is an array aggregate over them — linear, embarrassingly parallel",
-    "docs_dsir_weights": "text exploded ONCE: the (id,target,bucket) pre-agg exchange feeds BOTH the model rollup and the per-doc reduction via ReusedExchange; the 8k-row model re-enters through a BroadcastHashJoin; every shuffle row is (long,long)",
+    "docs_dsir_weights": "feature buckets from the Arrow poly64 kernel (grams.word_feature_bucket_counts_poly): per-(doc,target,bucket) counts leave the batch pre-aggregated, the pinned frame feeds BOTH the model rollup and the per-doc reduction, the 8k-row model re-enters through a BroadcastHashJoin; every shuffle row is (long,long)",
     "events_zorder": "min/max normalization is a 1-row aggregate re-entering as a broadcast join; the Morton key is closed-form codegen bit arithmetic — the fact table is never shuffled or windowed",
     "events_profile": "ONE partial-agg scan computes nulls/NDV/min/max/mean for all columns; exact mode shows the documented Expand (N× the distinct aggregates), approx (HLL) removes it; the wide 1-row result explodes to tidy per-column rows",
     "emb_semantic_dedup": "centroids broadcast into a map-side assignment join (corpus never shuffles to cluster); the within-cell pair join is Σ n_cell² — bounded by cell granularity and AQE-skew-splittable; min-id collapse is distinct + LEFT ANTI on the id",
@@ -60,10 +60,10 @@ REVIEW = {
     "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
     "docs_winnow_overlap": "gram hashing + window minima via the Arrow poly64 rolling-hash kernel (grams.winnow_fingerprints_poly: one prefix pass per batch yields every gram hash; sliding-window minima in vectorized numpy; zero shuffle until the (id, long) fingerprints); fp-bucketed pair join, then the pair aggregate runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle",
     "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles; same max_df guard before pairing",
-    "docs_bigram_ppl": "bigrams form in a per-row HOF (no lag window over exploded tokens); the per-doc aggregate is PERSISTED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — explode runs once, everything else re-aggregates the cache",
+    "docs_bigram_ppl": "per-doc bigram counts from the Arrow poly64 kernel (token-hash pairs, one numpy pass per batch — keys never leave the model plane so scores are identical to the string-keyed form); the per-doc aggregate is PINNED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — the kernel runs once, everything else re-aggregates",
     "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
     "docs_shuffle_shards": "seeded-hash rank via two-phase prefix (range exchange + local row_number + broadcast offsets); round-robin deal makes shard sizes exact — no SinglePartition window, no rand(), pure function of (data, seed)",
-    "docs_ccnet_e2e": "the four curation stages chain with NO new shuffle classes: gopher is a projection, ccnet derives model+cuts from one pinned explode, the eval probes broadcast into the decontamination join, and the shard rank is the two-phase prefix — the corpus text shuffles ZERO times end to end",
+    "docs_ccnet_e2e": "the four curation stages chain with NO new shuffle classes: the gopher survivors are pinned ONCE (three consumers: bigram kernel, score join, quantile pass — previously three corpus scans), ccnet derives model+cuts from the pinned bigram kernel output, the eval probes broadcast into the poly64-winnow decontamination join, and the shard rank is the two-phase prefix — the corpus text shuffles ZERO times end to end",
     "docs_corpus_diff": "both snapshots pre-project to (id, group, 64-bit fingerprint, length) ~40-byte rows before the single full-outer id join — text never shuffles; classification + char mass fold into one small-key aggregate, output is |groups| rows",
     "emb_semantic_dedup_arrow": "cell assignment is ONE BLAS matmul per Arrow batch against the closure-shipped centroid matrix (mapInArrow, zero shuffle) — the scale path once n_cells ∝ N makes the per-pair HOF dot quadratic; downstream within-cell collapse identical to the HOF query",
     "events_anomaly_bucketed": "the trailing window partitions on (event_type, day-bucket) with boundary rows duplicated one bucket forward as frame context — parallelism ∝ keys × buckets instead of the 5-value key cap; frames (and rows) bit-identical to events_anomaly",
