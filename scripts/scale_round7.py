@@ -144,7 +144,20 @@ def print_rows(label, rows):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "skew"
-    spark = get_spark(f"scale_r7_{mode}", extra_conf={"spark.ui.enabled": "true"})
+    # 8 MB scan splits: the Arrow gram/signature kernels inherit SCAN
+    # partitioning (they run before any exchange), so the default
+    # 128 MB split caps a 170 MB scaled dir at ~2 kernel tasks —
+    # measured 60 s max-task on docs_minhash_dedup at 500k docs vs
+    # ~10 s with proper splits. A real cluster gets parallelism from
+    # its file count; local scale runs must size the split instead.
+    spark = get_spark(
+        f"scale_r7_{mode}",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     if mode == "skew":
         rep = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
