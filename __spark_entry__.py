@@ -1776,84 +1776,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks
     # a capped prefix (~50) of this dict, so each round the prefix
     # ROTATES to the queries whose latest driver row is oldest or whose
-    # code changed since. Round-7 window (slots 1-50):
-    #   1-20  the 20 stalest rows (12 last seen r01, 8 last seen r02 —
-    #         the full list window_freshness.py printed after r06);
-    #   21-32 the round-7-changed paths: filter_subjects n_unique
-    #         parity + oracle, pipeline e2e (same oracle + aliased
-    #         join_and_replace/normalization), fit_vocab + IVF-family
-    #         (assign_stable_ids ranking), the NEW approx-quantiles
-    #         rank certificate, the poly64 winnow family + ccnet, and
-    #         decontaminate (arrow gram default);
-    #   33-50 the r05-latest cohort (13 non-TPCH + 5 TPC-H).
-    # Remaining r05 TPC-H rows (q9-q22) lead the round-8 rotation from
-    # slot 51; the r06-green queries fill the tail. Run
-    # scripts/window_freshness.py for the per-query staleness table.
+    # code changed since. Round-8 window (slots 1-50):
+    #   1-25  the full r05-latest cohort (the last freshness debt —
+    #         VERDICT r07 item 1; after this round every registry
+    #         entry's latest driver row is <=2 rounds old);
+    #   26-50 the r06 cohort, oldest 25 of 40.
+    # Slots 51-65 are the remaining 15 r06 queries (they lead the
+    # r09 rotation), then the 50 r07-green entries fill the tail.
+    # Run scripts/window_freshness.py for the staleness table.
     return {
-        # --- slots 1-20: stalest driver rows (r01/r02) ---
-        "docs_lang_id": q_docs_lang_id,
-        "docs_top_tokens": q_docs_top_tokens,
-        "docs_jaccard_pairs": q_docs_jaccard_pairs,
-        "docs_corpus_prep": q_docs_corpus_prep,
-        "emb_topk_cosine": q_emb_topk_cosine,
-        "emb_topk_vectorized": q_emb_topk_vectorized,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_label_stats": q_emb_label_stats,
-        "multimodal_decode": q_multimodal_decode,
-        "supplier_balance": q_supplier_balance,
-        "tpch_exists": q_tpch_exists,
-        "tpch_parts_by_brand": q_tpch_parts_by_brand,
-        "docs_chunk": q_docs_chunk,
-        "docs_corpus_report": q_docs_corpus_report,
-        "docs_domain_stats": q_docs_domain_stats,
-        "docs_incremental_dedup": q_docs_incremental_dedup,
-        "docs_quality_classifier": q_docs_quality_classifier,
-        "events_keep_latest": q_events_keep_latest,
-        "events_transitions": q_events_transitions,
-        "events_zorder": q_events_zorder,
-        # --- slots 21-32: round-7-changed code/oracle paths ---
-        "meds_filter_subjects": q_meds_filter_subjects,
-        "meds_pipeline_e2e": q_meds_pipeline_e2e,
-        "meds_normalization": q_meds_normalization,
-        "meds_fit_vocab": q_meds_fit_vocab,
-        # round-7: now ORACLE-BACKED via the rank-error certificate
-        # (exact nearest-rank replay + engine-independent within_tol)
-        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
-        "docs_winnow_overlap": q_docs_winnow_overlap,
-        "docs_winnow_contains": q_docs_winnow_contains,
-        "docs_ccnet_e2e": q_docs_ccnet_e2e,
-        "docs_decontaminate": q_docs_decontaminate,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
-        "emb_cluster_balance": q_emb_cluster_balance,
-        # --- slots 33-50: r05-latest cohort ---
-        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
-        "docs_pack": q_docs_pack,
-        "docs_curation_e2e": q_docs_curation_e2e,
-        "emb_covariance": q_emb_covariance,
-        "events_profile": q_events_profile,
-        "docs_assign_ids": q_docs_assign_ids,
-        "multimodal_frames": q_multimodal_frames,
-        "docs_validate": q_docs_validate,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_bigram_ppl": q_docs_bigram_ppl,
-        "docs_shuffle_shards": q_docs_shuffle_shards,
-        "docs_ccnet_buckets": q_docs_ccnet_buckets,
-        "docs_corpus_diff": q_docs_corpus_diff,
-        "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
-        "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
-        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
-        "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
-        "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
-        # --- slots 51+: remaining r05 TPC-H (lead round-8), then the
-        # --- r06-green tail ---
-        **{
-            k: v
-            for k, v in _tpch_suite.QUERIES.items()
-            if k not in ("tpch_q12", "tpch_q2", "tpch_q4", "tpch_q20", "tpch_q7", "tpch_q8")
-        },
-        # q1/q3/q5/q6 live as module-level functions, not in the suite
-        # dict — spell them out so the spread can't drop them.
+        # --- slots 1-25: r05-latest cohort ---
+        "tpch_q9": _tpch_suite.QUERIES["tpch_q9"],
+        "tpch_q10": _tpch_suite.QUERIES["tpch_q10"],
+        "tpch_q11": _tpch_suite.QUERIES["tpch_q11"],
+        "tpch_q13": _tpch_suite.QUERIES["tpch_q13"],
+        "tpch_q14": _tpch_suite.QUERIES["tpch_q14"],
+        "tpch_q15": _tpch_suite.QUERIES["tpch_q15"],
+        "tpch_q16": _tpch_suite.QUERIES["tpch_q16"],
+        "tpch_q17": _tpch_suite.QUERIES["tpch_q17"],
+        "tpch_q18": _tpch_suite.QUERIES["tpch_q18"],
+        "tpch_q19": _tpch_suite.QUERIES["tpch_q19"],
+        "tpch_q21": _tpch_suite.QUERIES["tpch_q21"],
+        "tpch_q22": _tpch_suite.QUERIES["tpch_q22"],
+        "docs_tfidf": q_docs_tfidf,
+        "docs_semantic_search": q_docs_semantic_search,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_minhash_transitive": q_docs_minhash_transitive,
+        "docs_simhash": q_docs_simhash,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_cosine_dedup": q_emb_cosine_dedup,
+        "events_sessions": q_events_sessions,
+        "events_funnel": q_events_funnel,
+        "docs_line_dedup": q_docs_line_dedup,
+        "events_retention": q_events_retention,
+        "docs_domain_mix": q_docs_domain_mix,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        # --- slots 26-50: r06 cohort, oldest-first ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1879,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_pmi": q_docs_pmi,
+        # --- slots 51-65: remaining r06 (lead the r09 rotation) ---
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
@@ -1894,19 +1853,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
         "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_tfidf": q_docs_tfidf,
-        "docs_semantic_search": q_docs_semantic_search,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_minhash_transitive": q_docs_minhash_transitive,
-        "docs_simhash": q_docs_simhash,
-        "emb_lsh_topk": q_emb_lsh_topk,
-        "emb_cosine_dedup": q_emb_cosine_dedup,
-        "events_sessions": q_events_sessions,
-        "events_funnel": q_events_funnel,
-        "docs_line_dedup": q_docs_line_dedup,
-        "events_retention": q_events_retention,
-        "docs_domain_mix": q_docs_domain_mix,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
+        # --- slots 66+: r07-green tail ---
+        "docs_lang_id": q_docs_lang_id,
+        "docs_top_tokens": q_docs_top_tokens,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_corpus_prep": q_docs_corpus_prep,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_topk_vectorized": q_emb_topk_vectorized,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_label_stats": q_emb_label_stats,
+        "multimodal_decode": q_multimodal_decode,
+        "supplier_balance": q_supplier_balance,
+        "tpch_exists": q_tpch_exists,
+        "tpch_parts_by_brand": q_tpch_parts_by_brand,
+        "docs_chunk": q_docs_chunk,
+        "docs_corpus_report": q_docs_corpus_report,
+        "docs_domain_stats": q_docs_domain_stats,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_quality_classifier": q_docs_quality_classifier,
+        "events_keep_latest": q_events_keep_latest,
+        "events_transitions": q_events_transitions,
+        "events_zorder": q_events_zorder,
+        "meds_filter_subjects": q_meds_filter_subjects,
+        "meds_pipeline_e2e": q_meds_pipeline_e2e,
+        "meds_normalization": q_meds_normalization,
+        "meds_fit_vocab": q_meds_fit_vocab,
+        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
+        "docs_winnow_overlap": q_docs_winnow_overlap,
+        "docs_winnow_contains": q_docs_winnow_contains,
+        "docs_ccnet_e2e": q_docs_ccnet_e2e,
+        "docs_decontaminate": q_docs_decontaminate,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
+        "emb_cluster_balance": q_emb_cluster_balance,
+        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
+        "docs_pack": q_docs_pack,
+        "docs_curation_e2e": q_docs_curation_e2e,
+        "emb_covariance": q_emb_covariance,
+        "events_profile": q_events_profile,
+        "docs_assign_ids": q_docs_assign_ids,
+        "multimodal_frames": q_multimodal_frames,
+        "docs_validate": q_docs_validate,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_bigram_ppl": q_docs_bigram_ppl,
+        "docs_shuffle_shards": q_docs_shuffle_shards,
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,
+        "docs_corpus_diff": q_docs_corpus_diff,
+        "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
+        "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
+        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
+        "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
+        "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
+        # Future-proofing: pick up any suite queries not spelled out
+        # above (currently none — all 18 are listed explicitly).
+        **{
+            k: v
+            for k, v in _tpch_suite.QUERIES.items()
+            if k not in ('tpch_q10', 'tpch_q11', 'tpch_q12', 'tpch_q13', 'tpch_q14', 'tpch_q15', 'tpch_q16', 'tpch_q17', 'tpch_q18', 'tpch_q19', 'tpch_q2', 'tpch_q20', 'tpch_q21', 'tpch_q22', 'tpch_q4', 'tpch_q7', 'tpch_q8', 'tpch_q9')
+        },
     }
 
 

@@ -119,28 +119,32 @@ def main():
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "aggregation": "median",
-                # Best-of-N alongside the median for continuity with
-                # r01-r05 (which reported best-of-2), plus per-pass raw
-                # timings so variance stays visible across rounds.
-                "best_of_n": best,
-                "total_best": round(sum(best.values()), 3),
-                "raw_timings": raw,
-                "runs_per_query": runs,
-                # Headline-set size — totals are only comparable across
-                # rounds at equal n_queries (r01: 19, r02: 24).
-                "n_queries": len(BENCH_QUERIES),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    compact = {
+        "metric": "total_wall_sec_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "aggregation": "median",
+        # Best-of-N alongside the median for continuity with r01-r05
+        # (which reported best-of-2).
+        "best_of_n": best,
+        "total_best": round(sum(best.values()), 3),
+        "runs_per_query": runs,
+        # Headline-set size — totals are only comparable across
+        # rounds at equal n_queries (r01: 19, r02: 24).
+        "n_queries": len(BENCH_QUERIES),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # stdout stays ONE compact JSON line (~2.5 KB): round-7's capture
+    # lost the leading per-query arrays because raw_timings pushed the
+    # line past the driver's tail window. Raw per-pass timings go to a
+    # side file so variance stays inspectable across rounds.
+    raw_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_raw_latest.json"
     )
+    with open(raw_path, "w") as fh:
+        json.dump({**compact, "raw_timings": raw}, fh)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
