@@ -203,7 +203,7 @@ def minhash_lsh_dedup_transitive(
     bands: int = 8,
     shingle_k: int = 5,
     max_iter: int = 20,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "poly64",
 ) -> DataFrame:
     """MinHash-LSH dedup with FULL transitive closure: connected
     components over the doc↔bucket-representative star graph; one

@@ -137,7 +137,7 @@ def lsh_band_buckets(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "poly64",
 ) -> DataFrame:
     """(id, band-bucket hash) pairs via one-permutation MinHash — the
     relational formulation built for scale.
@@ -162,12 +162,13 @@ def lsh_band_buckets(
     Everything stays in whole-stage codegen; the only shuffles move
     (doc_id, slot/band, long) tuples, never text.
 
-    ``hash_fn="poly64"`` routes to the Arrow-batched kernel
-    (operators/grams.lsh_band_buckets_poly): the whole signature is
-    computed per document inside the batch, so the only rows that ever
-    shuffle are the (id, band bucket) outputs — O(docs × bands), not
-    O(shingles). Also DuckDB-replayable. Prefer it at scale; the
-    relational form remains the JVM-only path.
+    ``hash_fn="poly64"`` (the DEFAULT since round 8) routes to the
+    Arrow-batched kernel (operators/grams.lsh_band_buckets_poly): the
+    whole signature is computed per document inside the batch, so the
+    only rows that ever shuffle are the (id, band bucket) outputs —
+    O(docs × bands), not O(shingles). Also DuckDB-replayable. The
+    relational forms (``xxhash64``/``md5_60``) remain as the JVM-only
+    path for sessions without Python workers and for the oracle mirror.
     """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
@@ -284,7 +285,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "poly64",
 ) -> DataFrame:
     """Near-dedup: docs sharing any LSH band bucket collapse to the
     bucket's min id (1-hop representative — the standard at-scale

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from meds_transforms_spark.operators.base import register_stage
 from meds_transforms_spark.operators.dedup import lsh_band_buckets
 
-_DEFAULT_PARAMS = dict(num_hashes=32, bands=8, shingle_k=5, hash_fn="xxhash64")
+_DEFAULT_PARAMS = dict(num_hashes=32, bands=8, shingle_k=5, hash_fn="poly64")
 
 
 def build_minhash_index(

@@ -49,12 +49,61 @@ the word-n-gram semantics mirror operators/dedup.word_ngrams_of
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meds_transforms_spark.operators.base import register_stage
 from meds_transforms_spark.operators.dedup import _normalized
+
+
+def _with_kernel_parallelism(base: DataFrame) -> DataFrame:
+    """Rescue the Arrow kernel stage from SEVERELY starved input
+    partitioning (fewer splits than a quarter of the session's cores).
+
+    ``mapInArrow`` inherits its input's partitioning, so a 1-2-split
+    input caps the one CPU-bound stage of these operators at ~2 tasks
+    regardless of cluster size. That does NOT normally happen on a
+    scan: Spark's ``spark.sql.leafNodeDefaultParallelism`` already
+    sizes local parquet splits toward core count (a 73 MB 2-file dir
+    scans as 15 splits on local[32] — measured round 8). It DOES
+    happen when the kernel consumes an AQE-coalesced upstream exchange
+    (advisory 64 MB targets can collapse a small shuffle to 1
+    partition) or an explicitly coalesced frame. Only then is a
+    round-robin repartition of the thin (id, normalized-text)
+    projection worth its shuffle: round-8 A/B at 500k docs measured
+    repartitioning a 15-split input to 32 as a consistent LOSS
+    (+30-80% wall: one more exchange, double-size Python worker pool,
+    no CPU win), while the 1-split input's kernel critical path is
+    ~20 s single-threaded that the repartition reclaims. Threshold
+    n·4 ≤ cores keeps exactly the rescue case. On a real cluster a
+    100 TB scan yields far more splits than cores, so the branch is
+    dead there; streaming frames pass through untouched (no ``.rdd``
+    on a stream). ``SPARK_GRAFT_KERNEL_PARALLELISM=0`` disables, ``=N``
+    forces N partitions whenever the input has fewer.
+    """
+    if base.isStreaming:
+        return base
+    raw = os.environ.get("SPARK_GRAFT_KERNEL_PARALLELISM", "auto").lower()
+    if raw in ("0", "off", "none", "false"):
+        return base
+    sc = base.sparkSession.sparkContext
+    try:
+        n = base.rdd.getNumPartitions()
+    except Exception:  # exotic plans that refuse RDD conversion: skip
+        return base
+    if raw == "auto":
+        target = sc.defaultParallelism
+        starved = 0 < n * 4 <= target
+    else:
+        target = int(raw)
+        starved = 0 < n < target
+    if starved:
+        return base.repartition(target)
+    return base
+
 
 POLY_BASE = 1099511628211  # FNV-1a 64 prime; odd => invertible mod 2^64
 POLY_BASE_INV = pow(POLY_BASE, -1, 1 << 64)
@@ -259,7 +308,7 @@ def winnow_fingerprints_poly(
                     names=[id_col, "fp"],
                 )
 
-    return base.mapInArrow(fn, schema=out_schema)
+    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
 
 
 def _token_bounds(txt_arr):
@@ -387,7 +436,7 @@ def word_ngram_hashes_poly(
                     names=[id_col, out_col],
                 )
 
-    return base.mapInArrow(fn, schema=out_schema)
+    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
 
 
 def _minhash_batch(txt_arr, k: int, num_hashes: int, bands: int):
@@ -512,7 +561,7 @@ def lsh_band_buckets_poly(
                     names=[id_col, "__bucket"],
                 )
 
-    return base.mapInArrow(fn, schema=out_schema)
+    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
 
 
 def _bigram_counts_batch(txt_arr):
@@ -601,7 +650,7 @@ def bigram_hash_counts_poly(
                     names=[id_col, "w1", "w2", "__n_local"],
                 )
 
-    return base.mapInArrow(fn, schema=out_schema)
+    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
 
 
 def _feature_bucket_counts_batch(txt_arr, n_buckets: int, use_bigrams: bool):
@@ -712,4 +761,4 @@ def word_feature_bucket_counts_poly(
                     names=[f.name for f in out_schema.fields],
                 )
 
-    return base.mapInArrow(fn, schema=out_schema)
+    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)

@@ -62,7 +62,7 @@ def winnow_fingerprints(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "poly64",
 ) -> DataFrame:
     """Distinct winnowed fingerprints: one ``(id_col, fp)`` row per
     selected gram hash.
@@ -71,6 +71,8 @@ def winnow_fingerprints(
     grams they do have (so short docs still fingerprint); NULL text
     yields no rows. ``hash_fn="md5_60"`` makes the fingerprints
     engine-reproducible for the DuckDB oracle; ``hash_fn="poly64"``
+    (the DEFAULT since round 8; ``xxhash64`` remains the JVM-only
+    fallback for sessions without Python workers)
     routes to the Arrow-batched rolling-hash kernel
     (:func:`~meds_transforms_spark.operators.grams.winnow_fingerprints_poly`)
     — ALSO engine-reproducible (DuckDB ``list_reduce`` fold) and ~10×
@@ -142,7 +144,7 @@ def winnow_overlap(
     max_df: int | None = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "poly64",
     packed_ids: bool | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
@@ -267,7 +269,7 @@ def winnow_contains(
     id_col: str = "doc_id",
     probe_text_col: str | None = None,
     probe_id_col: str | None = None,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "poly64",
     broadcast_probe: bool = True,
 ) -> DataFrame:
     """Cross-corpus passage containment: which corpus documents share

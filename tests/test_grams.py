@@ -236,3 +236,79 @@ def test_jaccard_pairs_arrow_matches_expr(spark):
     e = {(r.id_a, r.id_b): round(r.jaccard, 9)
          for r in ngram_jaccard_pairs(docs, impl="expr", **kw).collect()}
     assert a == e and a
+
+
+def test_kernel_parallelism_rescues_starved_input(spark):
+    """_with_kernel_parallelism repartitions only SEVERELY starved
+    inputs (n_parts·4 <= cores), leaves healthy scans untouched, and
+    honors the off/forced env modes — the round-8 policy measured at
+    500k docs (repartitioning a 15-split input was a consistent loss;
+    a 1-split input's single-threaded kernel is the rescue case)."""
+    import os
+
+    from meds_transforms_spark.operators.grams import (
+        _with_kernel_parallelism,
+        winnow_fingerprints_poly,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(64)],
+        "doc_id long, text string",
+    )
+    starved = docs.repartition(1)
+    healthy = docs.repartition(cores)
+    old = os.environ.get("SPARK_GRAFT_KERNEL_PARALLELISM")
+    try:
+        os.environ["SPARK_GRAFT_KERNEL_PARALLELISM"] = "auto"
+        assert _with_kernel_parallelism(starved).rdd.getNumPartitions() == cores
+        assert _with_kernel_parallelism(healthy).rdd.getNumPartitions() == cores
+        # a moderately-split input (half of cores) is NOT rescued
+        if cores >= 4:
+            mid = docs.repartition(cores // 2)
+            assert (
+                _with_kernel_parallelism(mid).rdd.getNumPartitions() == cores // 2
+            )
+        os.environ["SPARK_GRAFT_KERNEL_PARALLELISM"] = "0"
+        assert _with_kernel_parallelism(starved).rdd.getNumPartitions() == 1
+        os.environ["SPARK_GRAFT_KERNEL_PARALLELISM"] = "7"
+        assert _with_kernel_parallelism(starved).rdd.getNumPartitions() == 7
+        # results are partitioning-invariant through the rescue path
+        os.environ["SPARK_GRAFT_KERNEL_PARALLELISM"] = "auto"
+        a = {(r.doc_id, r.fp) for r in winnow_fingerprints_poly(starved).collect()}
+        os.environ["SPARK_GRAFT_KERNEL_PARALLELISM"] = "0"
+        b = {(r.doc_id, r.fp) for r in winnow_fingerprints_poly(starved).collect()}
+        assert a == b and a
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_KERNEL_PARALLELISM", None)
+        else:
+            os.environ["SPARK_GRAFT_KERNEL_PARALLELISM"] = old
+
+
+def test_default_hash_fn_is_poly64_kernel(spark):
+    """Round-8 default flip: minhash_lsh_dedup / winnow_fingerprints /
+    lsh_band_buckets with NO hash_fn argument route to the Arrow poly64
+    kernel (identical results to the explicit form)."""
+    from meds_transforms_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_lsh_dedup,
+    )
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d_def = {r.doc_id for r in minhash_lsh_dedup(docs).collect()}
+    d_exp = {r.doc_id for r in minhash_lsh_dedup(docs, hash_fn="poly64").collect()}
+    assert d_def == d_exp
+    b_def = {(r.doc_id, r["__bucket"]) for r in lsh_band_buckets(docs).collect()}
+    b_exp = {
+        (r.doc_id, r["__bucket"])
+        for r in lsh_band_buckets(docs, hash_fn="poly64").collect()
+    }
+    assert b_def == b_exp and b_def
+    f_def = {(r.doc_id, r.fp) for r in winnow_fingerprints(docs).collect()}
+    f_exp = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(docs, hash_fn="poly64").collect()
+    }
+    assert f_def == f_exp and f_def
