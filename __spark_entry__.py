@@ -1527,6 +1527,19 @@ def q_docs_decontaminate(spark, sf_dir):
     return out.select("doc_id", "contaminated")
 
 
+def q_docs_decontaminate_ids(spark, sf_dir):
+    """mode="ids" decontamination (round 8): the contaminated-id SET,
+    with no join-back onto the corpus — the output a 100 TB pipeline
+    actually persists (anti-join it into later reads instead of
+    rewriting every row with a boolean). Same contamination semantics
+    and oracle gram logic as docs_decontaminate."""
+    from meds_transforms_spark.operators.decontaminate import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_decontaminate(docs, eval_df, n=13, mode="ids")
+
+
 def q_docs_lang_id(spark, sf_dir):
     from meds_transforms_spark.operators.text import language_id
 
@@ -1811,7 +1824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
-        # --- slots 26-50: r06 cohort, oldest-first ---
+        # --- slot 26: the round-8-new ids-mode decontaminate (new
+        # --- queries must sit in the checked prefix) ---
+        "docs_decontaminate_ids": q_docs_decontaminate_ids,
+        # --- slots 27-50: r06 cohort, oldest-first ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1836,8 +1852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_filter": q_docs_gopher_filter,
+        # --- slots 51-66: remaining r06 (lead the r09 rotation) ---
         "docs_pmi": q_docs_pmi,
-        # --- slots 51-65: remaining r06 (lead the r09 rotation) ---
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
@@ -3055,6 +3071,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN step_3 IS NULL THEN 2
                         ELSE 3 END AS funnel_stage
             FROM s3
+        """,
+        "docs_decontaminate_ids": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       x -> x <> '') AS w
+              FROM documents
+            ), trg AS (
+              SELECT doc_id,
+                     array_to_string(w[CAST(i AS BIGINT):CAST(i + 12 AS BIGINT)], ' ') AS g
+              FROM toks t,
+                   unnest(range(1, greatest(len(w) - 12, 1) + 1)) AS u(i)
+            ), evg AS (
+              SELECT DISTINCT
+                     array_to_string(w[CAST(i AS BIGINT):CAST(i + 12 AS BIGINT)], ' ') AS g
+              FROM (SELECT * FROM toks WHERE doc_id % 97 = 0) e,
+                   unnest(range(1, greatest(len(w) - 12, 1) + 1)) AS u(i)
+            )
+            SELECT DISTINCT doc_id FROM trg WHERE g IN (SELECT g FROM evg)
         """,
         "docs_decontaminate": r"""
             WITH toks AS (

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "docs_winnow_contains",
     "docs_minhash_transitive",
     "emb_semantic_dedup_arrow",
+    # round-8 addition: the ids-only decontaminate output mode.
+    "docs_decontaminate_ids",
 ]
 
 

@@ -43,9 +43,10 @@ def ngram_decontaminate(
     broadcast_eval: bool = True,
     impl: str = "arrow",
 ) -> DataFrame:
-    """Mark (``mode="flag"``: adds boolean ``contaminated``) or remove
-    (``mode="drop"``) training rows sharing any word ``n``-gram with
-    ``eval_df``.
+    """Mark (``mode="flag"``: adds boolean ``contaminated``), remove
+    (``mode="drop"``), or just identify (``mode="ids"``: returns the
+    distinct contaminated-id frame, no join-back) training rows sharing
+    any word ``n``-gram with ``eval_df``.
 
     Overlap is computed on normalized text (lowercased, whitespace
     collapsed). Documents shorter than ``n`` words contribute their
@@ -67,8 +68,8 @@ def ngram_decontaminate(
       the whole plan JVM-side; the right choice when Python workers
       are unavailable.
     """
-    if mode not in ("flag", "drop"):
-        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if mode not in ("flag", "drop", "ids"):
+        raise ValueError(f"mode must be 'flag', 'drop' or 'ids', got {mode!r}")
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     eval_text = eval_text_col or text_col
@@ -82,12 +83,21 @@ def ngram_decontaminate(
                     frame, n=n, text_col=col, id_col=id_col
                 )
             # eval side: no id needed — reuse the id slot with a
-            # constant so the kernel's schema handling stays uniform
+            # constant so the kernel's schema handling stays uniform.
+            # Benchmarks are small by contract (the broadcast_eval
+            # assumption), so funnel them into ONE kernel task first:
+            # the kernel otherwise inherits the eval scan's splits and
+            # pays one Python dispatch per split for a handful of docs
+            # each — measured 0.44 s of docs_decontaminate's 1.5 s at
+            # sf0.1 for a 52-doc eval side. The repartition exchange
+            # moves only the eval text (tiny); rescue_starved=False
+            # stops the kernel's starvation guard from undoing it.
             return word_ngram_hashes_poly(
-                frame.select(F.lit(0).alias("__eid"), F.col(col)),
+                frame.select(F.lit(0).alias("__eid"), F.col(col)).repartition(1),
                 n=n,
                 text_col=col,
                 id_col="__eid",
+                rescue_starved=False,
             ).select("__gh")
 
     else:
@@ -117,12 +127,16 @@ def ngram_decontaminate(
     eval_hashes = gram_hashes(eval_df, eval_text, []).distinct()
     if broadcast_eval:
         eval_hashes = F.broadcast(eval_hashes)
-    contaminated = (
-        train_grams.join(eval_hashes, "__gh", "left_semi")
-        .select(id_col)
-        .distinct()
-        .withColumn("__contam", F.lit(True))
+    contaminated_ids = (
+        train_grams.join(eval_hashes, "__gh", "left_semi").select(id_col).distinct()
     )
+    if mode == "ids":
+        # The contaminated-id set itself — no join-back, no text
+        # rematerialization. The right output at scale: persist the id
+        # set once, anti-join it into any number of downstream reads,
+        # instead of rewriting the full corpus with a boolean column.
+        return contaminated_ids
+    contaminated = contaminated_ids.withColumn("__contam", F.lit(True))
     out = df.join(contaminated, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("__contam"), F.lit(False))
     ).drop("__contam")

@@ -404,11 +404,18 @@ def word_ngram_hashes_poly(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "__gh",
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """Distinct word-n-gram poly64 hashes: one ``(id_col, out_col)``
     row per distinct gram — the batched-numpy twin of the
     ``word_ngrams_of`` + ``xxhash64(slice)`` gram streams in
-    decontaminate/jaccard. NULL and token-less docs emit no rows."""
+    decontaminate/jaccard. NULL and token-less docs emit no rows.
+
+    ``rescue_starved=False`` opts out of the low-partition-count rescue
+    (:func:`_with_kernel_parallelism`) — for callers that DELIBERATELY
+    funnel a small frame into few partitions (e.g. decontaminate's eval
+    side, where one Python task over a few thousand benchmark docs
+    beats 32 dispatches of ~2 docs each)."""
     import pyarrow as pa
 
     from pyspark.sql import types as T
@@ -436,7 +443,9 @@ def word_ngram_hashes_poly(
                     names=[id_col, out_col],
                 )
 
-    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
+    if rescue_starved:
+        base = _with_kernel_parallelism(base)
+    return base.mapInArrow(fn, schema=out_schema)
 
 
 def _minhash_batch(txt_arr, k: int, num_hashes: int, bands: int):

@@ -99,3 +99,22 @@ def test_blank_docs_never_contaminate(spark):
     )
     out = {r.doc_id: r.contaminated for r in ngram_decontaminate(train, evals, n=5).collect()}
     assert out == {1: False, 2: False, 3: True}
+
+
+def test_ids_mode_matches_flag_mode(spark):
+    """mode='ids' returns exactly the ids flag-mode marks contaminated
+    — one column, no join-back (round-8 scale-output mode)."""
+    from meds_transforms_spark.operators.decontaminate import ngram_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_df = docs.filter((docs.doc_id % 7) == 0)
+    flagged = {
+        r.doc_id
+        for r in ngram_decontaminate(docs, eval_df, n=5, mode="flag")
+        .filter("contaminated")
+        .collect()
+    }
+    out = ngram_decontaminate(docs, eval_df, n=5, mode="ids")
+    assert out.columns == ["doc_id"]
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == flagged and ids
