@@ -239,23 +239,41 @@ def lsh_band_buckets(
         exploded.groupBy(id_col, F.pmod("__h", F.lit(num_hashes)).alias("__slot"))
         .agg(F.min("__h").alias("__mh"))
     )
+    # Band fold WITHOUT collect_list: one conditional min per in-band
+    # slot position keeps the aggregation in whole-stage-codegen hash
+    # agg. The original collect_list(struct) form compiled to
+    # ObjectHashAggregateExec, whose 128-group in-memory threshold
+    # degrades to sort-based aggregation with per-group object
+    # overhead — measured round 8 as a heap-OOM death spiral at a mere
+    # 4M (doc, band) groups under 16 GB local-cluster executors.
+    # Equivalence: slots within a band are band·r+0..r-1, each present
+    # at most once, so ordering by (slot mod r) == ordering by slot,
+    # and concat_ws skips the NULLs of absent slots exactly as the
+    # sorted collect_list skipped missing entries.
+    in_band = [
+        F.min(
+            F.when(F.pmod("__slot", F.lit(rows_per_band)) == i, F.col("__mh"))
+        ).alias(f"__m{i}")
+        for i in range(rows_per_band)
+    ]
     return (
         slots.withColumn("__band", F.expr(f"__slot div {rows_per_band}"))
         .groupBy(id_col, "__band")
-        .agg(
+        .agg(*in_band)
+        .select(
+            F.col(id_col),
             _h64(
                 hash_fn,
                 F.col("__band"),
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("__slot", "__mh"))),
-                        lambda s: s["__mh"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"__m{i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
                 ),
-            ).alias("__bucket")
+            ).alias("__bucket"),
         )
-        .select(id_col, "__bucket")
     )
 
 
