@@ -32,6 +32,7 @@ REVIEW = {
     "tpch_q2": "min-cost-supplier correlated subquery as a grouped pre-agg joined back on (part, cost); all dims broadcast, part table scanned once",
     "tpch_q7": "two-nation volume: lineitem joined to broadcast supplier/customer/nation pair filter, one agg on (nations, year)",
     "tpch_q9": "profit rollup: part filter broadcast into lineitem, orders join for the year, agg on (nation, year) — the biggest input scans once",
+    "docs_decontaminate_ids": "mode='ids' decontamination: same poly64 gram kernel + broadcast eval-gram semi probe, but the plan ENDS at the distinct contaminated-id aggregate — no corpus join-back, no text rematerialization; the output a 100 TB pipeline persists and anti-joins downstream",
     "docs_decontaminate": "train/eval word-13-gram hashes via the Arrow poly64 rolling-hash kernel (grams.word_ngram_hashes_poly — one numpy pass per batch, 2.7× the interpreted gram stream at 1M docs); eval gram-hash set dedup'd + broadcast; LEFT SEMI map-side probe → contaminated ids → one id join back; document text never shuffles",
     "events_funnel": "agg_join strategy: per-step full hash agg with map-side combine (shuffle carries one partial row per entity-partition), per-entity step table broadcast back into the next scan — zero full-data shuffles, no sort; window strategy available for unbroadcastable entity dims",
     "docs_pack": "two-phase prefix sum: range exchange on the order key, per-partition running sums, #partitions offset rows broadcast back — no SinglePartition exchange anywhere (the naive global-window cumsum is the anti-pattern this operator replaces)",
