@@ -337,12 +337,55 @@ def cmd_index1m(rep: int, runs: int):
     spark.stop()
 
 
+def cmd_xb1(rep: int, runs: int):
+    """ONE xboundary variant in a fresh app (variant name in argv[4]):
+    isolates each measurement from executor-death cascades of earlier
+    variants — the confound that muddied the batched 5M-doc sweep."""
+    from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    variant = sys.argv[4]
+    op, hash_fn = variant.rsplit("_", 1)
+
+    pre = get_spark("xb_prep")
+    sf = build_docs_dir(pre, rep, skew=False)
+    pre.stop()
+    spark = get_spark(
+        f"scale_r8_xb1_{variant}",
+        master=os.environ.get("XB_MASTER", "local-cluster[2,16,16384]"),
+        shuffle_partitions=int(os.environ.get("XB_SHUFFLE_PARTITIONS", "0")) or None,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.executorEnv.PYTHONPATH": REPO,
+            "spark.driver.memory": "8g",
+        },
+    )
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    print(f"=== xb1 {variant}: {docs.count()} docs ===", flush=True)
+    if op == "minhash":
+        thunk = lambda: minhash_lsh_dedup(docs, hash_fn=hash_fn).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    else:
+        thunk = lambda: winnow_overlap(
+            docs, k=10, w=8, hash_fn=hash_fn, min_shared=4, max_df=50
+        ).write.format("noop").mode("overwrite").save()
+    try:
+        thunk()  # warm
+        timed(spark, f"{variant}", thunk, runs=runs)
+    except Exception as e:
+        print(f"{variant:<38} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "xboundary"
     rep = int(sys.argv[2]) if len(sys.argv) > 2 else (200 if mode == "index1m" else 100)
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     {
         "xboundary": cmd_xboundary,
+        "xb1": cmd_xb1,
         "skew_winnow": cmd_skew_winnow,
         "skew_ccnet": cmd_skew_ccnet,
         "index1m": cmd_index1m,
