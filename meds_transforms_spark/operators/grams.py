@@ -138,6 +138,18 @@ def _flat_utf8(arr):
         data = np.empty(0, dtype=np.uint8)
     else:
         data = np.frombuffer(buffers[2], dtype=np.uint8)
+    # Arrow slices are zero-copy VIEWS over the parent's data buffer:
+    # a slice's offsets point into the middle of the full buffer. Every
+    # kernel runs its prefix pass over `data`, so returning the full
+    # buffer makes each of _batch_slices' windows pay O(whole batch)
+    # instead of O(window) — with the 16 MB slice bound, a 100 MB
+    # batch (10k docs × ~10 KB, i.e. ordinary web documents) would do
+    # 7× redundant prefix work. Rebase to exactly the slice's window
+    # (numpy view, no copy) and shift the offsets to match.
+    lo = int(offs[0]) if len(offs) else 0
+    if lo or (len(offs) and int(offs[-1]) < len(data)):
+        data = data[lo : int(offs[-1])]
+        offs = offs - lo
     return data, offs
 
 

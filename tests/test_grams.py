@@ -312,3 +312,38 @@ def test_default_hash_fn_is_poly64_kernel(spark):
         for r in winnow_fingerprints(docs, hash_fn="poly64").collect()
     }
     assert f_def == f_exp and f_def
+
+
+def test_flat_utf8_rebases_sliced_buffers():
+    """Arrow slices are zero-copy views whose offsets point into the
+    parent buffer. _flat_utf8 must return exactly the slice's byte
+    WINDOW (rebased offsets), or every _batch_slices window pays a
+    prefix pass over the WHOLE batch — O(n_slices x batch) redundant
+    work on any corpus whose docs push batches past the 16 MB slice
+    bound (round-8 fix)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from meds_transforms_spark.operators.grams import (
+        _flat_utf8,
+        _minhash_batch,
+        _word_gram_batch,
+        _winnow_batch,
+    )
+
+    docs = pa.array([f"document number {i} filler text body" * 3 for i in range(500)])
+    sl = docs.slice(100, 200)
+    data, offs = _flat_utf8(sl)
+    assert offs[0] == 0
+    assert len(data) == int(offs[-1])           # exactly the window...
+    full, _ = _flat_utf8(docs)
+    assert len(data) < len(full) / 2            # ...not the parent buffer
+
+    cp = pa.array(sl.to_pylist())               # compacted copy
+    for a, b in zip(_minhash_batch(sl, 5, 32, 8), _minhash_batch(cp, 5, 32, 8)):
+        assert np.array_equal(a, b)
+    ids = pa.array(range(200))
+    for a, b in zip(_winnow_batch(ids, sl, 6, 4), _winnow_batch(ids, cp, 6, 4)):
+        assert np.array_equal(a, b)
+    for a, b in zip(_word_gram_batch(sl, 5), _word_gram_batch(cp, 5)):
+        assert np.array_equal(a, b)
