@@ -121,32 +121,51 @@ def main():
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
+    # stdout is ONE compact JSON line that must fit the driver's
+    # 2000-char stdout tail WHOLE (r08's 2.5 KB line parsed as null):
+    # per-query medians at 2 decimals, nothing else per-query.
+    # best-of-N, 3-decimal medians, and raw per-pass timings all go to
+    # the side file, where variance stays inspectable across rounds.
     compact = {
         "metric": "total_wall_sec_headline_queries",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": {name: round(t, 2) for name, t in times.items()},
         "aggregation": "median",
-        # Best-of-N alongside the median for continuity with r01-r05
-        # (which reported best-of-2).
-        "best_of_n": best,
-        "total_best": round(sum(best.values()), 3),
         "runs_per_query": runs,
         # Headline-set size — totals are only comparable across
         # rounds at equal n_queries (r01: 19, r02: 24).
         "n_queries": len(BENCH_QUERIES),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # stdout stays ONE compact JSON line (~2.5 KB): round-7's capture
-    # lost the leading per-query arrays because raw_timings pushed the
-    # line past the driver's tail window. Raw per-pass timings go to a
-    # side file so variance stays inspectable across rounds.
     raw_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_raw_latest.json"
     )
     with open(raw_path, "w") as fh:
-        json.dump({**compact, "raw_timings": raw}, fh)
-    print(json.dumps(compact))
+        json.dump(
+            {
+                **compact,
+                "queries": times,
+                "best_of_n": best,
+                "total_best": round(sum(best.values()), 3),
+                "raw_timings": raw,
+            },
+            fh,
+        )
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # Degrade, never overflow: keep the slowest queries (the ones a
+        # reader acts on) until the line fits; the full map is in the
+        # side file either way.
+        ranked = sorted(times, key=times.get, reverse=True)
+        while len(line) > 1900 and ranked:
+            ranked.pop()
+            compact["queries"] = {
+                n: round(times[n], 2) for n in times if n in set(ranked)
+            }
+            compact["queries_truncated_to"] = len(ranked)
+            line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -84,20 +84,27 @@ def ngram_decontaminate(
                 )
             # eval side: no id needed — reuse the id slot with a
             # constant so the kernel's schema handling stays uniform.
-            # Benchmarks are small by contract (the broadcast_eval
-            # assumption), so funnel them into ONE kernel task first:
-            # the kernel otherwise inherits the eval scan's splits and
-            # pays one Python dispatch per split for a handful of docs
-            # each — measured 0.44 s of docs_decontaminate's 1.5 s at
-            # sf0.1 for a 52-doc eval side. The repartition exchange
-            # moves only the eval text (tiny); rescue_starved=False
-            # stops the kernel's starvation guard from undoing it.
+            # When the caller asserts the eval corpus is small
+            # (broadcast_eval=True, the benchmark contract), funnel it
+            # into ONE kernel task: the kernel otherwise inherits the
+            # eval scan's splits and pays one Python dispatch per split
+            # for a handful of docs each — measured 0.44 s of
+            # docs_decontaminate's 1.5 s at sf0.1 for a 52-doc eval
+            # side. The repartition exchange moves only the eval text
+            # (tiny); rescue_starved=False stops the kernel's
+            # starvation guard from undoing it. broadcast_eval=False
+            # is the large-eval-corpus escape hatch — there the funnel
+            # would hash every eval gram in a single Python task
+            # (bottleneck/OOM), so keep the scan's parallelism.
+            eframe = frame.select(F.lit(0).alias("__eid"), F.col(col))
+            if broadcast_eval:
+                eframe = eframe.repartition(1)
             return word_ngram_hashes_poly(
-                frame.select(F.lit(0).alias("__eid"), F.col(col)).repartition(1),
+                eframe,
                 n=n,
                 text_col=col,
                 id_col="__eid",
-                rescue_starved=False,
+                rescue_starved=not broadcast_eval,
             ).select("__gh")
 
     else:

@@ -19,6 +19,17 @@ Scale notes (the whole point):
   no iterative connected components in the default path (transitive
   closure via graph iteration is offered separately; at 100 TB the
   1-hop "collapse to bucket minimum" is the standard approximation).
+
+BEHAVIOR CHANGE (round 8): the default ``hash_fn`` for
+``lsh_band_buckets`` / ``minhash_lsh_dedup`` / ``dedup_index`` (and
+``winnow_*`` in operators/winnow.py) flipped from the JVM-relational
+``xxhash64`` path to the Arrow-batched ``poly64`` kernel. Bucket
+values — and therefore which duplicate of a pair survives — differ
+from pre-round-8 defaults, and the default path now requires Python
+workers + pyarrow. Callers who need the old buckets or a JVM-only
+plan must pass ``hash_fn="xxhash64"`` explicitly. Persisted
+``dedup_index`` sidecars record their hash_fn and refuse silent
+mixing, so durable indexes are safe either way.
 """
 
 from __future__ import annotations

@@ -83,26 +83,90 @@ def _with_kernel_parallelism(base: DataFrame) -> DataFrame:
     dead there; streaming frames pass through untouched (no ``.rdd``
     on a stream). ``SPARK_GRAFT_KERNEL_PARALLELISM=0`` disables, ``=N``
     forces N partitions whenever the input has fewer.
+
+    Probe cost (round-9 fix, ADVICE r08): the count must NOT come from
+    ``.rdd`` on an exchange-containing plan — under AQE that
+    *materializes the upstream query stages eagerly* (runs Spark jobs
+    at plan-composition time, then re-runs them at the real action:
+    no cross-query exchange reuse). The probe is therefore two-step
+    and job-free: (1) the pre-AQE physical plan's static
+    ``outputPartitioning().numPartitions()`` — known without execution
+    for exactly the rescue targets (``repartition(n)``/``coalesce(n)``
+    roots report n; scans and aggregates report 0 = unknown); (2) for
+    unknown counts, ``.rdd`` ONLY when the optimized plan is pure
+    scan/project/filter, where RDD conversion just computes file
+    splits. A shuffle-rooted plan with unknown static count (e.g. an
+    AQE-coalescible aggregate feeding the kernel) skips the auto
+    rescue — set ``SPARK_GRAFT_KERNEL_PARALLELISM=N`` explicitly for
+    those, which repartitions without any probe.
     """
     if base.isStreaming:
         return base
-    raw = os.environ.get("SPARK_GRAFT_KERNEL_PARALLELISM", "auto").lower()
+    raw = os.environ.get("SPARK_GRAFT_KERNEL_PARALLELISM", "auto").strip().lower()
     if raw in ("0", "off", "none", "false"):
         return base
-    sc = base.sparkSession.sparkContext
-    try:
-        n = base.rdd.getNumPartitions()
-    except Exception:  # exotic plans that refuse RDD conversion: skip
-        return base
-    if raw == "auto":
-        target = sc.defaultParallelism
-        starved = 0 < n * 4 <= target
-    else:
-        target = int(raw)
-        starved = 0 < n < target
-    if starved:
+    if raw != "auto":
+        try:
+            target = int(raw)
+        except ValueError:  # exported-but-garbage env: behave as auto
+            target = 0
+        if target > 0:
+            n = _static_partition_count(base)
+            if n is None or n < target:
+                return base.repartition(target)
+            return base
+        # unparseable / non-positive explicit value: fall back to auto
+    target = base.sparkSession.sparkContext.defaultParallelism
+    n = _static_partition_count(base)
+    if n is None:
+        if not _is_scan_rooted(base):
+            return base
+        try:
+            n = base.rdd.getNumPartitions()
+        except Exception:  # exotic plans that refuse RDD conversion: skip
+            return base
+    if 0 < n * 4 <= target:
         return base.repartition(target)
     return base
+
+
+def _static_partition_count(df: DataFrame) -> int | None:
+    """Partition count readable from the pre-AQE physical plan without
+    executing anything — non-None exactly when the root fixes its own
+    partitioning (repartition/coalesce/single-partition roots).
+    Scans and shuffle consumers report UnknownPartitioning(0) → None."""
+    try:
+        n = int(
+            df._jdf.queryExecution().sparkPlan().outputPartitioning().numPartitions()
+        )
+    except Exception:
+        return None
+    return n if n > 0 else None
+
+
+_SCAN_SAFE_NODES = frozenset(
+    {"Project", "Filter", "Relation", "LogicalRelation", "SubqueryAlias",
+     "LocalRelation", "View", "GlobalLimit", "LocalLimit"}
+)
+
+
+def _is_scan_rooted(df: DataFrame) -> bool:
+    """True when the optimized logical plan contains no
+    shuffle-introducing operator — i.e. ``.rdd`` on it computes file
+    splits without running jobs. Conservative allowlist: any node name
+    outside it (Join, Aggregate, Window, Sort, Repartition, …) returns
+    False."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        m = re.match(r"^[-+: ]*([A-Za-z]+)", line)
+        if m and m.group(1) not in _SCAN_SAFE_NODES:
+            return False
+    return True
 
 
 POLY_BASE = 1099511628211  # FNV-1a 64 prime; odd => invertible mod 2^64

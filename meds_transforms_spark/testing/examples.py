@@ -35,6 +35,7 @@ import pandas as pd
 from meds_transforms_spark.testing.fixtures import (
     _parse_csv,
     assert_frames_match,
+    concat_shards,
     frame_from_pandas,
     load_fixture_frame,
 )
@@ -171,7 +172,7 @@ def data_frame(spark, in_yaml: dict, prefix: str = "data/"):
     ]
     if not parts:
         return None
-    return frame_from_pandas(spark, pd.concat(parts, ignore_index=True))
+    return frame_from_pandas(spark, concat_shards(parts))
 
 
 def codes_frame(spark, in_yaml: dict):
@@ -191,7 +192,7 @@ def expected_pdf(out_yaml: dict, prefix: str = "data/") -> pd.DataFrame:
         if not key.startswith(prefix):
             continue
         parts.append(_parse_csv(val) if isinstance(val, str) else _flatten_quantile_rows(val))
-    return pd.concat(parts, ignore_index=True)
+    return concat_shards(parts)
 
 
 def _flatten_quantile_rows(rows: list[dict]) -> pd.DataFrame:

@@ -49,6 +49,42 @@ def _parse_csv(text: str) -> pd.DataFrame:
     return _normalize_object_cols(pdf)
 
 
+def concat_shards(parts: list[pd.DataFrame]) -> pd.DataFrame:
+    """``pd.concat`` with dtypes pinned EXPLICITLY before the concat,
+    so the result does not depend on pandas' empty/all-NA dtype
+    inference (a FutureWarning today, a behavior change on the next
+    pandas major): for every column, the dtype of the first shard
+    holding real values wins, and empty or all-NA shard columns are
+    cast to it up front. Semantically identical to the legacy concat
+    (which excluded all-NA entries from dtype determination) on every
+    fixture in the suite — now by construction instead of by
+    deprecation grace."""
+    parts = [p for p in parts if len(p.columns)]
+    if not parts:
+        return pd.DataFrame()
+    pinned: dict[str, object] = {}
+    for p in parts:
+        for col in p.columns:
+            if col not in pinned and not p[col].isna().all():
+                pinned[col] = p[col].dtype
+    fixed = []
+    for p in parts:
+        out = p
+        for col, dt in pinned.items():
+            if col in p.columns and p[col].dtype != dt and p[col].isna().all():
+                if out is p:
+                    out = p.copy()
+                try:
+                    out[col] = out[col].astype(dt)
+                except (TypeError, ValueError):
+                    # non-nullable target (e.g. int64) can't hold the
+                    # NAs — float64 is what the legacy concat produced
+                    # for that mix
+                    out[col] = out[col].astype("float64")
+        fixed.append(out)
+    return pd.concat(fixed, ignore_index=True)
+
+
 def _normalize_object_cols(pdf: pd.DataFrame) -> pd.DataFrame:
     """Object-column normalization, shared by _parse_csv and the
     post-concat pass (an all-null shard reverts boolean columns to

@@ -28,14 +28,18 @@ def _load_yaml(path):
 
 
 def _data_frame(spark, in_yaml, prefix="data/"):
-    from meds_transforms_spark.testing.fixtures import _parse_csv, frame_from_pandas
+    from meds_transforms_spark.testing.fixtures import (
+        _parse_csv,
+        concat_shards,
+        frame_from_pandas,
+    )
 
     parts = [
         _parse_csv(csv) for key, csv in in_yaml.items() if key.startswith(prefix)
     ]
     # Concat in pandas first: an all-null shard would otherwise lose a
     # column's dtype and break the cross-shard union.
-    return frame_from_pandas(spark, pd.concat(parts, ignore_index=True))
+    return frame_from_pandas(spark, concat_shards(parts))
 
 
 def _codes_frame(spark, in_yaml):
@@ -46,12 +50,12 @@ def _codes_frame(spark, in_yaml):
 
 
 def _expected_data(out_yaml, prefix="data/"):
-    from meds_transforms_spark.testing.fixtures import _parse_csv
+    from meds_transforms_spark.testing.fixtures import _parse_csv, concat_shards
 
     parts = [
         _parse_csv(csv) for key, csv in out_yaml.items() if key.startswith(prefix)
     ]
-    return pd.concat(parts, ignore_index=True)
+    return concat_shards(parts)
 
 
 def _check(got_df, expected_pdf, drop_cols=()):
@@ -357,7 +361,11 @@ def test_ref_fit_vocabulary_indices_raw_static(spark):
     from meds_transforms_spark.operators.fit_vocabulary_indices import (
         fit_vocabulary_indices,
     )
-    from meds_transforms_spark.testing.fixtures import _parse_csv, frame_from_pandas
+    from meds_transforms_spark.testing.fixtures import (
+        _parse_csv,
+        concat_shards,
+        frame_from_pandas,
+    )
 
     d = os.path.join(REF, "fit_vocabulary_indices/examples/on_raw_static_data")
     expected = _expected_data(
