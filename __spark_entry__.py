@@ -1776,6 +1776,83 @@ def q_emb_cosine_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
+def _bigdocs(spark, sf_dir, rep: int = 20000):
+    """Web-scale-document fixture derived DETERMINISTICALLY from the
+    driver corpus: ~7 documents of ~5 MB each (≈35-50 MB total text),
+    built by repeating each selected document's text ``rep`` times with
+    a space separator — in ONE partition, so the whole frame crosses
+    into the Arrow kernels as a single >16 MB batch and
+    operators/grams._batch_slices MUST split it (2-3 slices at the
+    default 16 MB bound, at every driver SF).
+
+    This is the gate for the big-document kernel path: round 8 found a
+    7×-redundant-work bug (sliced Arrow buffers keeping whole-batch
+    offsets) that ~300 B test docs could never expose. The repetition
+    makes each bigdoc's normalized text PERIODIC (period = normalized
+    doc + one space), which is what keeps the DuckDB oracle cheap: the
+    distinct gram set / winnow fingerprint set of a periodic string
+    equals that of one period plus a (k+w−2)-char lookahead, so the
+    oracle replays ~2 KB of text per doc while Spark's kernel really
+    processes the full ~40 MB.
+
+    Selection is on the NORMALIZED length (≥ 20 chars) so the oracle's
+    period-prefix construction (substr of the normalized text) is
+    always well-defined on both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm_len = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    picked = docs.filter(
+        (F.col("doc_id") % 83 == 0)
+        & (F.col("doc_id") < 600)
+        & F.col("text").isNotNull()
+        & (norm_len >= 20)
+    )
+    return picked.select(
+        "doc_id", F.expr(f"repeat(concat(text, ' '), {rep})").alias("text")
+    ).coalesce(1)
+
+
+def q_docs_bigdoc_winnow(spark, sf_dir):
+    """Winnowed fingerprints of ~5 MB documents through the sliced
+    Arrow kernel path (operators/grams.winnow_fingerprints_poly with
+    rescue_starved=False so the deliberate single >16 MB batch is not
+    scattered by the starvation guard). Output is the per-doc
+    fingerprint-set summary (count / min / max / xor) — the distinct
+    fp set of each periodic bigdoc collapses to its period's window
+    minima, which the oracle computes over one period + (k+w−2)-char
+    lookahead instead of the full 40 MB."""
+    from meds_transforms_spark.operators.winnow import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        _bigdocs(spark, sf_dir), k=10, w=8, hash_fn="poly64",
+        rescue_starved=False,
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.expr("bit_xor(fp)").alias("xor_fp"),
+    )
+
+
+def q_docs_bigdoc_minhash(spark, sf_dir):
+    """MinHash-LSH survivors of ~5 MB documents through the sliced
+    Arrow kernel path (operators/grams.lsh_band_buckets_poly via
+    minhash_lsh_dedup, rescue_starved=False — see q_docs_bigdoc_winnow).
+    The oracle replays the full normalize → shingle → poly64 →
+    one-permutation slots → band fold → representative election
+    pipeline on each bigdoc's period prefix (the distinct shingle set
+    of the periodic text), bitwise."""
+    from meds_transforms_spark.operators.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(
+        _bigdocs(spark, sf_dir), num_hashes=32, bands=8, shingle_k=5,
+        hash_fn="poly64", rescue_starved=False,
+    )
+    return out.select("doc_id")
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1789,16 +1866,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks
     # a capped prefix (~50) of this dict, so each round the prefix
     # ROTATES to the queries whose latest driver row is oldest or whose
-    # code changed since. Round-8 window (slots 1-50):
-    #   1-25  the full r05-latest cohort (the last freshness debt —
-    #         VERDICT r07 item 1; after this round every registry
-    #         entry's latest driver row is <=2 rounds old);
-    #   26-50 the r06 cohort, oldest 25 of 40.
-    # Slots 51-65 are the remaining 15 r06 queries (they lead the
-    # r09 rotation), then the 50 r07-green entries fill the tail.
+    # code changed since. Round-9 window (slots 1-50):
+    #   1-16  the 16 r06-latest stragglers (queued since r08 — after
+    #         this round every registry entry's latest row is <=2
+    #         rounds old);
+    #   17-18 the NEW bigdoc gate queries (>16 MB Arrow batches through
+    #         _batch_slices — new queries must sit in the prefix);
+    #   19-21 r08-green queries whose code changed this round
+    #         (decontaminate eval-funnel gating; minhash wrappers grew
+    #         rescue_starved and the kernel-parallelism probe was
+    #         rewritten);
+    #   22-28 r07-green kernel-path queries (same probe rewrite);
+    #   29-50 r07 cohort, oldest-first fill.
+    # Slots 51+ are the remaining 21 r07 entries, then the r08 cohort.
     # Run scripts/window_freshness.py for the staleness table.
     return {
-        # --- slots 1-25: r05-latest cohort ---
+        # --- slots 1-16: r06-latest cohort (freshness debt) ---
+        "docs_pmi": q_docs_pmi,
+        "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
+        "events_pivot": q_events_pivot,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_rows_window": q_events_rows_window,
+        "events_sliding_windows": q_events_sliding_windows,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "docs_boilerplate": q_docs_boilerplate,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_group_cap": q_docs_group_cap,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        # --- slots 17-18: round-9-new bigdoc kernel gate ---
+        "docs_bigdoc_winnow": q_docs_bigdoc_winnow,
+        "docs_bigdoc_minhash": q_docs_bigdoc_minhash,
+        # --- slots 19-21: r08-green, code changed this round ---
+        "docs_decontaminate_ids": q_docs_decontaminate_ids,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_minhash_transitive": q_docs_minhash_transitive,
+        # --- slots 22-28: r07-green kernel-path queries ---
+        "docs_winnow_overlap": q_docs_winnow_overlap,
+        "docs_winnow_contains": q_docs_winnow_contains,
+        "docs_ccnet_e2e": q_docs_ccnet_e2e,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_curation_e2e": q_docs_curation_e2e,
+        "docs_bigram_ppl": q_docs_bigram_ppl,
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,
+        # --- slots 29-50: r07 cohort, oldest-first fill ---
+        "docs_lang_id": q_docs_lang_id,
+        "docs_top_tokens": q_docs_top_tokens,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_corpus_prep": q_docs_corpus_prep,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_topk_vectorized": q_emb_topk_vectorized,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_label_stats": q_emb_label_stats,
+        "multimodal_decode": q_multimodal_decode,
+        "supplier_balance": q_supplier_balance,
+        "tpch_exists": q_tpch_exists,
+        "tpch_parts_by_brand": q_tpch_parts_by_brand,
+        "docs_chunk": q_docs_chunk,
+        "docs_corpus_report": q_docs_corpus_report,
+        "docs_domain_stats": q_docs_domain_stats,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_quality_classifier": q_docs_quality_classifier,
+        "events_keep_latest": q_events_keep_latest,
+        "events_transitions": q_events_transitions,
+        "events_zorder": q_events_zorder,
+        "meds_filter_subjects": q_meds_filter_subjects,
+        "meds_pipeline_e2e": q_meds_pipeline_e2e,
+        # --- slots 51+: remaining r07 cohort ---
+        "meds_normalization": q_meds_normalization,
+        "meds_fit_vocab": q_meds_fit_vocab,
+        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
+        "emb_cluster_balance": q_emb_cluster_balance,
+        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
+        "docs_pack": q_docs_pack,
+        "emb_covariance": q_emb_covariance,
+        "events_profile": q_events_profile,
+        "docs_assign_ids": q_docs_assign_ids,
+        "multimodal_frames": q_multimodal_frames,
+        "docs_validate": q_docs_validate,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_shuffle_shards": q_docs_shuffle_shards,
+        "docs_corpus_diff": q_docs_corpus_diff,
+        "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
+        "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
+        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
+        "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
+        "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
+        # --- r08 cohort (all green in CORRECTNESS_r08) ---
         "tpch_q9": _tpch_suite.QUERIES["tpch_q9"],
         "tpch_q10": _tpch_suite.QUERIES["tpch_q10"],
         "tpch_q11": _tpch_suite.QUERIES["tpch_q11"],
@@ -1813,8 +1973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": _tpch_suite.QUERIES["tpch_q22"],
         "docs_tfidf": q_docs_tfidf,
         "docs_semantic_search": q_docs_semantic_search,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_minhash_transitive": q_docs_minhash_transitive,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_cosine_dedup": q_emb_cosine_dedup,
@@ -1824,10 +1982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
-        # --- slot 26: the round-8-new ids-mode decontaminate (new
-        # --- queries must sit in the checked prefix) ---
-        "docs_decontaminate_ids": q_docs_decontaminate_ids,
-        # --- slots 27-50: r06 cohort, oldest-first ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1852,74 +2006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_filter": q_docs_gopher_filter,
-        # --- slots 51-66: remaining r06 (lead the r09 rotation) ---
-        "docs_pmi": q_docs_pmi,
-        "events_hourly": q_events_hourly,
-        "events_asof": q_events_asof,
-        "events_interval_join": q_events_interval_join,
-        "events_pivot": q_events_pivot,
-        "events_grouping_sets": q_events_grouping_sets,
-        "events_rows_window": q_events_rows_window,
-        "events_sliding_windows": q_events_sliding_windows,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_repetition": q_docs_repetition,
-        "docs_boilerplate": q_docs_boilerplate,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_group_cap": q_docs_group_cap,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        # --- slots 66+: r07-green tail ---
-        "docs_lang_id": q_docs_lang_id,
-        "docs_top_tokens": q_docs_top_tokens,
-        "docs_jaccard_pairs": q_docs_jaccard_pairs,
-        "docs_corpus_prep": q_docs_corpus_prep,
-        "emb_topk_cosine": q_emb_topk_cosine,
-        "emb_topk_vectorized": q_emb_topk_vectorized,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_label_stats": q_emb_label_stats,
-        "multimodal_decode": q_multimodal_decode,
-        "supplier_balance": q_supplier_balance,
-        "tpch_exists": q_tpch_exists,
-        "tpch_parts_by_brand": q_tpch_parts_by_brand,
-        "docs_chunk": q_docs_chunk,
-        "docs_corpus_report": q_docs_corpus_report,
-        "docs_domain_stats": q_docs_domain_stats,
-        "docs_incremental_dedup": q_docs_incremental_dedup,
-        "docs_quality_classifier": q_docs_quality_classifier,
-        "events_keep_latest": q_events_keep_latest,
-        "events_transitions": q_events_transitions,
-        "events_zorder": q_events_zorder,
-        "meds_filter_subjects": q_meds_filter_subjects,
-        "meds_pipeline_e2e": q_meds_pipeline_e2e,
-        "meds_normalization": q_meds_normalization,
-        "meds_fit_vocab": q_meds_fit_vocab,
-        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
-        "docs_winnow_overlap": q_docs_winnow_overlap,
-        "docs_winnow_contains": q_docs_winnow_contains,
-        "docs_ccnet_e2e": q_docs_ccnet_e2e,
-        "docs_decontaminate": q_docs_decontaminate,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
-        "emb_cluster_balance": q_emb_cluster_balance,
-        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
-        "docs_pack": q_docs_pack,
-        "docs_curation_e2e": q_docs_curation_e2e,
-        "emb_covariance": q_emb_covariance,
-        "events_profile": q_events_profile,
-        "docs_assign_ids": q_docs_assign_ids,
-        "multimodal_frames": q_multimodal_frames,
-        "docs_validate": q_docs_validate,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_bigram_ppl": q_docs_bigram_ppl,
-        "docs_shuffle_shards": q_docs_shuffle_shards,
-        "docs_ccnet_buckets": q_docs_ccnet_buckets,
-        "docs_corpus_diff": q_docs_corpus_diff,
-        "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
-        "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
-        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
-        "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
-        "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
         # Future-proofing: pick up any suite queries not spelled out
         # above (currently none — all 18 are listed explicitly).
         **{
@@ -1931,14 +2017,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_bands_poly_sql(source: str = "documents", k: int = 5,
-                            num_hashes: int = 32, bands: int = 8) -> str:
+                            num_hashes: int = 32, bands: int = 8,
+                            normalize: bool = True) -> str:
     """Shared poly64 MinHash band-bucket pipeline — the SQL mirror of
     operators/grams.lsh_band_buckets_poly (normalize → k-byte shingles
     → poly64 → one-permutation slots on the UNSIGNED value → per-band
-    fold bucket), ending in the signed bucket Spark emits."""
+    fold bucket), ending in the signed bucket Spark emits.
+    ``normalize=False`` takes ``source``'s text verbatim — for callers
+    (the bigdoc oracles) that construct an already-normalized gram
+    stream whose re-normalization would be WRONG (a period prefix may
+    legitimately end in a space that trim would eat)."""
     b, m, r = 1099511628211, 1 << 64, num_hashes // bands
+    norm_expr = (
+        r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+        if normalize
+        else "text"
+    )
     return rf"""norm AS (
-              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+              SELECT doc_id, {norm_expr} AS txt
               FROM {source}
             ), mh_pos AS (
               SELECT doc_id, substr(txt, CAST(i AS BIGINT), {k}) AS gg
@@ -1970,6 +2066,64 @@ def _minhash_bands_poly_sql(source: str = "documents", k: int = 5,
                 FROM slots GROUP BY doc_id, slot // {r}
               )
             )"""
+
+
+_BIGDOC_PER_SQL = r"""per AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS v
+              FROM documents
+              WHERE doc_id % 83 = 0 AND doc_id < 600 AND text IS NOT NULL
+                AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 20
+            )"""
+# The bigdoc fixture (__spark_entry__._bigdocs) repeats each selected
+# document's text R=20000 times with a space separator. Its normalized
+# form is PERIODIC with period p = len(v)+1 (v = the normalized source
+# doc): s = v (' ' v)×(R−1). Every k-gram hash at position i equals the
+# hash at ((i−1) mod p)+1, so the DISTINCT gram set is the grams at
+# positions 1..p — i.e. the grams of the (p+k−1)-char prefix — and the
+# distinct winnow fingerprint set is the w-window minima at positions
+# 1..p, needing hashes up to position p+w−1, i.e. the (p+w+k−2)-char
+# prefix. (Both need p ≤ valid-window-count, true for R ≥ 2.) The
+# oracles below therefore replay ~300 chars per doc while the Spark
+# kernel really ingests the full ~40 MB through _batch_slices.
+
+
+def _bigdoc_winnow_oracle_sql(k: int, w: int) -> str:
+    """Per-doc fingerprint-set summary of the periodic bigdocs — the
+    SQL mirror of q_docs_bigdoc_winnow via the period-prefix shortcut.
+    All ng−w+1 = p full windows of the prefix are exactly the distinct
+    fp set of the 5 MB doc."""
+    b, m = 1099511628211, 1 << 64
+    return rf"""
+            WITH {_BIGDOC_PER_SQL}, ptxt AS (
+              SELECT doc_id, len(v) + 1 AS p,
+                     v || ' ' || substr(v, 1, {w + k - 2}) AS txt
+              FROM per
+            ), pos AS (
+              SELECT doc_id, p, txt,
+                     unnest(range(1, len(txt) - {k - 1} + 1)) AS i
+              FROM ptxt
+            ), h AS (
+              SELECT doc_id, p, CAST(i AS BIGINT) AS i,
+                     list_reduce(
+                       list_transform(range(1, {k} + 1),
+                         j -> CAST(ascii(substr(txt, CAST(i + j - 1 AS BIGINT), 1)) AS HUGEINT)),
+                       (a, x) -> (a * {b} + x) % {m}::HUGEINT) AS hv
+              FROM pos
+            ), wm AS (
+              SELECT doc_id, p, i,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
+              FROM h
+            ), fps AS (
+              SELECT DISTINCT doc_id,
+                     CAST(mh - CASE WHEN mh >= {m // 2}::HUGEINT
+                              THEN {m}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS fp
+              FROM wm WHERE i <= p
+            )
+            SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp,
+                   max(fp) AS max_fp, bit_xor(fp) AS xor_fp
+            FROM fps GROUP BY doc_id"""
 
 
 def _minhash_bands_sql(source: str = "documents") -> str:
@@ -3719,6 +3873,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM doc_rep WHERE doc_id = rep
             UNION ALL SELECT doc_id FROM documents WHERE text IS NULL
+        """,
+        "docs_bigdoc_winnow": _bigdoc_winnow_oracle_sql(k=10, w=8),
+        "docs_bigdoc_minhash": r"""
+            WITH """ + _BIGDOC_PER_SQL + r""", src AS (
+              -- period prefix: the distinct shingle set of the 5 MB
+              -- periodic bigdoc (see _BIGDOC_PER_SQL note)
+              SELECT doc_id, v || ' ' || substr(v, 1, 4) AS text FROM per
+            ), """ + _minhash_bands_poly_sql("src", k=5, normalize=False) + r""", reps AS (
+              SELECT bucket, min(doc_id) AS rep FROM bands GROUP BY bucket
+            ), doc_rep AS (
+              SELECT b.doc_id, min(r.rep) AS rep
+              FROM bands b JOIN reps r USING (bucket) GROUP BY b.doc_id
+            )
+            SELECT doc_id FROM doc_rep WHERE doc_id = rep
         """,
         "docs_semantic_search": r"""
             WITH q AS (

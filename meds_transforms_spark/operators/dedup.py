@@ -149,6 +149,7 @@ def lsh_band_buckets(
     bands: int = 8,
     shingle_k: int = 5,
     hash_fn: str = "poly64",
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """(id, band-bucket hash) pairs via one-permutation MinHash — the
     relational formulation built for scale.
@@ -188,7 +189,8 @@ def lsh_band_buckets(
         from meds_transforms_spark.operators.grams import lsh_band_buckets_poly
 
         return lsh_band_buckets_poly(
-            df, text_col, id_col, num_hashes, bands, shingle_k
+            df, text_col, id_col, num_hashes, bands, shingle_k,
+            rescue_starved=rescue_starved,
         )
     # Shingle in codegen, not via array HOFs: explode position ranges,
     # then substring+hash as plain projections. Duplicate shingles are
@@ -315,6 +317,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     hash_fn: str = "poly64",
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """Near-dedup: docs sharing any LSH band bucket collapse to the
     bucket's min id (1-hop representative — the standard at-scale
@@ -330,7 +333,8 @@ def minhash_lsh_dedup(
     # at all; bucket the non-null side and pass nulls through
     with_text = df.filter(F.col(text_col).isNotNull())
     buckets = lsh_band_buckets(
-        with_text, text_col, id_col, num_hashes, bands, shingle_k, hash_fn
+        with_text, text_col, id_col, num_hashes, bands, shingle_k, hash_fn,
+        rescue_starved=rescue_starved,
     )
     with_rep = buckets.withColumn(
         "__rep", F.min(id_col).over(W.partitionBy("__bucket"))

@@ -233,6 +233,125 @@ def _prefix(x: np.ndarray):
     return s, bpow
 
 
+# ----------------------------------------------------------------------
+# Per-worker scratch pool
+# ----------------------------------------------------------------------
+# Every fresh numpy allocation larger than glibc's dynamic mmap
+# threshold (<= 32 MB) is served by mmap and RETURNED TO THE OS on
+# free — so each slice of a big batch re-faults hundreds of MB of
+# zero-filled pages. On hosts with slow first-touch faulting this
+# dominates the kernels end-to-end (measured round 9: the 38 MB bigdoc
+# batch spent ~80% of a 38 s winnow pass in page faults; with the pool
+# the same pass is ~2 s). It is also the root cause of the round-8
+# "sporadic rising-cost mapInArrow" anomaly: per-pass wall time tracked
+# the allocator's mmap/munmap churn, not the compute. The pool keeps
+# one named, grow-only buffer per (name, dtype) per worker process, so
+# steady-state kernel passes touch only warm pages.
+#
+# Peak pooled bytes per worker ≈ 70 × the largest text slice processed
+# (all the n-sized temporaries below) — ~1.1 GB at the 16 MB
+# _MAX_SLICE_BYTES bound, the same transient footprint the unpooled
+# kernels already had, now simply kept warm. Workers that only ever see
+# small slices keep small pools. ``SPARK_GRAFT_KERNEL_SCRATCH=0``
+# disables pooling (every _scr call falls back to a fresh allocation).
+
+_SCRATCH: dict = {}
+
+
+def _hugepage_empty(n: int, dtype) -> np.ndarray:
+    """Uninitialized array backed by an anonymous mmap advised
+    MADV_HUGEPAGE. On hosts where transparent hugepages are in
+    ``madvise`` mode and 4 KB first-touch faulting is slow (measured
+    here: 12 s vs 0.23 s to touch 320 MB), this cuts the pool's
+    cold-start cost ~50×. Falls back to np.empty when mmap/madvise is
+    unavailable."""
+    import mmap as _mmap
+
+    nbytes = max(int(n) * np.dtype(dtype).itemsize, 1)
+    try:
+        mm = _mmap.mmap(-1, nbytes)
+        mm.madvise(_mmap.MADV_HUGEPAGE)
+    except (AttributeError, OSError, ValueError, OverflowError):
+        return np.empty(n, dtype=dtype)
+    return np.frombuffer(mm, dtype=dtype, count=n)
+
+
+def _scr(name: str, n: int, dtype) -> np.ndarray:
+    """Length-``n`` view of the named per-worker reusable buffer
+    (grow-only; contents UNDEFINED — callers must fully overwrite)."""
+    if os.environ.get("SPARK_GRAFT_KERNEL_SCRATCH", "1").strip().lower() in (
+        "0", "off", "false", "none",
+    ):
+        return np.empty(n, dtype=dtype)
+    key = (name, np.dtype(dtype).str)
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.shape[0] < n:
+        buf = _hugepage_empty(n, dtype)
+        _SCRATCH[key] = buf
+    return buf[:n]
+
+
+def _prefix_pooled(data: np.ndarray):
+    """:func:`_prefix` into pooled buffers — identical mathematical
+    contract, zero fresh large allocations, and no widened copy of the
+    byte stream (``data`` stays uint8; the one place it enters the
+    arithmetic upcasts inside the ufunc inner loop). The returned
+    views alias the ``s``/``bpow`` pool entries; callers must not
+    interleave with another pooled prefix computation."""
+    n = len(data)
+    bpow = _scr("bpow", n + 1, np.uint64)
+    binv = _scr("binv", n + 1, np.uint64)
+    s = _scr("s", n + 1, np.uint64)
+    with np.errstate(over="ignore"):
+        bpow[0] = 1
+        s[0] = 0
+        if n:
+            bpow[1:].fill(POLY_BASE)
+            np.cumprod(bpow[1:], out=bpow[1:])
+            binv[0] = 1
+            binv[1:].fill(POLY_BASE_INV)
+            np.cumprod(binv[1:], out=binv[1:])
+            np.multiply(binv[1:], data, out=binv[1:])
+            np.cumsum(binv[1:], out=s[1:])
+    return s, bpow
+
+
+def _gram_hashes_pooled(s: np.ndarray, bpow: np.ndarray, n: int, k: int):
+    """hash(bytes[i:i+k)) for every position i in [0, n-k] — the
+    all-positions form of :func:`_slice_hashes` computed from contiguous
+    VIEWS (no 8-byte-per-gram index arrays) into the pooled ``g``."""
+    ng = n - k + 1
+    g = _scr("g", ng, np.uint64)
+    with np.errstate(over="ignore"):
+        np.subtract(s[k:], s[:ng], out=g)
+        np.multiply(g, bpow[k:], out=g)
+    return g
+
+
+def _sliding_min_pooled(g: np.ndarray, w: int) -> np.ndarray:
+    """min(g[i:i+w]) for each valid i, via O(log w) pairwise-minimum
+    doubling passes (sparse-table style) into two ping-pong pooled
+    buffers — measured ~8× the (n, w) strided ``min(axis=1)`` reduce at
+    w=8 on 20M grams, with no fresh allocation."""
+    out_len = len(g) - w + 1
+    if out_len <= 0:
+        return g[:0]
+    if w == 1:
+        return g
+    cur, span, which = g, 1, 0
+    while span * 2 <= w:
+        m = len(cur) - span
+        buf = _scr(f"wmin{which}", m, np.uint64)
+        np.minimum(cur[:m], cur[span:span + m], out=buf)
+        cur, span, which = buf, span * 2, which ^ 1
+    if span < w:
+        rem = w - span
+        buf = _scr(f"wmin{which}", out_len, np.uint64)
+        np.minimum(cur[:out_len], cur[rem:rem + out_len], out=buf)
+        cur = buf
+    return cur[:out_len]
+
+
 def _slice_hashes(s, bpow, starts, ends):
     """Vectorized hash(bytes[a:b)) for aligned start/end arrays."""
     with np.errstate(over="ignore"):
@@ -282,30 +401,57 @@ def _batch_slices(rb, max_bytes: int):
 
 
 def _winnow_batch(ids_arr, txt_arr, k: int, w: int):
-    """(doc_positions, fp_uint64) winnowed fingerprints of one slice."""
+    """(doc_positions, fp_uint64) winnowed fingerprints of one slice.
+
+    All O(bytes) temporaries live in the per-worker scratch pool (see
+    the pool note above) and the per-position work is pure views —
+    fresh allocations are O(selected fingerprints) only. The class-1
+    selection run-length-compresses the window-min stream (keep a
+    position only where the min CHANGES or a doc's valid range starts)
+    before the per-doc distinct sort: the winnowing density bound
+    (~2/(w+1)) makes the sort input ~4× smaller with an identical
+    distinct set."""
     data, offs = _flat_utf8(txt_arr)
-    x = data.astype(np.uint64)
-    s, bpow = _prefix(x)
+    n = len(data)
     starts, ends = offs[:-1], offs[1:]
     lens = ends - starts
-    n = len(x)
 
     out_docs, out_fps = [], []
+    s, bpow = _prefix_pooled(data)
 
     # Class 1: full-window docs (ng >= w, i.e. len >= k + w - 1):
-    # global gram hashes + global sliding min, valid indices selected
-    # per doc (windows crossing a doc boundary are never selected).
+    # global gram hashes + global sliding min over views, then an
+    # RLE-compressed per-doc selection (windows crossing a doc
+    # boundary are never inside a valid range).
     full = np.flatnonzero(lens >= k + w - 1)
     if len(full) and n >= k:
-        g = _slice_hashes(s, bpow, np.arange(n - k + 1), np.arange(k, n + 1))
+        g = _gram_hashes_pooled(s, bpow, n, k)
         if len(g) >= w:
-            from numpy.lib.stride_tricks import sliding_window_view
-
-            mins = sliding_window_view(g, w).min(axis=1)
+            mins = _sliding_min_pooled(g, w)
+            m = len(mins)
             cnt = (lens[full] - (k + w - 1) + 1).astype(np.int64)
-            idx = _ranges(starts[full].astype(np.int64), cnt)
-            out_docs.append(np.repeat(full, cnt))
-            out_fps.append(mins[idx])
+            vs = starts[full].astype(np.int64)
+            ve = vs + cnt
+            # valid[i] = i inside some doc's window-start range, via
+            # +1/-1 boundary marks and a cumsum (ranges are disjoint)
+            mark = _scr("mark", m + 1, np.int64)
+            mark[:].fill(0)
+            mark[vs] += 1
+            mark[ve] -= 1
+            np.cumsum(mark[:m], out=mark[:m])
+            valid = _scr("validb", m, bool)
+            np.greater(mark[:m], 0, out=valid)
+            change = _scr("changeb", m, bool)
+            change[0] = True
+            np.not_equal(mins[1:], mins[:-1], out=change[1:])
+            change[vs] = True
+            np.logical_and(valid, change, out=valid)
+            pos = np.flatnonzero(valid)
+            if len(pos):
+                out_fps.append(mins[pos])
+                out_docs.append(
+                    np.searchsorted(ends, pos, side="right").astype(np.int64)
+                )
 
     # Class 2: at least one gram but a short window (k <= len < k+w-1):
     # a single fingerprint — the min over all ng grams.
@@ -343,6 +489,7 @@ def winnow_fingerprints_poly(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """Winnowed ``(id_col, fp)`` fingerprints via the batched poly64
     rolling hash — drop-in for
@@ -354,6 +501,10 @@ def winnow_fingerprints_poly(
     single gram below ``k`` bytes, per-doc distinct), same
     zero-shuffle plan shape; the per-gram hashing moves from an
     interpreted Catalyst lambda to one numpy pass per Arrow slice.
+    ``rescue_starved=False`` opts out of the low-partition-count
+    rescue for callers that deliberately feed few large batches
+    (e.g. the big-document gate queries, which must exercise
+    :func:`_batch_slices` on a >16 MB batch).
     """
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints_poly: k and w must be >= 1")
@@ -384,7 +535,9 @@ def winnow_fingerprints_poly(
                     names=[id_col, "fp"],
                 )
 
-    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
+    if rescue_starved:
+        base = _with_kernel_parallelism(base)
+    return base.mapInArrow(fn, schema=out_schema)
 
 
 def _token_bounds(txt_arr):
@@ -394,8 +547,7 @@ def _token_bounds(txt_arr):
     shared substrate of the word-gram and bigram kernels), or ``None``
     when the slice holds no tokens at all."""
     data, offs = _flat_utf8(txt_arr)
-    x = data.astype(np.uint64)
-    s, bpow = _prefix(x)
+    s, bpow = _prefix_pooled(data)
     starts, ends = offs[:-1].astype(np.int64), offs[1:].astype(np.int64)
     n_docs = len(starts)
 
@@ -536,43 +688,68 @@ def _minhash_batch(txt_arr, k: int, num_hashes: int, bands: int):
     acc = acc·B + min`` (mod 2^64) — replayable in DuckDB as one
     list_reduce. Docs shorter than ``k`` contribute their whole text
     as the single shingle (empty text hashes to 0), so identical short
-    docs still collapse."""
+    docs still collapse.
+
+    The per-(doc, slot) minima come from ONE ``np.minimum.at`` scatter
+    into a (docs+1)×num_hashes table keyed by a pooled per-position
+    (doc+1)·nh+slot array — no O(shingles) index gather, no O(shingles)
+    lexsort, no fresh large allocation (positions outside any doc's
+    valid shingle range carry doc-key 0, the discarded dump zone)."""
     r = num_hashes // bands
     data, offs = _flat_utf8(txt_arr)
-    x = data.astype(np.uint64)
-    s, bpow = _prefix(x)
+    n = len(data)
     starts, ends = offs[:-1].astype(np.int64), offs[1:].astype(np.int64)
     lens = ends - starts
+    n_docs = len(starts)
+    if n_docs == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.uint64)
+
+    nh = np.uint64(num_hashes)
+    u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
+    sl_min = np.full((n_docs + 1) * num_hashes, u64max, dtype=np.uint64)
+    counts = np.zeros((n_docs + 1) * num_hashes, dtype=np.int64)
+
+    s, bpow = _prefix_pooled(data)
 
     big = np.flatnonzero(lens >= k)
     tiny = np.flatnonzero(lens < k)
-    parts_doc, parts_h = [], []
-    if len(big):
-        cnt = (lens[big] - k + 1).astype(np.int64)
-        idx = _ranges(starts[big], cnt)
-        parts_doc.append(np.repeat(big, cnt))
-        parts_h.append(_slice_hashes(s, bpow, idx, idx + k))
-    if len(tiny):
-        parts_doc.append(tiny)
-        parts_h.append(_slice_hashes(s, bpow, starts[tiny], ends[tiny]))
-    if not parts_doc:
+    with np.errstate(over="ignore"):
+        if len(big) and n >= k:
+            ng = n - k + 1
+            g = _gram_hashes_pooled(s, bpow, n, k)
+            # per-position doc key (doc+1 inside a doc's shingle range,
+            # 0 outside) via boundary marks + wrapping cumsum
+            dmap = _scr("dmap", ng + 1, np.uint64)
+            dmap[:].fill(0)
+            vs = starts[big]
+            ve = vs + (lens[big] - k + 1)
+            dmap[vs] += (big + 1).astype(np.uint64)
+            dmap[ve] -= (big + 1).astype(np.uint64)
+            np.cumsum(dmap[:ng], out=dmap[:ng])
+            key = _scr("key", ng, np.uint64)
+            np.remainder(g, nh, out=key)
+            np.multiply(dmap[:ng], nh, out=dmap[:ng])
+            np.add(key, dmap[:ng], out=key)
+            ki = key.view(np.int64)
+            np.minimum.at(sl_min, ki, g)
+            counts += np.bincount(ki, minlength=len(counts))
+        if len(tiny):
+            th = _slice_hashes(s, bpow, starts[tiny], ends[tiny])
+            tk = ((tiny + 1) * num_hashes).astype(np.uint64) + th % nh
+            tki = tk.view(np.int64)
+            np.minimum.at(sl_min, tki, th)
+            counts += np.bincount(tki, minlength=len(counts))
+
+    # compact (doc, slot, min) rows, doc-major slot-ascending by
+    # construction; the dump zone (keys < num_hashes) is discarded
+    idxp = np.flatnonzero(counts[num_hashes:] > 0) + num_hashes
+    if len(idxp) == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e.astype(np.uint64)
-    doc_idx = np.concatenate(parts_doc)
-    gh = np.concatenate(parts_h)
-
-    # per-(doc, slot) unsigned min: sort by (key asc, hash asc), keep
-    # the first row of each key group
-    slot = (gh % np.uint64(num_hashes)).astype(np.int64)
-    key = doc_idx * num_hashes + slot
-    order = np.lexsort((gh, key))
-    ks, hs = key[order], gh[order]
-    first = np.empty(len(ks), dtype=bool)
-    first[0] = True
-    first[1:] = ks[1:] != ks[:-1]
-    ks, hs = ks[first], hs[first]
-    d2 = ks // num_hashes
-    sl = ks % num_hashes
+    hs = sl_min[idxp]
+    d2 = idxp // num_hashes - 1
+    sl = idxp % num_hashes
     band = sl // r
 
     # segmented fold per (doc, band) — groups are consecutive (the key
@@ -602,6 +779,7 @@ def lsh_band_buckets_poly(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """One-permutation MinHash band buckets, Arrow-batched: the scale
     rewrite of operators/dedup.lsh_band_buckets.
@@ -646,7 +824,9 @@ def lsh_band_buckets_poly(
                     names=[id_col, "__bucket"],
                 )
 
-    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
+    if rescue_starved:
+        base = _with_kernel_parallelism(base)
+    return base.mapInArrow(fn, schema=out_schema)
 
 
 def _bigram_counts_batch(txt_arr):

@@ -63,6 +63,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "poly64",
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """Distinct winnowed fingerprints: one ``(id_col, fp)`` row per
     selected gram hash.
@@ -84,7 +85,9 @@ def winnow_fingerprints(
     if hash_fn == "poly64":
         from meds_transforms_spark.operators.grams import winnow_fingerprints_poly
 
-        return winnow_fingerprints_poly(df, k, w, text_col, id_col)
+        return winnow_fingerprints_poly(
+            df, k, w, text_col, id_col, rescue_starved=rescue_starved
+        )
     # dedup-family normalization (ONE shared definition — fingerprints
     # must stay hash-compatible with the dedup/oracle mirrors)
     txt = _normalized(F.col(text_col))
