@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "docs_exact_dedup",
     "docs_decontaminate",
     "docs_minhash_dedup",
+    # round-9: the sliced big-document kernel path (>16 MB Arrow
+    # batches through _batch_slices) — tracked per-round so the
+    # page-fault fix cannot silently regress
+    "docs_bigdoc_minhash",
     "docs_substring_dedup",
     "docs_domain_mix",
     "docs_unigram_logprob",

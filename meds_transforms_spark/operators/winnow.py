@@ -43,16 +43,32 @@ from meds_transforms_spark.operators.dedup import _h64, _normalized
 def _apply_max_df(fps: DataFrame, max_df: int | None) -> DataFrame:
     """Drop fingerprints present in more than ``max_df`` documents —
     the boilerplate guard shared by overlap and containment (one copy
-    so the df-count semantics cannot drift between the two paths)."""
+    so the df-count semantics cannot drift between the two paths).
+
+    WINDOW form, not groupBy + join-back (round-9 restructure): the
+    count-over-fp window needs exactly ONE exchange of the (id, fp)
+    stream, leaves the output hash-partitioned AND sorted by ``fp`` —
+    which is precisely the layout the downstream fp equi-self-join
+    needs, so the join planner adds NO further exchange or sort, and
+    the two join branches collapse into a ReusedExchange of the same
+    kernel pass. The old shape (count agg + semi-join-back, plus a
+    localCheckpoint pinning the raw fingerprint stream so the kernel
+    wouldn't run 4×) cost three extra exchanges of the full stream and
+    — the round-8 5M-doc killer — hundreds of millions of checkpoint
+    block rows squatting in block-manager memory while the partial agg
+    asked for its first page (UNABLE_TO_ACQUIRE_MEMORY at stage 5 of
+    the cross-executor run). Window count groups spill via
+    ExternalAppendOnlyUnsafeRowArray, so a boilerplate fp with a huge
+    df is disk-bounded, not heap-bounded."""
     if max_df is None:
         return fps
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window as W
+
+    return (
+        fps.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("fp")))
         .filter(F.col("__df") <= int(max_df))
-        .select("fp")
+        .drop("__df")
     )
-    return fps.join(keep, "fp")
 
 
 @register_stage("winnow_fingerprints")
@@ -183,15 +199,19 @@ def winnow_overlap(
     in-plan ``raise_error`` guard (two comparisons per row), since a
     silently wrapped shift would MERGE DIFFERENT PAIRS.
     """
-    # Pin the fingerprint frame: the max_df aggregation plus BOTH pair
-    # sides consume it, and the subtrees don't canonicalize into one
-    # ReusedExchange — unpinned, the O(n·w) gram-hash HOF pipeline ran
-    # 4× per job. localCheckpoint (not persist): blocks are GC-released
-    # with the frame instead of pinning session-lifetime cache entries.
-    fps = winnow_fingerprints(df, k, w, text_col, id_col, hash_fn).localCheckpoint(
-        eager=False
+    # No checkpoint (round-9): with the window-form max_df guard the
+    # whole pre-pair pipeline is kernel → ONE fp exchange → sort →
+    # window-count filter, and both pair-join branches are identical
+    # subtrees over that exchange, so Spark plans a ReusedExchange —
+    # the fingerprint kernel runs once per job with nothing pinned in
+    # block-manager memory (the round-7 4×-recompute problem was a
+    # property of the old agg + join-back shape; asserted by
+    # tests/test_winnow.test_overlap_plan_reuses_one_exchange). With
+    # max_df=None the SMJ itself adds one exchange per branch and
+    # those two, being identical, also collapse into a reuse.
+    fps = _apply_max_df(
+        winnow_fingerprints(df, k, w, text_col, id_col, hash_fn), max_df
     )
-    fps = _apply_max_df(fps, max_df)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     joined = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
@@ -295,9 +315,11 @@ def winnow_contains(
     p_id = probe_id_col or id_col
     fps_c = winnow_fingerprints(corpus_df, k, w, text_col, id_col, hash_fn)
     if max_df is not None:
-        # two consumers (the df-count agg and the probe join) — pin so
-        # the corpus fingerprinting runs once; GC-released checkpoint
-        fps_c = _apply_max_df(fps_c.localCheckpoint(eager=False), max_df)
+        # window-form guard: ONE exchange of the corpus fp stream (the
+        # old agg + join-back shape shuffled it twice and pinned a
+        # checkpoint); with max_df=None the corpus still never
+        # shuffles at all under the broadcast probe join.
+        fps_c = _apply_max_df(fps_c, max_df)
     fps_p = winnow_fingerprints(probe_df, k, w, p_text, p_id, hash_fn).select(
         F.col(p_id).alias("probe_id"), "fp"
     )

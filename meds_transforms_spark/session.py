@@ -69,6 +69,16 @@ def get_spark(
         # nanos) instead of erroring; sources.testdata converts to µs
         # TimestampType at the boundary.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spill-merge must not itself OOM: UnsafeExternalSorter opens
+        # one reader PER SPILL FILE when merging, and read-ahead gives
+        # each reader 2 UNMANAGED heap buffers. A memory-starved stage
+        # (16 concurrent tasks → 8 MB sorter pages → hundreds of spill
+        # files each) then dies in java.lang.OutOfMemoryError while
+        # OPENING its spill readers — the round-9 5M-doc winnow failure
+        # signature on 16 GB cross-executor runs. Off, spill readers
+        # use plain small streams: bounded memory at a modest
+        # sequential-read cost exactly when survival beats throughput.
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
         .config("spark.ui.enabled", "false")
         # local[N] runs driver+executors in ONE JVM; N concurrent task
         # threads need headroom or full-GC pauses dominate tail latency.

@@ -359,6 +359,12 @@ def cmd_xb1(rep: int, runs: int):
             "spark.ui.showConsoleProgress": "false",
             "spark.executorEnv.PYTHONPATH": REPO,
             "spark.driver.memory": "8g",
+            # ROUND-9 CORRECTION: local-cluster[n,cores,MEM]'s third arg
+            # is the WORKER's advertised capacity, not the executor
+            # heap — spark.executor.memory (default 1g!) sizes the JVM.
+            # Every pre-round-9 "16 GB executor" run in SCALING.md in
+            # fact ran -Xmx1024M executors; set the heap explicitly.
+            "spark.executor.memory": os.environ.get("XB_EXECUTOR_MEM", "16g"),
         },
     )
     docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))

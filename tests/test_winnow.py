@@ -263,3 +263,23 @@ def test_winnow_overlap_packed_int32_ids(spark):
     packed = {(r.id_a, r.id_b, r.n_shared) for r in p_df.collect()}
     unpacked = {(r.id_a, r.id_b, r.n_shared) for r in u_df.collect()}
     assert packed == unpacked and packed
+
+
+def test_overlap_plan_reuses_one_exchange(spark):
+    """Round-9 restructure: the window-form max_df guard leaves the
+    fingerprint stream hash-partitioned AND sorted by fp, so the pair
+    self-join's two branches collapse into ONE exchange of ONE kernel
+    pass (ReusedExchange) — no localCheckpoint pinning the raw stream.
+    Guards the 5M-doc memory fix (SCALING.md round-9)."""
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = winnow_overlap(docs, k=10, w=8, min_shared=2, max_df=100,
+                         hash_fn="poly64")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints Final AND Initial sections — judge the
+    # final (executed) one only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInArrow") == 1, final
+    assert "ReusedExchange" in final, final
