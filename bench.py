@@ -45,10 +45,13 @@ BENCH_QUERIES = [
     "docs_exact_dedup",
     "docs_decontaminate",
     "docs_minhash_dedup",
-    # round-9: the sliced big-document kernel path (>16 MB Arrow
-    # batches through _batch_slices) — tracked per-round so the
-    # page-fault fix cannot silently regress
-    "docs_bigdoc_minhash",
+    # docs_bigdoc_* (the sliced >16 MB-batch kernel path) is
+    # deliberately NOT in this set: its single task lands on a random
+    # worker of the ~32-process pool each pass, so the interleaved
+    # median measures scratch-pool cold-start roulette (9.7 s) rather
+    # than the ~3 s steady path — a pure-noise regression signal.
+    # It is correctness-gated in the driver prefix and perf-tracked by
+    # `scripts/scale_round9.py bigdoc_spark` (sequential, warmed).
     "docs_substring_dedup",
     "docs_domain_mix",
     "docs_unigram_logprob",
