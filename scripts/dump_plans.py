@@ -59,8 +59,8 @@ REVIEW = {
     "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
     "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
-    "docs_winnow_overlap": "gram hashing + window minima via the Arrow poly64 rolling-hash kernel (grams.winnow_fingerprints_poly: one prefix pass per batch yields every gram hash; sliding-window minima in vectorized numpy; zero shuffle until the (id, long) fingerprints); fp-bucketed pair join, then the pair aggregate runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle",
-    "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles; same max_df guard before pairing",
+    "docs_winnow_overlap": "gram hashing + window minima via the Arrow poly64 rolling-hash kernel (zero shuffle until the (id, long) fingerprints); the round-9 max_df guard is a count-over-fp WINDOW whose output is hash-partitioned AND sorted by fp — the pair self-join adds no exchange or sort and both branches collapse into a ReusedExchange of ONE kernel pass (no checkpoint pinning the stream); the pair aggregate then runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle",
+    "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles with max_df=None, and shuffles exactly ONCE under the round-9 window-form guard (was: twice plus a checkpoint)",
     "docs_bigram_ppl": "per-doc bigram counts from the Arrow poly64 kernel (token-hash pairs, one numpy pass per batch — keys never leave the model plane so scores are identical to the string-keyed form); the per-doc aggregate is PINNED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — the kernel runs once, everything else re-aggregates",
     "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
     "docs_shuffle_shards": "seeded-hash rank via two-phase prefix (range exchange + local row_number + broadcast offsets); round-robin deal makes shard sizes exact — no SinglePartition window, no rand(), pure function of (data, seed)",
@@ -68,6 +68,8 @@ REVIEW = {
     "docs_corpus_diff": "both snapshots pre-project to (id, group, 64-bit fingerprint, length) ~40-byte rows before the single full-outer id join — text never shuffles; classification + char mass fold into one small-key aggregate, output is |groups| rows",
     "emb_semantic_dedup_arrow": "cell assignment is ONE BLAS matmul per Arrow batch against the closure-shipped centroid matrix (mapInArrow, zero shuffle) — the scale path once n_cells ∝ N makes the per-pair HOF dot quadratic; downstream within-cell collapse identical to the HOF query",
     "events_anomaly_bucketed": "the trailing window partitions on (event_type, day-bucket) with boundary rows duplicated one bucket forward as frame context — parallelism ∝ keys × buckets instead of the 5-value key cap; frames (and rows) bit-identical to events_anomaly",
+    "docs_bigdoc_winnow": "the >16 MB-batch kernel gate: ~40 MB of repeated documents in ONE partition (rescue_starved=False pins the deliberate single batch) force _batch_slices into 2-3 slices at the default bound; per-doc fingerprint-set summary (count/min/max/xor) aggregates a few hundred rows — the heavy lifting is all inside the scratch-pooled numpy kernel, the plan itself is scan → project(repeat) → coalesce(1) → MapInArrow → tiny agg",
+    "docs_bigdoc_minhash": "same single >16 MB sliced batch through lsh_band_buckets_poly; only (id, bucket) rows leave the kernel, then the standard window rep-election — the plan's one exchange carries ~56 rows",
     "meds_agg_quantiles_approx": "one hash-agg pass of mergeable GK sketches (percentile_approx) — map-side partial sketches, O(accuracy) per group, no per-group sort or cumulative window; plus the round-7 certificate: one conditional-sum pass ranks each sketch result against its group, the oracle replays exact nearest-ranks and a constant-TRUE within_tol",
 }
 
