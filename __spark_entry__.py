@@ -1776,7 +1776,7 @@ def q_emb_cosine_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
-def _bigdocs(spark, sf_dir, rep: int = 20000):
+def _bigdocs(spark, sf_dir, rep: int = 20000, min_tokens: int | None = None):
     """Web-scale-document fixture derived DETERMINISTICALLY from the
     driver corpus: ~7 documents of ~5 MB each (≈35-50 MB total text),
     built by repeating each selected document's text ``rep`` times with
@@ -1797,18 +1797,22 @@ def _bigdocs(spark, sf_dir, rep: int = 20000):
 
     Selection is on the NORMALIZED length (≥ 20 chars) so the oracle's
     period-prefix construction (substr of the normalized text) is
-    always well-defined on both engines."""
+    always well-defined on both engines. ``min_tokens`` additionally
+    requires that many whitespace tokens in the normalized base doc —
+    the word-gram/bigram gates need a full token lookahead from ONE
+    extra period copy."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    norm_len = F.length(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    )
-    picked = docs.filter(
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    cond = (
         (F.col("doc_id") % 83 == 0)
         & (F.col("doc_id") < 600)
         & F.col("text").isNotNull()
-        & (norm_len >= 20)
+        & (F.length(norm) >= 20)
     )
-    return picked.select(
+    if min_tokens is not None:
+        toks = F.filter(F.split(norm, " "), lambda t: t != "")
+        cond = cond & (F.size(toks) >= int(min_tokens))
+    return docs.filter(cond).select(
         "doc_id", F.expr(f"repeat(concat(text, ' '), {rep})").alias("text")
     ).coalesce(1)
 
@@ -1851,6 +1855,49 @@ def q_docs_bigdoc_minhash(spark, sf_dir):
         hash_fn="poly64", rescue_starved=False,
     )
     return out.select("doc_id")
+
+
+def q_docs_bigdoc_wordgrams(spark, sf_dir):
+    """Distinct word-13-gram hashes of ~5 MB documents through the
+    sliced word-gram kernel (operators/grams.word_ngram_hashes_poly,
+    rescue_starved=False — the decontaminate/jaccard gram substrate,
+    previously the one sliced kernel family with no >16 MB gate). The
+    token stream of a periodic doc is periodic with period T = tokens
+    per copy, so the distinct gram set is the windows at token
+    positions 1..T — the oracle replays them from one period plus a
+    12-token lookahead. min_tokens=13 keeps every base doc on the
+    full-window branch."""
+    from meds_transforms_spark.operators.grams import word_ngram_hashes_poly
+
+    big = _bigdocs(spark, sf_dir, min_tokens=13)
+    gh = word_ngram_hashes_poly(big, n=13, rescue_starved=False)
+    return gh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.min("__gh").alias("min_gh"),
+        F.max("__gh").alias("max_gh"),
+        F.expr("bit_xor(__gh)").alias("xor_gh"),
+    )
+
+
+def q_docs_bigdoc_bigrams(spark, sf_dir):
+    """Per-doc bigram-hash counts of ~5 MB documents through the
+    sliced bigram kernel (operators/grams.bigram_hash_counts_poly,
+    rescue_starved=False) — WITH multiplicities, which periodicity
+    makes exactly computable: the pair at token position i (of T per
+    period, wrap pair included) occurs rep times except the wrap pair
+    (rep−1). The oracle folds one period + 1 token and weights each
+    position accordingly; total_pairs must equal rep·T − 1."""
+    from meds_transforms_spark.operators.grams import bigram_hash_counts_poly
+
+    big = _bigdocs(spark, sf_dir, min_tokens=13)
+    bg = bigram_hash_counts_poly(big, rescue_starved=False)
+    return bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__n_local").alias("total_pairs"),
+        F.min("w1").alias("min_w1"),
+        F.max("w2").alias("max_w2"),
+        F.expr("bit_xor(w1 ^ w2)").alias("xor_pair"),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -1898,9 +1945,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
         "docs_exact_dedup": q_docs_exact_dedup,
-        # --- slots 17-18: round-9-new bigdoc kernel gate ---
+        # --- slots 17-20: round-9-new bigdoc kernel gates (all four
+        # --- sliced kernel families: winnow, minhash, word-gram,
+        # --- bigram) ---
         "docs_bigdoc_winnow": q_docs_bigdoc_winnow,
         "docs_bigdoc_minhash": q_docs_bigdoc_minhash,
+        "docs_bigdoc_wordgrams": q_docs_bigdoc_wordgrams,
+        "docs_bigdoc_bigrams": q_docs_bigdoc_bigrams,
         # --- slots 19-21: r08-green, code changed this round ---
         "docs_decontaminate_ids": q_docs_decontaminate_ids,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -2086,6 +2137,87 @@ _BIGDOC_PER_SQL = r"""per AS (
 # prefix. (Both need p ≤ valid-window-count, true for R ≥ 2.) The
 # oracles below therefore replay ~300 chars per doc while the Spark
 # kernel really ingests the full ~40 MB through _batch_slices.
+
+
+_BIGDOC_PER13_SQL = r"""per AS (
+              SELECT doc_id, v, w, len(w) AS t FROM (
+                SELECT doc_id, v,
+                       list_filter(string_split(v, ' '), x -> x <> '') AS w
+                FROM (
+                  SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS v
+                  FROM documents
+                  WHERE doc_id % 83 = 0 AND doc_id < 600 AND text IS NOT NULL
+                    AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 20
+                )
+              ) WHERE len(w) >= 13
+            )"""
+_POLY_B, _POLY_M = 1099511628211, 1 << 64
+
+
+def _poly_fold_sql(expr: str) -> str:
+    """poly64 fold of a (non-empty) string expression, HUGEINT."""
+    return (
+        f"list_reduce(list_transform(range(1, len({expr}) + 1), "
+        f"j -> CAST(ascii(substr({expr}, CAST(j AS BIGINT), 1)) AS HUGEINT)), "
+        f"(a, x) -> (a * {_POLY_B} + x) % {_POLY_M}::HUGEINT)"
+    )
+
+
+def _signed_sql(expr: str) -> str:
+    return (
+        f"CAST({expr} - CASE WHEN {expr} >= {_POLY_M // 2}::HUGEINT "
+        f"THEN {_POLY_M}::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    )
+
+
+def _bigdoc_wordgrams_oracle_sql(n: int = 13) -> str:
+    """Per-doc distinct word-n-gram-hash summary of the periodic
+    bigdocs — token-level period-prefix shortcut (see _BIGDOC_PER_SQL
+    note; here the period is T tokens and the lookahead n−1 tokens)."""
+    return rf"""
+            WITH {_BIGDOC_PER13_SQL}, ext AS (
+              SELECT doc_id, t, list_concat(w, w[1:{n - 1}]) AS w2 FROM per
+            ), g AS (
+              SELECT doc_id,
+                     array_to_string(w2[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)], ' ') AS gg
+              FROM ext, unnest(range(1, t + 1)) AS u(i)
+            ), fps AS (
+              SELECT DISTINCT doc_id, {_signed_sql(_poly_fold_sql('gg'))} AS gh
+              FROM g
+            )
+            SELECT doc_id, count(*) AS n_grams, min(gh) AS min_gh,
+                   max(gh) AS max_gh, bit_xor(gh) AS xor_gh
+            FROM fps GROUP BY doc_id"""
+
+
+def _bigdoc_bigrams_oracle_sql(rep: int = 20000) -> str:
+    """Per-doc bigram-hash count summary of the periodic bigdocs —
+    multiplicities are exact: position i of the period contributes
+    ``rep`` occurrences, the wrap pair (i = T) one fewer."""
+    return rf"""
+            WITH {_BIGDOC_PER13_SQL}, ext AS (
+              SELECT doc_id, t, list_concat(w, w[1:1]) AS w2 FROM per
+            ), pairs AS (
+              SELECT doc_id, t, CAST(i AS BIGINT) AS i,
+                     w2[CAST(i AS BIGINT)] AS tok1,
+                     w2[CAST(i + 1 AS BIGINT)] AS tok2
+              FROM ext, unnest(range(1, t + 1)) AS u(i)
+            ), ph AS (
+              SELECT doc_id, i, t,
+                     {_signed_sql(_poly_fold_sql('tok1'))} AS w1,
+                     {_signed_sql(_poly_fold_sql('tok2'))} AS w2h
+              FROM pairs
+            ), wc AS (
+              SELECT doc_id, w1, w2h,
+                     CAST(sum(CASE WHEN i = t THEN {rep - 1} ELSE {rep} END) AS BIGINT) AS cnt
+              FROM ph GROUP BY doc_id, w1, w2h
+            )
+            SELECT doc_id, count(*) AS n_pairs,
+                   CAST(sum(cnt) AS BIGINT) AS total_pairs,
+                   min(w1) AS min_w1, max(w2h) AS max_w2,
+                   bit_xor(xor(w1, w2h)) AS xor_pair
+            FROM wc GROUP BY doc_id"""
 
 
 def _bigdoc_winnow_oracle_sql(k: int, w: int) -> str:
@@ -3875,6 +4007,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id FROM documents WHERE text IS NULL
         """,
         "docs_bigdoc_winnow": _bigdoc_winnow_oracle_sql(k=10, w=8),
+        "docs_bigdoc_wordgrams": _bigdoc_wordgrams_oracle_sql(n=13),
+        "docs_bigdoc_bigrams": _bigdoc_bigrams_oracle_sql(rep=20000),
         "docs_bigdoc_minhash": r"""
             WITH """ + _BIGDOC_PER_SQL + r""", src AS (
               -- period prefix: the distinct shingle set of the 5 MB

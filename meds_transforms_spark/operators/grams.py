@@ -867,6 +867,7 @@ def bigram_hash_counts_poly(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """Per-document bigram counts keyed by 64-bit token hashes:
     ``(id_col, w1, w2, __n_local)`` — the batched-numpy twin of
@@ -915,7 +916,9 @@ def bigram_hash_counts_poly(
                     names=[id_col, "w1", "w2", "__n_local"],
                 )
 
-    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
+    if rescue_starved:
+        base = _with_kernel_parallelism(base)
+    return base.mapInArrow(fn, schema=out_schema)
 
 
 def _feature_bucket_counts_batch(txt_arr, n_buckets: int, use_bigrams: bool):
@@ -965,6 +968,7 @@ def word_feature_bucket_counts_poly(
     text_col: str = "text",
     passthrough: tuple[str, ...] = ("doc_id",),
     use_bigrams: bool = True,
+    rescue_starved: bool = True,
 ) -> DataFrame:
     """Per-document hashed-feature bucket counts for DSIR-style
     importance models: ``(*passthrough, __b, __n)`` — the batched twin
@@ -1026,4 +1030,6 @@ def word_feature_bucket_counts_poly(
                     names=[f.name for f in out_schema.fields],
                 )
 
-    return _with_kernel_parallelism(base).mapInArrow(fn, schema=out_schema)
+    if rescue_starved:
+        base = _with_kernel_parallelism(base)
+    return base.mapInArrow(fn, schema=out_schema)

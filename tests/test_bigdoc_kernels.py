@@ -132,3 +132,41 @@ def test_winnow_density_bound(bigdoc_batch):
     changes = int(np.count_nonzero(mins[1:] != mins[:-1])) + 1
     density = changes / max(n_positions, 1)
     assert density < 2.0 * (2.0 / (w + 1))
+
+
+def _wordgram_all(rb, max_bytes):
+    out = set()
+    nsl = 0
+    for sl in G._batch_slices(rb, max_bytes):
+        d, f = G._word_gram_batch(sl.column(1), 13)
+        ids = sl.column(0).to_numpy(zero_copy_only=False)
+        out |= set(zip(ids[d].tolist(), f.tolist()))
+        nsl += 1
+    return out, nsl
+
+
+def _bigram_all(rb, max_bytes):
+    out = set()
+    nsl = 0
+    for sl in G._batch_slices(rb, max_bytes):
+        d, h1, h2, c = G._bigram_counts_batch(sl.column(1))
+        ids = sl.column(0).to_numpy(zero_copy_only=False)
+        out |= set(zip(ids[d].tolist(), h1.tolist(), h2.tolist(), c.tolist()))
+        nsl += 1
+    return out, nsl
+
+
+def test_wordgram_slicing_invariance(bigdoc_batch):
+    sliced, nsl = _wordgram_all(bigdoc_batch, G._MAX_SLICE_BYTES)
+    assert nsl >= 2
+    whole, none = _wordgram_all(bigdoc_batch, 1 << 62)
+    assert none == 1
+    assert sliced == whole and sliced
+
+
+def test_bigram_slicing_invariance(bigdoc_batch):
+    sliced, nsl = _bigram_all(bigdoc_batch, G._MAX_SLICE_BYTES)
+    assert nsl >= 2
+    whole, none = _bigram_all(bigdoc_batch, 1 << 62)
+    assert none == 1
+    assert sliced == whole and sliced
