@@ -1917,15 +1917,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1-16  the 16 r06-latest stragglers (queued since r08 — after
     #         this round every registry entry's latest row is <=2
     #         rounds old);
-    #   17-18 the NEW bigdoc gate queries (>16 MB Arrow batches through
-    #         _batch_slices — new queries must sit in the prefix);
-    #   19-21 r08-green queries whose code changed this round
+    #   17-20 the NEW bigdoc gate queries — all four sliced kernel
+    #         families (>16 MB Arrow batches through _batch_slices;
+    #         new queries must sit in the prefix);
+    #   21-23 r08-green queries whose code changed this round
     #         (decontaminate eval-funnel gating; minhash wrappers grew
     #         rescue_starved and the kernel-parallelism probe was
     #         rewritten);
-    #   22-28 r07-green kernel-path queries (same probe rewrite);
-    #   29-50 r07 cohort, oldest-first fill.
-    # Slots 51+ are the remaining 21 r07 entries, then the r08 cohort.
+    #   24-30 r07-green kernel-path queries (same probe rewrite);
+    #   31-50 r07 cohort, oldest-first fill (the last ~2 of the listed
+    #         fill may land just past the cap — they lead r10 with the
+    #         other 21 r07 leftovers, then the r08 cohort).
     # Run scripts/window_freshness.py for the staleness table.
     return {
         # --- slots 1-16: r06-latest cohort (freshness debt) ---
