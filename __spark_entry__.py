@@ -1900,6 +1900,31 @@ def q_docs_bigdoc_bigrams(spark, sf_dir):
     )
 
 
+def q_docs_bigdoc_dsir_buckets(spark, sf_dir):
+    """Hashed-feature bucket counts of ~5 MB documents through the
+    sliced DSIR feature kernel (the fifth and last sliced kernel
+    family: operators/grams.word_feature_bucket_counts_poly,
+    rescue_starved=False). Features = unigrams + adjacent bigrams WITH
+    multiplicity, bucket = unsigned poly64 mod 8192; periodicity makes
+    every count exact (unigram instances rep×, bigram instances rep×
+    except the wrap pair rep−1; total = 2·rep·T − 1)."""
+    from meds_transforms_spark.operators.grams import (
+        word_feature_bucket_counts_poly,
+    )
+
+    big = _bigdocs(spark, sf_dir, min_tokens=13)
+    fb = word_feature_bucket_counts_poly(
+        big, n_buckets=8192, rescue_starved=False
+    )
+    return fb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum("__n").alias("total_feats"),
+        F.min("__b").alias("min_b"),
+        F.max("__b").alias("max_b"),
+        F.expr("bit_xor(__b ^ __n)").alias("xor_bc"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1917,15 +1942,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1-16  the 16 r06-latest stragglers (queued since r08 — after
     #         this round every registry entry's latest row is <=2
     #         rounds old);
-    #   17-20 the NEW bigdoc gate queries — all four sliced kernel
+    #   17-21 the NEW bigdoc gate queries — all five sliced kernel
     #         families (>16 MB Arrow batches through _batch_slices;
     #         new queries must sit in the prefix);
-    #   21-23 r08-green queries whose code changed this round
+    #   22-24 r08-green queries whose code changed this round
     #         (decontaminate eval-funnel gating; minhash wrappers grew
     #         rescue_starved and the kernel-parallelism probe was
     #         rewritten);
-    #   24-30 r07-green kernel-path queries (same probe rewrite);
-    #   31-50 r07 cohort, oldest-first fill (the last ~2 of the listed
+    #   25-31 r07-green kernel-path queries (same probe rewrite);
+    #   32-50 r07 cohort, oldest-first fill (the last ~3 of the listed
     #         fill may land just past the cap — they lead r10 with the
     #         other 21 r07 leftovers, then the r08 cohort).
     # Run scripts/window_freshness.py for the staleness table.
@@ -1947,13 +1972,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_group_cap": q_docs_group_cap,
         "docs_exact_dedup": q_docs_exact_dedup,
-        # --- slots 17-20: round-9-new bigdoc kernel gates (all four
+        # --- slots 17-21: round-9-new bigdoc kernel gates (all five
         # --- sliced kernel families: winnow, minhash, word-gram,
-        # --- bigram) ---
+        # --- bigram, DSIR feature buckets) ---
         "docs_bigdoc_winnow": q_docs_bigdoc_winnow,
         "docs_bigdoc_minhash": q_docs_bigdoc_minhash,
         "docs_bigdoc_wordgrams": q_docs_bigdoc_wordgrams,
         "docs_bigdoc_bigrams": q_docs_bigdoc_bigrams,
+        "docs_bigdoc_dsir_buckets": q_docs_bigdoc_dsir_buckets,
         # --- slots 19-21: r08-green, code changed this round ---
         "docs_decontaminate_ids": q_docs_decontaminate_ids,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -2220,6 +2246,38 @@ def _bigdoc_bigrams_oracle_sql(rep: int = 20000) -> str:
                    min(w1) AS min_w1, max(w2h) AS max_w2,
                    bit_xor(xor(w1, w2h)) AS xor_pair
             FROM wc GROUP BY doc_id"""
+
+
+def _bigdoc_dsir_buckets_oracle_sql(rep: int = 20000, n_buckets: int = 8192) -> str:
+    """Per-doc hashed-feature bucket-count summary of the periodic
+    bigdocs — unigram + bigram features with exact periodic weights
+    (unigram instance: rep; bigram instance: rep, wrap pair rep−1)."""
+    return rf"""
+            WITH {_BIGDOC_PER13_SQL}, ext AS (
+              SELECT doc_id, t, list_concat(w, w[1:1]) AS w2 FROM per
+            ), feats AS (
+              SELECT doc_id, {_poly_fold_sql('tok')} AS u,
+                     CAST({rep} AS BIGINT) AS wt
+              FROM (SELECT doc_id, unnest(w) AS tok FROM per)
+              UNION ALL
+              SELECT doc_id, {_poly_fold_sql("(tok1 || ' ' || tok2)")} AS u,
+                     CAST(CASE WHEN i = t THEN {rep - 1} ELSE {rep} END AS BIGINT) AS wt
+              FROM (
+                SELECT doc_id, t, CAST(i AS BIGINT) AS i,
+                       w2[CAST(i AS BIGINT)] AS tok1,
+                       w2[CAST(i + 1 AS BIGINT)] AS tok2
+                FROM ext, unnest(range(1, t + 1)) AS u(i)
+              )
+            ), bc AS (
+              SELECT doc_id, CAST(u % {n_buckets} AS BIGINT) AS b,
+                     CAST(sum(wt) AS BIGINT) AS cnt
+              FROM feats GROUP BY doc_id, u % {n_buckets}
+            )
+            SELECT doc_id, count(*) AS n_buckets_hit,
+                   CAST(sum(cnt) AS BIGINT) AS total_feats,
+                   min(b) AS min_b, max(b) AS max_b,
+                   bit_xor(xor(b, cnt)) AS xor_bc
+            FROM bc GROUP BY doc_id"""
 
 
 def _bigdoc_winnow_oracle_sql(k: int, w: int) -> str:
@@ -4011,6 +4069,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigdoc_winnow": _bigdoc_winnow_oracle_sql(k=10, w=8),
         "docs_bigdoc_wordgrams": _bigdoc_wordgrams_oracle_sql(n=13),
         "docs_bigdoc_bigrams": _bigdoc_bigrams_oracle_sql(rep=20000),
+        "docs_bigdoc_dsir_buckets": _bigdoc_dsir_buckets_oracle_sql(
+            rep=20000, n_buckets=8192
+        ),
         "docs_bigdoc_minhash": r"""
             WITH """ + _BIGDOC_PER_SQL + r""", src AS (
               -- period prefix: the distinct shingle set of the 5 MB

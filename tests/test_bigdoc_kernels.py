@@ -170,3 +170,22 @@ def test_bigram_slicing_invariance(bigdoc_batch):
     whole, none = _bigram_all(bigdoc_batch, 1 << 62)
     assert none == 1
     assert sliced == whole and sliced
+
+
+def _featbucket_all(rb, max_bytes):
+    out = set()
+    nsl = 0
+    for sl in G._batch_slices(rb, max_bytes):
+        d, b, c = G._feature_bucket_counts_batch(sl.column(1), 8192, True)
+        ids = sl.column(0).to_numpy(zero_copy_only=False)
+        out |= set(zip(ids[d].tolist(), b.tolist(), c.tolist()))
+        nsl += 1
+    return out, nsl
+
+
+def test_feature_bucket_slicing_invariance(bigdoc_batch):
+    sliced, nsl = _featbucket_all(bigdoc_batch, G._MAX_SLICE_BYTES)
+    assert nsl >= 2
+    whole, none = _featbucket_all(bigdoc_batch, 1 << 62)
+    assert none == 1
+    assert sliced == whole and sliced
