@@ -1938,106 +1938,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks
     # a capped prefix (~50) of this dict, so each round the prefix
     # ROTATES to the queries whose latest driver row is oldest or whose
-    # code changed since. Round-9 window (slots 1-50):
-    #   1-16  the 16 r06-latest stragglers (queued since r08 — after
-    #         this round every registry entry's latest row is <=2
-    #         rounds old);
-    #   17-21 the NEW bigdoc gate queries — all five sliced kernel
-    #         families (>16 MB Arrow batches through _batch_slices;
-    #         new queries must sit in the prefix);
-    #   22-24 r08-green queries whose code changed this round
-    #         (decontaminate eval-funnel gating; minhash wrappers grew
-    #         rescue_starved and the kernel-parallelism probe was
-    #         rewritten);
-    #   25-31 r07-green kernel-path queries (same probe rewrite);
-    #   32-50 r07 cohort, oldest-first fill (the last ~3 of the listed
-    #         fill may land just past the cap — they lead r10 with the
-    #         other 21 r07 leftovers, then the r08 cohort).
+    # code changed since. Round-10 window (slots 1-50):
+    #   1-24  the 24 r07-latest stragglers (queued since r09 — the
+    #         whole r07 freshness debt retires this round);
+    #   25-27 r09-green queries whose kernel code changed this round
+    #         (_minhash_batch's signature table + occupancy mask moved
+    #         into the scratch pool; occupancy is now a uint8 set-bit,
+    #         not an int64 bincount);
+    #   28-50 r08 cohort, registration order (23 of 47 — the remaining
+    #         24 lead the r11 prefix, followed by the r09 cohort).
+    # With 121 registered queries and a 50-slot window the steady-state
+    # max staleness is ceil(121/50) = 3 rounds; the rotation keeps the
+    # debt concentrated in exactly one trailing cohort.
     # Run scripts/window_freshness.py for the staleness table.
     return {
-        # --- slots 1-16: r06-latest cohort (freshness debt) ---
-        "docs_pmi": q_docs_pmi,
-        "events_hourly": q_events_hourly,
-        "events_asof": q_events_asof,
-        "events_interval_join": q_events_interval_join,
-        "events_pivot": q_events_pivot,
-        "events_grouping_sets": q_events_grouping_sets,
-        "events_rows_window": q_events_rows_window,
-        "events_sliding_windows": q_events_sliding_windows,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_repetition": q_docs_repetition,
-        "docs_boilerplate": q_docs_boilerplate,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_group_cap": q_docs_group_cap,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        # --- slots 17-21: round-9-new bigdoc kernel gates (all five
-        # --- sliced kernel families: winnow, minhash, word-gram,
-        # --- bigram, DSIR feature buckets) ---
-        "docs_bigdoc_winnow": q_docs_bigdoc_winnow,
-        "docs_bigdoc_minhash": q_docs_bigdoc_minhash,
-        "docs_bigdoc_wordgrams": q_docs_bigdoc_wordgrams,
-        "docs_bigdoc_bigrams": q_docs_bigdoc_bigrams,
-        "docs_bigdoc_dsir_buckets": q_docs_bigdoc_dsir_buckets,
-        # --- slots 19-21: r08-green, code changed this round ---
-        "docs_decontaminate_ids": q_docs_decontaminate_ids,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_minhash_transitive": q_docs_minhash_transitive,
-        # --- slots 22-28: r07-green kernel-path queries ---
-        "docs_winnow_overlap": q_docs_winnow_overlap,
-        "docs_winnow_contains": q_docs_winnow_contains,
-        "docs_ccnet_e2e": q_docs_ccnet_e2e,
-        "docs_decontaminate": q_docs_decontaminate,
-        "docs_curation_e2e": q_docs_curation_e2e,
-        "docs_bigram_ppl": q_docs_bigram_ppl,
-        "docs_ccnet_buckets": q_docs_ccnet_buckets,
-        # --- slots 29-50: r07 cohort, oldest-first fill ---
-        "docs_lang_id": q_docs_lang_id,
-        "docs_top_tokens": q_docs_top_tokens,
-        "docs_jaccard_pairs": q_docs_jaccard_pairs,
-        "docs_corpus_prep": q_docs_corpus_prep,
-        "emb_topk_cosine": q_emb_topk_cosine,
-        "emb_topk_vectorized": q_emb_topk_vectorized,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_label_stats": q_emb_label_stats,
-        "multimodal_decode": q_multimodal_decode,
-        "supplier_balance": q_supplier_balance,
-        "tpch_exists": q_tpch_exists,
-        "tpch_parts_by_brand": q_tpch_parts_by_brand,
-        "docs_chunk": q_docs_chunk,
-        "docs_corpus_report": q_docs_corpus_report,
-        "docs_domain_stats": q_docs_domain_stats,
-        "docs_incremental_dedup": q_docs_incremental_dedup,
-        "docs_quality_classifier": q_docs_quality_classifier,
-        "events_keep_latest": q_events_keep_latest,
-        "events_transitions": q_events_transitions,
-        "events_zorder": q_events_zorder,
-        "meds_filter_subjects": q_meds_filter_subjects,
-        "meds_pipeline_e2e": q_meds_pipeline_e2e,
-        # --- slots 51+: remaining r07 cohort ---
-        "meds_normalization": q_meds_normalization,
-        "meds_fit_vocab": q_meds_fit_vocab,
-        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
+        # --- slots 1-24: r07-latest cohort (freshness debt) ---
+        "docs_assign_ids": q_docs_assign_ids,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_corpus_diff": q_docs_corpus_diff,
+        "docs_pack": q_docs_pack,
+        "docs_shuffle_shards": q_docs_shuffle_shards,
+        "docs_validate": q_docs_validate,
+        "emb_cluster_balance": q_emb_cluster_balance,
+        "emb_covariance": q_emb_covariance,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
-        "emb_cluster_balance": q_emb_cluster_balance,
-        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
-        "docs_pack": q_docs_pack,
-        "emb_covariance": q_emb_covariance,
         "events_profile": q_events_profile,
-        "docs_assign_ids": q_docs_assign_ids,
+        "events_zorder": q_events_zorder,
+        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
+        "meds_filter_subjects": q_meds_filter_subjects,
+        "meds_fit_vocab": q_meds_fit_vocab,
+        "meds_normalization": q_meds_normalization,
+        "meds_pipeline_e2e": q_meds_pipeline_e2e,
         "multimodal_frames": q_multimodal_frames,
-        "docs_validate": q_docs_validate,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_shuffle_shards": q_docs_shuffle_shards,
-        "docs_corpus_diff": q_docs_corpus_diff,
         "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
         "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
-        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
         "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
         "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
-        # --- r08 cohort (all green in CORRECTNESS_r08) ---
+        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
+        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
+        # --- slots 25-27: r09-green, minhash kernel code changed this
+        # --- round (scratch-pooled signature table / occupancy mask) ---
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_minhash_transitive": q_docs_minhash_transitive,
+        "docs_bigdoc_minhash": q_docs_bigdoc_minhash,
+        # --- slots 28-50: r08 cohort, first 23 in registration order ---
         "tpch_q9": _tpch_suite.QUERIES["tpch_q9"],
         "tpch_q10": _tpch_suite.QUERIES["tpch_q10"],
         "tpch_q11": _tpch_suite.QUERIES["tpch_q11"],
@@ -2061,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "docs_domain_mix": q_docs_domain_mix,
         "docs_unigram_logprob": q_docs_unigram_logprob,
+        # --- slots 51-74: remaining r08 cohort (leads the r11 prefix) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2085,6 +2031,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_filter": q_docs_gopher_filter,
+        # --- slots 75-121: r09 cohort (fresh; follows the r08 block in
+        # --- the r11/r12 rotation), minus the 3 promoted to 25-27 ---
+        "docs_pmi": q_docs_pmi,
+        "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
+        "events_pivot": q_events_pivot,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_rows_window": q_events_rows_window,
+        "events_sliding_windows": q_events_sliding_windows,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "docs_boilerplate": q_docs_boilerplate,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_group_cap": q_docs_group_cap,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_bigdoc_winnow": q_docs_bigdoc_winnow,
+        "docs_bigdoc_wordgrams": q_docs_bigdoc_wordgrams,
+        "docs_bigdoc_bigrams": q_docs_bigdoc_bigrams,
+        "docs_bigdoc_dsir_buckets": q_docs_bigdoc_dsir_buckets,
+        "docs_decontaminate_ids": q_docs_decontaminate_ids,
+        "docs_winnow_overlap": q_docs_winnow_overlap,
+        "docs_winnow_contains": q_docs_winnow_contains,
+        "docs_ccnet_e2e": q_docs_ccnet_e2e,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_curation_e2e": q_docs_curation_e2e,
+        "docs_bigram_ppl": q_docs_bigram_ppl,
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_top_tokens": q_docs_top_tokens,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_corpus_prep": q_docs_corpus_prep,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_topk_vectorized": q_emb_topk_vectorized,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_label_stats": q_emb_label_stats,
+        "multimodal_decode": q_multimodal_decode,
+        "supplier_balance": q_supplier_balance,
+        "tpch_exists": q_tpch_exists,
+        "tpch_parts_by_brand": q_tpch_parts_by_brand,
+        "docs_chunk": q_docs_chunk,
+        "docs_corpus_report": q_docs_corpus_report,
+        "docs_domain_stats": q_docs_domain_stats,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_quality_classifier": q_docs_quality_classifier,
+        "events_keep_latest": q_events_keep_latest,
+        "events_transitions": q_events_transitions,
         # Future-proofing: pick up any suite queries not spelled out
         # above (currently none — all 18 are listed explicitly).
         **{

@@ -52,11 +52,17 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     small_graph_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable.
 
     ``edges`` is an undirected edge list of long ids; isolated nodes can
     be absent (callers union them back, or treat absence as singleton).
+
+    ``stats``: optional caller-supplied dict filled with loop telemetry
+    (``n_edges``, ``escaped_to_union_find``, ``loop_partitions``,
+    ``iterations``, ``converged``) — observability for scale probes;
+    does not affect results.
 
     Graphs at or below ``small_graph_threshold`` edges short-circuit to
     a driver-side union-find: the edge count is already computed for
@@ -82,6 +88,11 @@ def connected_components(
     # 200-partition shuffle of a few thousand edges is pure task
     # overhead; at 10^10 edges this scales the round back up).
     n_edges = e.count()
+    if stats is not None:
+        stats.update(
+            n_edges=n_edges,
+            escaped_to_union_find=n_edges <= int(small_graph_threshold),
+        )
     if n_edges <= int(small_graph_threshold):
         rows = e.collect()
         parent: dict[int, int] = {}
@@ -109,6 +120,8 @@ def connected_components(
         return spark.createDataFrame(out, "id long, component long")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(8, min(int(old_parts), n_edges // 2_000_000 + 1))
+    if stats is not None:
+        stats["loop_partitions"] = loop_parts
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         nodes = (
@@ -183,7 +196,11 @@ def connected_components(
             new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
             propagated.unpersist()
             labels = new_labels
+            if stats is not None:
+                stats["iterations"] = i + 1
             if new_sum == prev_sum:
+                if stats is not None:
+                    stats["converged"] = True
                 break
             prev_sum = new_sum
         # labels is already a self-contained checkpoint leaf — the caller

@@ -98,7 +98,11 @@ def _with_kernel_parallelism(base: DataFrame) -> DataFrame:
     splits. A shuffle-rooted plan with unknown static count (e.g. an
     AQE-coalescible aggregate feeding the kernel) skips the auto
     rescue — set ``SPARK_GRAFT_KERNEL_PARALLELISM=N`` explicitly for
-    those, which repartitions without any probe.
+    those. Explicit ``=N`` honors the same contract as auto: a
+    scan-rooted input is probed (job-free) and left alone when it
+    already has ≥ N splits; only shuffle-rooted inputs — where no
+    job-free count exists and which are the documented use-case for
+    the env — repartition unconditionally.
     """
     if base.isStreaming:
         return base
@@ -112,7 +116,18 @@ def _with_kernel_parallelism(base: DataFrame) -> DataFrame:
             target = 0
         if target > 0:
             n = _static_partition_count(base)
+            if n is None and _is_scan_rooted(base):
+                # Plain scans report UnknownPartitioning; their real
+                # split count is job-free to read (ADVICE r09 medium —
+                # a 200-split scan with =32 set must NOT be coalesced).
+                try:
+                    n = base.rdd.getNumPartitions()
+                except Exception:
+                    n = None
             if n is None or n < target:
+                # Unknown count on a shuffle-rooted plan: =N is the
+                # documented escape hatch for exactly that shape, so
+                # repartition unconditionally there.
                 return base.repartition(target)
             return base
         # unparseable / non-positive explicit value: fall back to auto
@@ -707,8 +722,17 @@ def _minhash_batch(txt_arr, k: int, num_hashes: int, bands: int):
 
     nh = np.uint64(num_hashes)
     u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
-    sl_min = np.full((n_docs + 1) * num_hashes, u64max, dtype=np.uint64)
-    counts = np.zeros((n_docs + 1) * num_hashes, dtype=np.int64)
+    # Pooled (ADVICE r09): _batch_slices bounds bytes, not rows, so a
+    # slice dense with tiny documents makes these O(rows·512B) — fresh
+    # per-pass allocation would reintroduce the mmap churn the pool
+    # exists to kill. Both are fully overwritten here. Occupancy only
+    # needs a set-bit per hit (the old int64 bincount both over-counted
+    # for the need and fresh-allocated its result every pass).
+    tbl = (n_docs + 1) * num_hashes
+    sl_min = _scr("sl_min", tbl, np.uint64)
+    sl_min[:].fill(u64max)
+    occ = _scr("sl_occ", tbl, np.uint8)
+    occ[:].fill(0)
 
     s, bpow = _prefix_pooled(data)
 
@@ -733,17 +757,17 @@ def _minhash_batch(txt_arr, k: int, num_hashes: int, bands: int):
             np.add(key, dmap[:ng], out=key)
             ki = key.view(np.int64)
             np.minimum.at(sl_min, ki, g)
-            counts += np.bincount(ki, minlength=len(counts))
+            occ[ki] = 1
         if len(tiny):
             th = _slice_hashes(s, bpow, starts[tiny], ends[tiny])
             tk = ((tiny + 1) * num_hashes).astype(np.uint64) + th % nh
             tki = tk.view(np.int64)
             np.minimum.at(sl_min, tki, th)
-            counts += np.bincount(tki, minlength=len(counts))
+            occ[tki] = 1
 
     # compact (doc, slot, min) rows, doc-major slot-ascending by
     # construction; the dump zone (keys < num_hashes) is discarded
-    idxp = np.flatnonzero(counts[num_hashes:] > 0) + num_hashes
+    idxp = np.flatnonzero(occ[num_hashes:]) + num_hashes
     if len(idxp) == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e.astype(np.uint64)

@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 from meds_transforms_spark.operators.base import register_stage
-from meds_transforms_spark.operators.dedup import _h64, _normalized
+from meds_transforms_spark.operators.dedup import (
+    POLY64_DEFAULT,
+    _h64,
+    _normalized,
+    _note_default_hash_fn,
+)
 
 
 def _apply_max_df(fps: DataFrame, max_df: int | None) -> DataFrame:
@@ -78,7 +83,7 @@ def winnow_fingerprints(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_fn: str = "poly64",
+    hash_fn: str = POLY64_DEFAULT,
     rescue_starved: bool = True,
 ) -> DataFrame:
     """Distinct winnowed fingerprints: one ``(id_col, fp)`` row per
@@ -98,6 +103,7 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    _note_default_hash_fn(hash_fn)
     if hash_fn == "poly64":
         from meds_transforms_spark.operators.grams import winnow_fingerprints_poly
 
@@ -163,7 +169,7 @@ def winnow_overlap(
     max_df: int | None = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_fn: str = "poly64",
+    hash_fn: str = POLY64_DEFAULT,
     packed_ids: bool | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
@@ -207,8 +213,15 @@ def winnow_overlap(
     # block-manager memory (the round-7 4×-recompute problem was a
     # property of the old agg + join-back shape; asserted by
     # tests/test_winnow.test_overlap_plan_reuses_one_exchange). With
-    # max_df=None the SMJ itself adds one exchange per branch and
-    # those two, being identical, also collapse into a reuse.
+    # max_df=None there is no pre-join exchange; when the fp stream is
+    # large the SMJ adds one identical exchange per branch and those
+    # collapse into a reuse, but a broadcast-SMALL stream lets AQE pick
+    # a BroadcastHashJoin whose build side re-runs the kernel (2×
+    # MapInArrow — measured at sf0.001, pinned by
+    # test_overlap_no_max_df_broadcast_runs_kernel_twice). Accepted:
+    # the double pass only occurs when the stream fits in a broadcast
+    # (≤ ~10 MB), where the kernel pass is cheap by construction; at
+    # scale the SMJ/reuse shape is the one that planners pick.
     fps = _apply_max_df(
         winnow_fingerprints(df, k, w, text_col, id_col, hash_fn), max_df
     )
@@ -292,7 +305,7 @@ def winnow_contains(
     id_col: str = "doc_id",
     probe_text_col: str | None = None,
     probe_id_col: str | None = None,
-    hash_fn: str = "poly64",
+    hash_fn: str = POLY64_DEFAULT,
     broadcast_probe: bool = True,
 ) -> DataFrame:
     """Cross-corpus passage containment: which corpus documents share

@@ -59,7 +59,7 @@ REVIEW = {
     "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
     "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
-    "docs_winnow_overlap": "gram hashing + window minima via the Arrow poly64 rolling-hash kernel (zero shuffle until the (id, long) fingerprints); the round-9 max_df guard is a count-over-fp WINDOW whose output is hash-partitioned AND sorted by fp — the pair self-join adds no exchange or sort and both branches collapse into a ReusedExchange of ONE kernel pass (no checkpoint pinning the stream); the pair aggregate then runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle",
+    "docs_winnow_overlap": "gram hashing + window minima via the Arrow poly64 rolling-hash kernel (zero shuffle until the (id, long) fingerprints); the round-9 max_df guard is a count-over-fp WINDOW whose output is hash-partitioned AND sorted by fp — the pair self-join adds no exchange or sort and both branches collapse into a ReusedExchange of ONE kernel pass (no checkpoint pinning the stream); the pair aggregate then runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle. NOTE the dump below is the INITIAL adaptive plan and still shows the kernel subtree duplicated under both join branches — the FINAL (executed) plan collapses them to ReusedExchange, asserted by tests/test_winnow.py::test_overlap_plan_reuses_one_exchange",
     "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles with max_df=None, and shuffles exactly ONCE under the round-9 window-form guard (was: twice plus a checkpoint)",
     "docs_bigram_ppl": "per-doc bigram counts from the Arrow poly64 kernel (token-hash pairs, one numpy pass per batch — keys never leave the model plane so scores are identical to the string-keyed form); the per-doc aggregate is PINNED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — the kernel runs once, everything else re-aggregates",
     "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
@@ -86,6 +86,14 @@ def main():
         "Regenerate with `python scripts/dump_plans.py`. Each plan is the",
         "`executedPlan` Catalyst settled on; the review line states why this",
         "is the intended 100 TB shape.",
+        "",
+        "Honesty note on adaptive (AQE) shapes: these dumps are taken",
+        "WITHOUT executing the query, so an `AdaptiveSparkPlan isFinalPlan=",
+        "false` tree is the INITIAL plan — runtime effects (exchange-branch",
+        "collapse into ReusedExchange, broadcast demotions, skew splits)",
+        "are not yet applied. Where a query's intended shape depends on",
+        "such a runtime collapse, its review line says so and names the",
+        "test that asserts the final executed form.",
         "",
     ]
     for name, review in REVIEW.items():

@@ -65,20 +65,30 @@ def cmd_bigdoc_passes(runs: int):
             t0 = time.time()
             for sl in G._batch_slices(rb, G._MAX_SLICE_BYTES):
                 G._winnow_batch(sl.column(0), sl.column(1), 10, 8)
-            walls["winnow"].append(round(time.time() - t0, 2))
+            walls["winnow"].append(time.time() - t0)
             t0 = time.time()
             for sl in G._batch_slices(rb, G._MAX_SLICE_BYTES):
                 G._minhash_batch(sl.column(1), 5, 32, 8)
-            walls["minhash"].append(round(time.time() - t0, 2))
+            walls["minhash"].append(time.time() - t0)
         for op, ws in walls.items():
-            print(f"pool={pool} {op:<8} passes: {ws}")
+            print(f"pool={pool} {op:<8} passes: {[round(w, 2) for w in ws]}"
+                  f"  steady {total / 2**20 / statistics.median(ws[1:]):.0f} MB/s")
         if pool == "1" and runs >= 3:
+            # Guard on UNROUNDED walls with a floored reference
+            # (ADVICE r09: a 0.0-rounded fast pass made any nonzero
+            # steady fail 2.5×min), referenced to the median of the
+            # first 3 passes rather than the single fastest (VERDICT
+            # r09 item 3: min-of-all flaps on one lucky pass).
             for op, ws in walls.items():
                 steady = statistics.median(ws[1:])
-                assert steady <= 2.5 * min(ws), (
-                    f"{op}: rising-cost regression — passes {ws}"
+                ref = max(statistics.median(ws[:3]), 0.05)
+                assert steady <= 2.5 * ref, (
+                    f"{op}: rising-cost regression — passes "
+                    f"{[round(w, 3) for w in ws]} (steady {steady:.3f}s "
+                    f"> 2.5 x ref {ref:.3f}s)"
                 )
-            print("pool=1 pass-over-pass guard: OK (steady <= 2.5x min)")
+            print("pool=1 pass-over-pass guard: OK "
+                  "(steady <= 2.5x median-of-first-3)")
     os.environ.pop("SPARK_GRAFT_KERNEL_SCRATCH", None)
 
 
@@ -89,14 +99,18 @@ def cmd_bigdoc_spark(runs: int):
     import __spark_entry__ as entry
 
     spark = get_spark("scale_r9_bigdoc")
+    _, total = _bigdoc_record_batch(SF_DIR)
     for name in ("docs_bigdoc_winnow", "docs_bigdoc_minhash"):
         q = entry.queries()[name]
         walls = []
         for _ in range(runs):
             t0 = time.time()
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            walls.append(round(time.time() - t0, 2))
-        print(f"{name:<22} sf={SF_DIR.rsplit('sf', 1)[-1]} walls: {walls}")
+            walls.append(time.time() - t0)
+        med = statistics.median(walls[1:]) if runs > 1 else walls[0]
+        print(f"{name:<22} sf={SF_DIR.rsplit('sf', 1)[-1]} "
+              f"walls: {[round(w, 2) for w in walls]}  "
+              f"warm-median {med:.2f}s = {total / 2**20 / med:.0f} MB/s")
     spark.stop()
 
 

@@ -98,3 +98,24 @@ def test_components_unionfind_matches_loop(spark):
     loop = {r.id: r.component
             for r in connected_components(edges, small_graph_threshold=0).collect()}
     assert fast == loop and len(fast) > 50
+
+
+def test_components_stats_telemetry(spark):
+    """stats= out-param (round-10 observability for the scale probes):
+    reports edge count, which path ran, and — on the distributed loop —
+    iterations to fixpoint and the loop's shuffle-partition sizing."""
+    from meds_transforms_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    s_fast: dict = {}
+    connected_components(edges, stats=s_fast).collect()
+    assert s_fast["n_edges"] == 30 and s_fast["escaped_to_union_find"]
+    assert "iterations" not in s_fast
+
+    s_loop: dict = {}
+    connected_components(edges, small_graph_threshold=0, stats=s_loop).collect()
+    assert s_loop["n_edges"] == 30 and not s_loop["escaped_to_union_find"]
+    assert s_loop["converged"] and 1 <= s_loop["iterations"] <= 20
+    assert s_loop["loop_partitions"] >= 8

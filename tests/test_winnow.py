@@ -283,3 +283,28 @@ def test_overlap_plan_reuses_one_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("MapInArrow") == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_overlap_no_max_df_broadcast_runs_kernel_twice(spark):
+    """Documented acceptance (ADVICE r09): without a max_df guard there
+    is no pre-join exchange, so a broadcast-SMALL fingerprint stream
+    lets AQE pick a BroadcastHashJoin whose build side re-runs the
+    kernel — 2× MapInArrow, cheap by construction (the stream fit in a
+    broadcast). At scale the stream exceeds the broadcast threshold and
+    the SMJ's identical per-branch exchanges collapse to ReusedExchange
+    (single kernel pass), same as the max_df path pinned above."""
+    from meds_transforms_spark.operators.winnow import winnow_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = winnow_overlap(docs, k=10, w=8, min_shared=2, max_df=None,
+                         hash_fn="poly64")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    if "BroadcastHashJoin" in final:
+        # the accepted (cheap) double-pass shape
+        assert final.count("MapInArrow") == 2, final
+    else:
+        # stream too big to broadcast: the reuse shape must hold
+        assert final.count("MapInArrow") == 1, final
+        assert "ReusedExchange" in final, final
