@@ -39,13 +39,20 @@ def assign_stable_ids(
     order; the operator validates this with one aggregate and raises.
     Typical usage orders by a content hash plus a tiebreaker column.
 
-    Plan: range exchange on the order key → per-partition
-    ``row_number`` (local, no global window) → per-partition counts
-    collected (#partitions rows, driver-bounded by construction) →
-    offsets broadcast back. The ranked frame is pinned (eager
-    localCheckpoint) across the two phases so the sampled range
-    boundaries cannot be redrawn between them; the blocks are
-    GC-released with the result frame.
+    Plan (round-10 restructure — rank the KEYS, not the rows): the
+    slim ``order_cols`` projection is pinned (GC-released lazy
+    localCheckpoint) and range-exchanged; per-partition ``row_number``
+    + a #partitions-row offsets collect produce the rank; the ranked
+    key table then null-safe-joins back onto ``df``. Compared to
+    range-exchanging and eagerly checkpointing the FULL rows (the
+    pre-round-10 shape), the caller's upstream executes ONCE instead
+    of three times (dup-check, range sampling, and checkpoint each
+    re-ran it), the exchange and the pinned blocks carry only the
+    order key — never document text — and the result attaches through
+    one key join Catalyst is free to broadcast. The result is
+    unchanged: a pure function of the data (ranks are
+    partitioning-invariant because ``order_cols`` is a validated total
+    order).
     """
     spark = df.sparkSession
     n_parts = int(
@@ -53,12 +60,17 @@ def assign_stable_ids(
     )
     cols = [F.col(c) for c in order_cols]
 
-    # The totality check is one extra aggregation scan — worth it by
-    # default (a silent partial order makes ids partition-dependent),
-    # skippable with validate=False when the key is known-unique (e.g.
-    # it ends in a primary key).
+    # Pin the slim key projection: the range partitioner's sampling
+    # pass, the dup-check, the counts job, and the final lineage all
+    # read these (order_cols)-only blocks; upstream runs once.
+    slim = df.select(*cols).localCheckpoint(eager=False)
+
+    # The totality check is one extra aggregation over the PINNED key
+    # blocks — worth it by default (a silent partial order makes ids
+    # partition-dependent), skippable with validate=False when the key
+    # is known-unique (e.g. it ends in a primary key).
     dup = 0 if not validate else (
-        df.groupBy(*cols)
+        slim.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .limit(1)
@@ -70,7 +82,7 @@ def assign_stable_ids(
             "total order (duplicate key tuples exist) — add a tiebreaker"
         )
 
-    parted = df.repartitionByRange(n_parts, *cols).withColumn(
+    parted = slim.repartitionByRange(n_parts, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     local_w = (
@@ -78,14 +90,11 @@ def assign_stable_ids(
         .orderBy(*cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    # eager localCheckpoint, not persist(): both pin the sampled range
-    # boundaries across the two phases, but checkpoint blocks are
-    # released by the ContextCleaner once the result frame is garbage
-    # collected — persist() would hold a corpus-sized cache entry until
-    # someone remembered to unpersist
-    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).localCheckpoint(
-        eager=True
-    )
+    # persist() pins the sampled range boundaries between the counts
+    # job and the final action (recomputation must not re-draw them) —
+    # key-width rows only, LRU-evictable; the upstream data itself is
+    # already safe behind the slim checkpoint.
+    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).persist()
     counts = {
         r["__pid"]: r["__n"]
         for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
@@ -95,10 +104,20 @@ def assign_stable_ids(
         offsets.append((pid, acc))
         acc += counts[pid]
     off_df = spark.createDataFrame(offsets or [(0, int(start))], "__pid int, __off long")
-    return (
+    ranked_keys = (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(id_name, (F.col("__lrn") - 1 + F.col("__off")).cast("long"))
         .drop("__pid", "__lrn", "__off")
+    )
+    # Null-safe equi-join: order keys may legitimately be NULL (they
+    # sort first in the range order); a plain equi-join would silently
+    # drop those rows.
+    cond = None
+    for c in order_cols:
+        clause = df[c].eqNullSafe(ranked_keys[c])
+        cond = clause if cond is None else cond & clause
+    return df.join(ranked_keys, cond).select(
+        *[df[c] for c in df.columns], ranked_keys[id_name]
     )
 
 

@@ -73,17 +73,37 @@ def pack_sequences(
     )
 
     key = _h64(hash_fn, F.col(id_col)) if order == "hash" else F.col(id_col)
+    # Length validation is an IN-PLAN guard, not an eager count()
+    # (round-10): the old `slim.filter(bad).count()` was one full
+    # execution of the caller's upstream pipeline per call, spent
+    # entirely on the happy path — inside curate_corpus_dsir that
+    # re-ran the whole gopher→dedup→DSIR→top-k chain just to learn
+    # "0 bad rows". The CASE/raise_error guard costs two comparisons
+    # per row inside the projection and fails at action time with the
+    # same "non-positive" message (per-row, not counted — the count
+    # was diagnostic only).
+    t64 = F.col(token_col).cast("long")
+    checked_t = F.when(
+        t64.isNull() | (t64 <= 0),
+        F.raise_error(
+            F.lit(
+                f"pack_sequences: row has NULL or non-positive "
+                f"{token_col!r}; packing needs real lengths"
+            )
+        ).cast("long"),
+    ).otherwise(t64)
+    # Pin the slim (id, tokens, order-key) projection — NOT the
+    # post-exchange frame (round-10 restructure). Three consumers need
+    # the same bytes: the range partitioner's SAMPLING pass, the
+    # exchange itself, and (via the exchange) the totals job + final
+    # lineage. Un-pinned, sampling alone re-executed the caller's
+    # upstream end-to-end; pinned, upstream runs ONCE and every later
+    # pass reads (id, long, long) blocks. GC-released checkpoint.
     slim = df.select(
         F.col(id_col),
-        F.col(token_col).cast("long").alias("__t"),
+        checked_t.alias("__t"),
         key.alias("__ord"),
-    )
-    n_bad = slim.filter(F.col("__t").isNull() | (F.col("__t") <= 0)).count()
-    if n_bad:
-        raise ValueError(
-            f"pack_sequences: {n_bad} rows have NULL or non-positive "
-            f"{token_col!r}; packing needs real lengths"
-        )
+    ).localCheckpoint(eager=False)
 
     parted = slim.repartitionByRange(n_parts, "__ord", id_col).withColumn(
         "__pid", F.spark_partition_id()
@@ -105,6 +125,10 @@ def pack_sequences(
     # vectorized where checkpoint's row-serialized blocks cost more
     # than they save (the semantic_dedup finding again). The cache
     # entry is LRU-evictable; accepted tradeoff for the hot path.
+    # (With `slim` checkpointed the recompute this persist saves is
+    # only the exchange+window over pinned blocks, but the totals job
+    # and the final action would still each shuffle slim once — the
+    # persist keeps the final action exchange-free.)
     local = local.persist()
     totals = {
         r["__pid"]: r["__tot"]

@@ -327,15 +327,34 @@ def winnow_contains(
     p_text = probe_text_col or text_col
     p_id = probe_id_col or id_col
     fps_c = winnow_fingerprints(corpus_df, k, w, text_col, id_col, hash_fn)
-    if max_df is not None:
-        # window-form guard: ONE exchange of the corpus fp stream (the
-        # old agg + join-back shape shuffled it twice and pinned a
-        # checkpoint); with max_df=None the corpus still never
-        # shuffles at all under the broadcast probe join.
-        fps_c = _apply_max_df(fps_c, max_df)
     fps_p = winnow_fingerprints(probe_df, k, w, p_text, p_id, hash_fn).select(
         F.col(p_id).alias("probe_id"), "fp"
     )
+    if broadcast_probe and max_df is not None:
+        # Pin the (tiny, by the broadcast_probe contract) probe stream:
+        # it feeds both the semi-filter below and the pair join, and a
+        # kernel subtree never canonicalizes into a reused exchange.
+        fps_p = fps_p.localCheckpoint(eager=False)
+        # Round-10 (guide §3.2): semi-filter the corpus fp stream by
+        # the probe's distinct fingerprint set BEFORE the max_df
+        # window, so the window's exchange carries only fps that can
+        # reach the output — at 100 TB that is the difference between
+        # shuffling the whole corpus fingerprint stream and shuffling
+        # the (eval-set-sized) intersection. Results are unchanged:
+        # the filter keeps whole fp-groups (membership depends only on
+        # fp), so the window's per-fp document count over the filtered
+        # stream equals the full-corpus count for every surviving fp,
+        # and fps outside the probe set could never survive the pair
+        # join anyway.
+        fps_c = fps_c.join(
+            F.broadcast(fps_p.select("fp").distinct()), "fp", "left_semi"
+        )
+    if max_df is not None:
+        # window-form guard: ONE exchange of the (semi-filtered) corpus
+        # fp stream (the old agg + join-back shape shuffled it twice
+        # and pinned a checkpoint); with max_df=None the corpus never
+        # shuffles at all under the broadcast probe join.
+        fps_c = _apply_max_df(fps_c, max_df)
     if broadcast_probe:
         fps_p = F.broadcast(fps_p)
     return (

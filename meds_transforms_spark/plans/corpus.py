@@ -210,6 +210,12 @@ def curate_corpus_ccnet(
         .distinct()
     )
     clean = selected.join(contaminated, id_col, "left_anti")
+    # Pin the decontaminated frame (round-10): shuffle_shards' rank
+    # machinery consumes it twice (the pinned key projection and the
+    # final rank join-back) — unpinned, the winnow-containment
+    # anti-join subtree re-executes per consumer. GC-released
+    # checkpoint, same rationale as the two pins above.
+    clean = clean.localCheckpoint(eager=False)
     sharded = shuffle_shards(
         clean, n_shards=n_shards, seed=seed, id_col=id_col, hash_fn=hash_fn
     )

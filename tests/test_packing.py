@@ -78,13 +78,17 @@ def test_packing_no_global_window(spark, doc_lengths):
 
 
 def test_packing_rejects_bad_lengths(spark):
+    # Round-10: the validation is an in-plan raise_error guard (the old
+    # eager count() was a full extra execution of the caller's upstream
+    # per call), so the rejection surfaces at ACTION time as Spark's
+    # user-raised error, message intact.
     from meds_transforms_spark.operators.packing import pack_sequences
 
     bad = spark.createDataFrame(
         [(1, 10), (2, 0), (3, None)], "doc_id long, n_tokens long"
     )
-    with pytest.raises(ValueError, match="non-positive"):
-        pack_sequences(bad, budget=64)
+    with pytest.raises(Exception, match="non-positive"):
+        pack_sequences(bad, budget=64).collect()
 
 
 def test_pack_stats(spark, doc_lengths):
