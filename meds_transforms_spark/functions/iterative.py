@@ -25,8 +25,15 @@ from pyspark.sql import DataFrame
 _log = logging.getLogger(__name__)
 
 
-def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint that also resets plan statistics.
+def checkpoint_reset_stats(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint that also resets plan statistics.
+
+    ``eager=False`` (round-10) defers materialization to the caller's
+    next action over the frame — the right mode when a driver action
+    (count/agg/collect) immediately follows, which then materializes
+    the blocks AND computes its result in ONE job instead of a
+    dedicated checkpoint job plus a read-back job. Blocks are pinned
+    from that first action on, exactly like the eager form.
 
     Rebuilds the checkpointed frame from its JavaRDD[Row] (JVM-only —
     public ``Dataset.javaRDD`` + ``SparkSession.createDataFrame``
@@ -41,7 +48,7 @@ def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
     passing through here — callers joining a known-small checkpointed
     frame should wrap it in ``F.broadcast`` explicitly (components.py
     does)."""
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=bool(eager))
     try:
         spark = ck.sparkSession
         jdf = ck._jdf

@@ -78,9 +78,12 @@ def connected_components(
     # against it, so both its DATA (the caller's LSH/similarity DAG must
     # not re-execute per round) and its PLAN (embedded ×2 into each
     # round's exponentially-compounding loop plan) must be reduced to a
-    # materialized leaf.
+    # materialized leaf. Lazy (round-10): the edge-count action right
+    # below materializes the blocks and counts them in ONE job instead
+    # of a dedicated checkpoint job plus a count job.
     e = _checkpoint_reset_stats(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        eager=False,
     )
     spark = edges.sparkSession
     # The iterative rounds shuffle only (id, long) pairs — size the
@@ -129,8 +132,11 @@ def connected_components(
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-        # Initial labels are a leaf too — they appear ×4 in round 1's plan.
-        labels = _checkpoint_reset_stats(nodes.withColumn("component", F.col("id")))
+        # Initial labels are a leaf too — they appear ×4 in round 1's
+        # plan. Lazy: the potential-sum action materializes the blocks.
+        labels = _checkpoint_reset_stats(
+            nodes.withColumn("component", F.col("id")), eager=False
+        )
         prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
         # Truncate lineage EVERY round. Each round's tree references
@@ -187,12 +193,14 @@ def connected_components(
                         F.col("component"), F.coalesce("__jumped", F.col("component"))
                     ).alias("component"),
                 )
-                .transform(_checkpoint_reset_stats)
+                .transform(lambda d: _checkpoint_reset_stats(d, eager=False))
             )
             # Labels are monotonically non-increasing, so Σ(component) is a
             # strictly decreasing potential — fixpoint ⟺ the sum is stable.
-            # One scalar agg per round instead of a self-join diff; it reads
-            # the just-checkpointed blocks, not the join DAG.
+            # One scalar agg per round instead of a self-join diff; it
+            # MATERIALIZES the lazily-checkpointed round blocks and
+            # computes the sum in one job (round-10: previously the
+            # eager checkpoint and the sum were two jobs per round).
             new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
             propagated.unpersist()
             labels = new_labels
