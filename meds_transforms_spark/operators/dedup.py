@@ -793,11 +793,10 @@ def semantic_dedup(
     assignment pass), identical up to float-summation-order ties.
     """
     from meds_transforms_spark.operators.ivf import (
-        _nearest_cells,
         assign_cells_arrow,
+        assign_cells_exact,
         ivf_centroids,
         kmeans_refine,
-        l2_norm,
     )
 
     if assign not in ("hof", "arrow"):
@@ -812,8 +811,16 @@ def semantic_dedup(
             "__bucket", F.col("__cell")
         )
     else:
-        vecs = df.withColumn("__vnorm", l2_norm(F.col(vec_col)))
-        assigned = _nearest_cells(vecs, cents, id_col, vec_col, n_probe=1).withColumn(
+        # "hof" SEMANTICS served by the fold-order-preserving Arrow
+        # kernel (round-10): assign_cells_exact replays the interpreted
+        # dot/norm/ranking expressions operation-for-operation (see its
+        # docstring), so the assignment is bit-identical to the old
+        # _nearest_cells plan — while the O(N·n_cells·dim) interpreted
+        # lambda evaluations (~16M at sf0.1, the measured bulk of the
+        # assignment stage) become dim vectorized numpy FMAs per batch.
+        # Pinned by tests/test_more_operators.py::
+        # test_assign_cells_exact_matches_hof.
+        assigned = assign_cells_exact(df, cents, id_col, vec_col).withColumn(
             "__bucket", F.col("__cell")
         )
     # The pair self-join consumes the assignment subtree twice (sides

@@ -167,6 +167,177 @@ def assign_cells_arrow(
     return src.mapInArrow(assign, schema=out_schema)
 
 
+def assign_cells_exact(
+    vec_df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell assignment with BIT-EXACT HOF-fold semantics, one
+    numpy pass per Arrow batch: ``(id, vec, __cell)``, map-side, zero
+    shuffle — the round-10 drop-in for the ``n_probe=1`` corpus
+    assignment that :func:`_nearest_cells` serves interpreted.
+
+    Unlike :func:`assign_cells_arrow` (pairwise-summing BLAS matmul —
+    NOT the oracle path), every float operation here replays the
+    Catalyst expressions in their exact order, so the assignment is
+    bit-identical to the HOF plan by construction, not just on
+    tie-free data:
+
+    - dot(v, c) is accumulated one dimension at a time
+      (``acc += v[j]·c[j]`` left fold from 0.0 — the
+      ``aggregate(zip_with(...))`` order);
+    - the vector norm is ``sqrt(acc += v[j]²)`` in the same fold order;
+    - the centroid norm is the JVM-computed ``__cnorm`` COLLECTED from
+      the centroid frame, never recomputed;
+    - ``cos = dot/(vnorm·cnorm)`` guarded by ``denom > 0`` exactly like
+      ``F.when``, and the winner is the FIRST maximum over cells in
+      ascending ``__cell`` order — row_number's (cos DESC NULLS LAST,
+      __cell ASC) tie-break;
+    - rows whose cosines are all NULL (zero/NULL norms, wrong
+      dimension: zip_with pads with NULL and the fold goes NULL) take
+      the lowest cell, row_number's outcome on an all-NULL ordering.
+
+    The interpreted form walks an expression tree per (vector,
+    centroid, dimension) — O(N·n_cells·dim) interpreted evals (~16M at
+    sf0.1); here the same arithmetic is ``dim`` vectorized numpy FMAs
+    over a (batch, n_cells) accumulator. Rows with NULL/non-finite
+    elements fall back to an exact per-row replay. Like
+    assign_cells_arrow, the centroid collect is one bounded EAGER job.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_ddl = vec_df.select(id_col).schema[0].dataType.simpleString()
+    vec_ddl = vec_df.select(vec_col).schema[0].dataType.simpleString()
+    out_schema = f"{id_col} {id_ddl}, {vec_col} {vec_ddl}, __cell int"
+    elem_f32 = vec_ddl.startswith("array<float>")
+
+    rows = centroids.select("__cell", "__cvec", "__cnorm").orderBy("__cell").collect()
+    if not rows:
+        return vec_df.sparkSession.createDataFrame([], out_schema)
+    cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
+    if cells.max() >= 2**31 or cells.min() < -(2**31):
+        raise ValueError(
+            "assign_cells_exact: centroid __cell ids exceed int32 range"
+        )
+    clens = {len(r["__cvec"]) for r in rows}
+    if len(clens) != 1 or 0 in clens:
+        raise ValueError(
+            "assign_cells_exact: centroid vectors must share one non-zero "
+            f"dimension, got lengths {sorted(clens)}"
+        )
+    cdtype = np.float32 if elem_f32 else np.float64
+    C = np.array([r["__cvec"] for r in rows], dtype=cdtype)
+    if any(r["__cnorm"] is None for r in rows) or not np.all(np.isfinite(C)):
+        # Spark orders NaN ABOVE every number, so a NaN centroid norm
+        # would "win" the HOF ranking in engine-specific ways — refuse
+        # to reproduce that pathology rather than silently diverge.
+        raise ValueError(
+            "assign_cells_exact: centroid frame carries NULL/non-finite "
+            "values; fix the centroids (or use ivf._nearest_cells)"
+        )
+    cnorm = np.array([r["__cnorm"] for r in rows], dtype=np.float64)
+    dim = C.shape[1]
+    lowest_cell = int(cells[0])
+
+    def slow_row(v):
+        """Exact per-row replay of the HOF plan for irregular rows.
+
+        NULL rows, wrong-dimension rows (zip_with pads → NULL dot),
+        NULL elements (the fold goes NULL) and NaN elements (every
+        cosine goes NaN → all cells tie → lowest __cell wins the
+        row_number) all land on the lowest cell."""
+        if v is None or len(v) != dim:
+            return lowest_cell
+        if any(e is None or not math.isfinite(e) for e in v):
+            return lowest_cell
+        vn_acc = 0.0
+        for e in v:
+            p = float(np.float32(e) * np.float32(e)) if elem_f32 else e * e
+            vn_acc = vn_acc + p
+        vnorm = math.sqrt(vn_acc)
+        best_cos, best_cell = None, lowest_cell
+        for ci in range(len(cells)):
+            denom = vnorm * cnorm[ci]
+            if not denom > 0:
+                continue
+            acc = 0.0
+            for j in range(dim):
+                p = (
+                    float(np.float32(v[j]) * C[ci, j])
+                    if elem_f32
+                    else v[j] * float(C[ci, j])
+                )
+                acc = acc + p
+            cos = acc / denom
+            if best_cos is None or cos > best_cos:
+                best_cos, best_cell = cos, int(cells[ci])
+        return best_cell
+
+    def fn(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            col = rb.column(1)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            lens = np.nan_to_num(
+                pc.list_value_length(arr).to_numpy(zero_copy_only=False), nan=-1.0
+            )
+            valid = arr.is_valid().to_numpy(zero_copy_only=False) & (lens == dim)
+            best = np.full(n, lowest_cell, dtype=np.int64)
+            flat = arr.flatten()
+            if flat.null_count == 0:
+                nv = int(valid.sum())
+                if nv:
+                    good = arr.filter(pa.array(valid))
+                    V = (
+                        good.flatten()
+                        .to_numpy(zero_copy_only=False)
+                        .reshape(nv, dim)
+                        .astype(cdtype, copy=False)
+                    )
+                    if np.all(np.isfinite(V)):
+                        acc = np.zeros((nv, len(cells)), dtype=np.float64)
+                        vn = np.zeros(nv, dtype=np.float64)
+                        for j in range(dim):
+                            # identical IEEE ops in identical (left-fold)
+                            # order: product at input precision, then a
+                            # double accumulate
+                            acc += V[:, j, None] * C[None, :, j]
+                            vn += V[:, j] * V[:, j]
+                        vnorm = np.sqrt(vn)
+                        denom = vnorm[:, None] * cnorm[None, :]
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            cos = np.where(denom > 0, acc / denom, -np.inf)
+                        has_any = (denom > 0).any(axis=1)
+                        pick = cells[np.argmax(cos, axis=1)]
+                        best[valid] = np.where(has_any, pick, lowest_cell)
+                    else:
+                        vlist = arr.to_pylist()
+                        best = np.array(
+                            [slow_row(v) for v in vlist], dtype=np.int64
+                        )
+                # invalid rows keep lowest_cell
+                # wrong-dim (but non-null) rows: NULL cos everywhere →
+                # lowest cell — already the fill value
+            else:
+                vlist = arr.to_pylist()
+                best = np.array([slow_row(v) for v in vlist], dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, arr, pa.array(best.astype(np.int32))],
+                names=[id_col, vec_col, "__cell"],
+            )
+
+    src = vec_df.select(F.col(id_col), F.col(vec_col))
+    return src.mapInArrow(fn, schema=out_schema)
+
+
 def ivf_centroids(corpus: DataFrame, n_cells: int, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
     # Cell numbering via ids.attach_dense_rank_bounded: the frame is
     # bounded by limit(n_cells), so the one-exchange single-partition

@@ -252,3 +252,51 @@ def test_keep_latest_versions(spark):
         for r in keep_latest(df, "url", "fetched", tiebreak_cols=["version"]).collect()
     }
     assert out == {"u1": "new", "u2": "only", "u3": "dated", "u4": "tie-b"}
+
+
+def test_assign_cells_exact_matches_hof(spark):
+    """Round-10: semantic_dedup's "hof" assignment is served by the
+    fold-order-preserving Arrow kernel (ivf.assign_cells_exact). It
+    must be BIT-identical to the interpreted _nearest_cells plan —
+    including the NULL / wrong-dimension / NaN / zero-norm edges that
+    all land on the lowest cell."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.ivf import (
+        _nearest_cells,
+        assign_cells_exact,
+        ivf_centroids,
+        l2_norm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    # scaled copies (the semantic_dedup query shape) + adversarial rows
+    aug = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("emb_d"), lambda x: x * F.lit(1.01)).alias("emb_d"),
+    )
+    dim = emb.select(F.size("emb_d")).first()[0]
+    weird = spark.createDataFrame(
+        [
+            (2_000_001, None),                       # NULL vector
+            (2_000_002, [0.0] * dim),                # zero norm
+            (2_000_003, [1.0, 2.0]),                 # wrong dimension
+            (2_000_004, [float("nan")] * dim),       # NaN components
+        ],
+        f"vec_id long, emb_d array<double>",
+    )
+    both = emb.unionByName(aug).unionByName(weird)
+    cents = ivf_centroids(both, 16, "vec_id", "emb_d")
+
+    hof = _nearest_cells(
+        both.withColumn("__vnorm", l2_norm(F.col("emb_d"))),
+        cents, "vec_id", "emb_d", n_probe=1,
+    ).select("vec_id", "__cell")
+    kern = assign_cells_exact(both, cents, "vec_id", "emb_d").select(
+        "vec_id", "__cell"
+    )
+    a = {r["vec_id"]: r["__cell"] for r in hof.collect()}
+    b = {r["vec_id"]: r["__cell"] for r in kern.collect()}
+    assert a == b
