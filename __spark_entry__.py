@@ -374,28 +374,62 @@ def q_meds_pipeline_e2e(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
+    """Q1 with the round-10 exact fixed-point sum formulation
+    (functions/money.py): each measure is converted per row to exact
+    integer units (the decimal casts are unchanged, so the HALF_UP
+    value rounding is identical), summed as primitive long pairs, and
+    reassembled exactly in decimal before the final double cast — the
+    SAME doubles as the naive SUM(DECIMAL) form (the oracle still runs
+    that), without per-row BigDecimal aggregation (measured 1.22 s →
+    ~0.75 s at sf0.1)."""
+    from meds_transforms_spark.functions.money import decimal_units, exact_sum_double
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     tax = F.col("l_tax").cast("decimal(4,2)")
-    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
-    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
-    out = (
+    # exact integer units: qty/price/disc in 10⁻² units; the products
+    # are formed ON THE UNITS (exact integer identities of the decimal
+    # products disc_price = price·(1−disc) [scale 4] and charge =
+    # disc_price·(1+tax) [scale 6])
+    qty_u = decimal_units(qty, 2)
+    price_u = decimal_units(price, 2)
+    disc_u = decimal_units(disc, 2)
+    tax_u = decimal_units(tax, 2)
+    base = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_u.alias("__qty_u"),
+            price_u.alias("__price_u"),
+            disc_u.alias("__disc_u"),
+            (price_u * (F.lit(100) - disc_u)).alias("__dp_u"),
+            (price_u * (F.lit(100) - disc_u) * (F.lit(100) + tax_u)).alias("__ch_u"),
         )
     )
-    return out
+    qty_aggs, qty_f = exact_sum_double("__qty_u", "qty", 2)
+    price_aggs, price_f = exact_sum_double("__price_u", "price", 2)
+    disc_aggs, disc_f = exact_sum_double("__disc_u", "disc", 2)
+    dp_aggs, dp_f = exact_sum_double("__dp_u", "dp", 4)
+    ch_aggs, ch_f = exact_sum_double("__ch_u", "ch", 6)
+    n = F.count(F.lit(1)).alias("count_order")
+    out = base.groupBy("l_returnflag", "l_linestatus").agg(
+        *qty_aggs, *price_aggs, *disc_aggs, *dp_aggs, *ch_aggs, n
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_f.alias("sum_qty"),
+        price_f.alias("sum_base_price"),
+        dp_f.alias("sum_disc_price"),
+        ch_f.alias("sum_charge"),
+        (qty_f / F.col("count_order")).alias("avg_qty"),
+        (price_f / F.col("count_order")).alias("avg_price"),
+        (disc_f / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
 
 
 def q_tpch_q3(spark, sf_dir):
