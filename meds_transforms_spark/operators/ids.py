@@ -16,7 +16,7 @@ nor stable under any of those.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from meds_transforms_spark.operators.base import register_stage
@@ -30,6 +30,7 @@ def assign_stable_ids(
     start: int = 0,
     num_partitions: int | None = None,
     validate: bool = True,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Attach ``id_name`` = ``start`` + dense rank of the row in the
     total order given by ``order_cols``.
@@ -82,22 +83,43 @@ def assign_stable_ids(
             "total order (duplicate key tuples exist) — add a tiebreaker"
         )
 
-    parted = slim.repartitionByRange(n_parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    if bucket is not None:
+        # Caller-supplied DETERMINISTIC monotone bucket of the leading
+        # order column (round-10; contract: non-decreasing in the
+        # order tuple, rows with equal keys share a bucket — e.g.
+        # sampling._order_bucket of a uniform hash key). Replaces the
+        # range exchange: no sampling job (one full pass over the
+        # pinned keys saved per call), no persist (nothing sampled to
+        # pin — lineage recomputation is exactly reproducible), and
+        # the counts aggregate reads the slim blocks directly with no
+        # window dependency.
+        parted = slim.withColumn(
+            "__pid", F.coalesce(bucket, F.lit(-1)).cast("int")
+        )
+        counts_src = parted
+    else:
+        parted = slim.repartitionByRange(n_parts, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        counts_src = None
     local_w = (
         W.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    # persist() pins the sampled range boundaries between the counts
-    # job and the final action (recomputation must not re-draw them) —
-    # key-width rows only, LRU-evictable; the upstream data itself is
-    # already safe behind the slim checkpoint.
-    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).persist()
+    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w))
+    if counts_src is None:
+        # persist() pins the sampled range boundaries between the
+        # counts job and the final action (recomputation must not
+        # re-draw them) — key-width rows only, LRU-evictable; the
+        # upstream data itself is already safe behind the slim
+        # checkpoint. (The bucketed path needs neither: its partition
+        # assignment is a pure expression.)
+        local = local.persist()
+        counts_src = local
     counts = {
         r["__pid"]: r["__n"]
-        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+        for r in counts_src.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     }
     offsets, acc = [], int(start)
     for pid in sorted(counts):
@@ -158,6 +180,15 @@ def shuffle_shards(
     keyed = df.withColumn(
         "__shufkey", _h64(hash_fn, F.lit(int(seed)), F.col(id_col))
     )
+    # The shuffle key is a uniform hash by construction, so the rank
+    # machinery can use deterministic monotone hash-range buckets
+    # (round-10) — no range-sampling pass, no persisted boundaries.
+    from meds_transforms_spark.operators.sampling import _order_bucket
+
+    spark = df.sparkSession
+    n_parts = int(
+        num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     ranked = assign_stable_ids(
         keyed,
         ["__shufkey", id_col],
@@ -165,6 +196,7 @@ def shuffle_shards(
         num_partitions=num_partitions,
         # (seed, id) is injective in id, so the hash+id tuple is unique
         validate=False,
+        bucket=_order_bucket(F.col("__shufkey"), hash_fn, n_parts),
     )
     return (
         ranked.withColumn(

@@ -105,35 +105,68 @@ def pack_sequences(
         key.alias("__ord"),
     ).localCheckpoint(eager=False)
 
-    parted = slim.repartitionByRange(n_parts, "__ord", id_col).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    local_w = (
-        W.partitionBy("__pid")
-        .orderBy("__ord", id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = parted.withColumn("__lsum", F.sum("__t").over(local_w))
+    if order == "hash":
+        # Hash order (round-10): the key is a uniform 64-bit-ish hash,
+        # so the partitioning can be a DETERMINISTIC monotone
+        # hash-range bucket (the domain_mix prefix machinery) instead
+        # of repartitionByRange. That removes the range partitioner's
+        # SAMPLING job (one full pass over the pinned keys per call),
+        # removes the persist that existed only to pin the sampled
+        # boundaries against recomputation (deterministic buckets
+        # cannot re-draw), and keeps the exact same global order:
+        # bucket is monotone in __ord and rows with equal __ord share
+        # a bucket, so (bucket, __ord, id) order == (__ord, id) order.
+        from meds_transforms_spark.operators.sampling import _order_bucket
 
-    # Phase 2: per-partition totals -> exclusive offsets (driver-side,
-    # one row per partition). `local` is pinned so the totals job and
-    # the main lineage see the SAME range-partition boundaries (the
-    # range partitioner samples; recomputation must not re-draw them).
-    # persist(), MEASURED against localCheckpoint on the curation e2e
-    # at sf0.1 (5 runs, fresh JVMs): persist 4.6 s median vs lazy
-    # checkpoint 6.6 s vs eager 7.5 s — the columnar cache reads back
-    # vectorized where checkpoint's row-serialized blocks cost more
-    # than they save (the semantic_dedup finding again). The cache
-    # entry is LRU-evictable; accepted tradeoff for the hot path.
-    # (With `slim` checkpointed the recompute this persist saves is
-    # only the exchange+window over pinned blocks, but the totals job
-    # and the final action would still each shuffle slim once — the
-    # persist keeps the final action exchange-free.)
-    local = local.persist()
-    totals = {
-        r["__pid"]: r["__tot"]
-        for r in local.groupBy("__pid").agg(F.max("__lsum").alias("__tot")).collect()
-    }
+        work = slim.withColumn(
+            "__pid",
+            F.coalesce(
+                _order_bucket(F.col("__ord"), hash_fn, n_parts), F.lit(-1)
+            ).cast("int"),
+        )
+        local_w = (
+            W.partitionBy("__pid")
+            .orderBy("__ord", id_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        local = work.withColumn("__lsum", F.sum("__t").over(local_w))
+        # Per-bucket totals straight off the pinned slim blocks — a
+        # map-side-combined aggregate, no window dependency, so the
+        # final action is the only consumer of the window pass.
+        totals = {
+            r["__pid"]: r["__tot"]
+            for r in work.groupBy("__pid").agg(F.sum("__t").alias("__tot")).collect()
+        }
+    else:
+        parted = slim.repartitionByRange(n_parts, "__ord", id_col).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        local_w = (
+            W.partitionBy("__pid")
+            .orderBy("__ord", id_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        local = parted.withColumn("__lsum", F.sum("__t").over(local_w))
+
+        # Phase 2: per-partition totals -> exclusive offsets
+        # (driver-side, one row per partition). `local` is pinned so
+        # the totals job and the main lineage see the SAME
+        # range-partition boundaries (the range partitioner samples;
+        # recomputation must not re-draw them). persist(), MEASURED
+        # against localCheckpoint on the curation e2e at sf0.1 (5
+        # runs, fresh JVMs): persist 4.6 s median vs lazy checkpoint
+        # 6.6 s vs eager 7.5 s — the columnar cache reads back
+        # vectorized where checkpoint's row-serialized blocks cost
+        # more than they save (the semantic_dedup finding again). The
+        # cache entry is LRU-evictable; accepted tradeoff for the hot
+        # path. (Only the order="id" path still needs this: hash order
+        # uses deterministic buckets above, which have no sampled
+        # state to pin.)
+        local = local.persist()
+        totals = {
+            r["__pid"]: r["__tot"]
+            for r in local.groupBy("__pid").agg(F.max("__lsum").alias("__tot")).collect()
+        }
     offsets, acc = [], 0
     for pid in sorted(totals):
         offsets.append((pid, acc))
