@@ -87,39 +87,61 @@ def assign_stable_ids(
         # Caller-supplied DETERMINISTIC monotone bucket of the leading
         # order column (round-10; contract: non-decreasing in the
         # order tuple, rows with equal keys share a bucket — e.g.
-        # sampling._order_bucket of a uniform hash key). Replaces the
-        # range exchange: no sampling job (one full pass over the
-        # pinned keys saved per call), no persist (nothing sampled to
-        # pin — lineage recomputation is exactly reproducible), and
-        # the counts aggregate reads the slim blocks directly with no
-        # window dependency.
-        parted = slim.withColumn(
-            "__pid", F.coalesce(bucket, F.lit(-1)).cast("int")
+        # sampling._order_bucket of a uniform hash key). Two structural
+        # savings over the generic path below: no range-sampling job
+        # (one full pass over the pinned keys per call) and NO
+        # JOIN-BACK — because the partition assignment is a pure
+        # expression, the rank window can run directly over the full
+        # rows (the join-back's probe side paid a full-row exchange
+        # anyway), and the per-bucket counts come from the pinned slim
+        # blocks with no window dependency. Net: two exchanges, three
+        # sorts, and a sort-merge join less per call; counts/final
+        # consistency needs no persist (nothing sampled to re-draw).
+        counts = {
+            r["__pid"]: r["__n"]
+            for r in slim.withColumn(
+                "__pid", F.coalesce(bucket, F.lit(-1)).cast("int")
+            )
+            .groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        offsets, acc = [], int(start)
+        for pid in sorted(counts):
+            offsets.append((pid, acc))
+            acc += counts[pid]
+        off_df = spark.createDataFrame(
+            offsets or [(0, int(start))], "__pid int, __off long"
         )
-        counts_src = parted
-    else:
-        parted = slim.repartitionByRange(n_parts, *cols).withColumn(
-            "__pid", F.spark_partition_id()
+        local_w = (
+            W.partitionBy("__pid")
+            .orderBy(*cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        counts_src = None
+        return (
+            df.withColumn("__pid", F.coalesce(bucket, F.lit(-1)).cast("int"))
+            .withColumn("__lrn", F.count(F.lit(1)).over(local_w))
+            .join(F.broadcast(off_df), "__pid")
+            .withColumn(id_name, (F.col("__lrn") - 1 + F.col("__off")).cast("long"))
+            .drop("__pid", "__lrn", "__off")
+        )
+
+    parted = slim.repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
     local_w = (
         W.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w))
-    if counts_src is None:
-        # persist() pins the sampled range boundaries between the
-        # counts job and the final action (recomputation must not
-        # re-draw them) — key-width rows only, LRU-evictable; the
-        # upstream data itself is already safe behind the slim
-        # checkpoint. (The bucketed path needs neither: its partition
-        # assignment is a pure expression.)
-        local = local.persist()
-        counts_src = local
+    # persist() pins the sampled range boundaries between the counts
+    # job and the final action (recomputation must not re-draw them) —
+    # key-width rows only, LRU-evictable; the upstream data itself is
+    # already safe behind the slim checkpoint.
+    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).persist()
     counts = {
         r["__pid"]: r["__n"]
-        for r in counts_src.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     }
     offsets, acc = [], int(start)
     for pid in sorted(counts):
