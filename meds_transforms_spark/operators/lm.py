@@ -169,7 +169,14 @@ def _bigram_scores(
         # persist: blocks release with the frame (no session-lifetime
         # cache leak).
         per_doc = per_doc.localCheckpoint(eager=False)
-        lm = per_doc.groupBy("w1", "w2").agg(F.sum("__n_local").alias("n"))
+        # Pin the self-fit model table too (round-10): lm feeds FOUR
+        # consumers below (c1, c2, totals, score join) — unpinned, each
+        # re-runs the (w1, w2) aggregation over the per_doc blocks.
+        # The table is vocab-bigram-sized (bounded by the distinct
+        # bigram count, not the corpus), so the pinned blocks are tiny.
+        lm = per_doc.groupBy("w1", "w2").agg(
+            F.sum("__n_local").alias("n")
+        ).localCheckpoint(eager=False)
     elif pin_lm:
         # External lm: the frame feeds FOUR consumers below (c1, c2,
         # totals, score join). When it is itself a lazy fit pipeline
