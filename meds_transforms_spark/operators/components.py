@@ -247,8 +247,17 @@ def minhash_lsh_dedup_transitive(
         .select(F.col(id_col).alias("src"), F.col("__rep").alias("dst"))
         .distinct()
     )
-    comp = connected_components(edges, max_iter=max_iter)
+    loop_stats: dict = {}
+    comp = connected_components(edges, max_iter=max_iter, stats=loop_stats)
     dropped = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
+    # The union-find escape returns a driver-built frame (Scan
+    # ExistingRDD, no size statistics → the planner assumes huge and
+    # sort-merge-joins, exchanging the FULL corpus — text included —
+    # against a list bounded by small_graph_threshold rows). Broadcast
+    # it explicitly; the distributed-loop path keeps the SMJ, since its
+    # dropped set is unbounded (can approach corpus size).
+    if loop_stats.get("escaped_to_union_find"):
+        dropped = F.broadcast(dropped)
     return df.join(dropped, id_col, "left_anti")

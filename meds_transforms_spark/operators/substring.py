@@ -50,18 +50,52 @@ def positional_gram_hashes(
     whitespace collapsed) so trivial formatting differences don't hide
     duplication. Documents shorter than ``k`` produce no rows.
     """
+    # Two-level chunked explode (same trick as dedup.lsh_band_buckets):
+    # a direct per-position explode makes every generated row carry the
+    # FULL normalized text — O(len²/stride) bytes through the generate
+    # output. Splitting into CH-char chunks with a (k-1)-char overlap
+    # first means position rows carry ≤ CH+k-1 bytes. The sampled
+    # position stream is identical: chunk c covers global positions
+    # (c·CH, c·CH+CH]; its first sampled offset is the smallest i ≥ 1
+    # with c·CH+i ≡ 1 (mod stride), and the overlap supplies the
+    # cross-boundary gram bytes, so substr(chunk, i, k) ==
+    # substr(norm, c·CH+i, k) for every emitted (c, i).
+    chunk = 64
     norm = _normalized(F.col(text_col))
-    n_pos = F.length(norm) - F.lit(k - 1)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        norm.alias("__norm"),
+        (F.length(norm) - F.lit(k - 1)).alias("__n_pos"),
+    ).filter(F.col("__n_pos") >= 1)
+    chunks = base.select(
+        "__id",
+        "__n_pos",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("__n_pos") - 1) / chunk).cast("int"))
+        ).alias("__c"),
+        F.col("__norm"),
+    ).select(
+        "__id",
+        F.col("__norm")
+        .substr(F.col("__c") * chunk + 1, F.lit(chunk + k - 1))
+        .alias("__chunk"),
+        (F.col("__c") * chunk).alias("__off"),
+        F.least(F.lit(chunk), F.col("__n_pos") - F.col("__c") * chunk).alias("__hi"),
+    )
+    first_i = F.pmod(-F.col("__off"), F.lit(stride)) + 1
     positions = F.when(
-        n_pos >= 1, F.sequence(F.lit(1), n_pos, F.lit(stride))
+        F.col("__hi") >= first_i, F.sequence(first_i, F.col("__hi"), F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     return (
-        df.select(F.col(id_col).alias("__id"), norm.alias("__norm"), positions.alias("__pos"))
-        .select("__id", "__norm", F.explode("__pos").alias("pos"))
+        chunks.select(
+            "__id", "__chunk", "__off", F.explode(positions).alias("__i")
+        )
         .select(
             F.col("__id").alias(id_col),
-            "pos",
-            _h64(hash_fn, F.col("__norm").substr(F.col("pos"), F.lit(k))).alias("gram_hash"),
+            (F.col("__off") + F.col("__i")).alias("pos"),
+            _h64(hash_fn, F.col("__chunk").substr(F.col("__i"), F.lit(k))).alias(
+                "gram_hash"
+            ),
         )
     )
 
