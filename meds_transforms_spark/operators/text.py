@@ -498,7 +498,18 @@ def unigram_logprob(
         # _bigram_scores finding, lm.py). Pin per_doc: totals, the LM
         # derivation, and the score join all read it.
         per_doc = per_doc.localCheckpoint(eager=False)
-        lm = per_doc.groupBy("tok").agg(F.sum("__n_local").alias("n"))
+        # Pin the self-fit model table too (round-10, the lm.py
+        # _bigram_scores finding): lm feeds TWO consumers below (the
+        # totals aggregate and the score join), and the broadcast-side
+        # and totals-side subtrees never canonicalize into one
+        # ReusedExchange — unpinned, the (tok) aggregation ran twice
+        # over the per_doc blocks. The table is vocabulary-sized
+        # (Zipf: ≪ corpus), so the pinned blocks are tiny.
+        lm = (
+            per_doc.groupBy("tok")
+            .agg(F.sum("__n_local").alias("n"))
+            .localCheckpoint(eager=False)
+        )
     totals = lm.agg(
         F.sum("n").cast("double").alias("__N"),
         F.count(F.lit(1)).cast("double").alias("__V"),
