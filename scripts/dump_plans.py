@@ -15,7 +15,7 @@ REVIEW = {
     "meds_agg_code_metadata": "two-level agg: (code,subject) combine then per-code finalize — no distinct expand, both shuffles carry partial rows only",
     "meds_filter_subjects": "single exchange on subject_id feeding the window; filter follows, nothing else moves",
     "meds_normalization": "fact scan → two BroadcastHashJoins (stats, vocab) → projection; zero fact-table shuffles",
-    "tpch_q1": "scan with shipdate pushed to parquet → partial/final hash agg on 2 keys",
+    "tpch_q1": "scan with shipdate pushed to parquet → partial/final hash agg on 2 keys; round-10 sums the money measures as exact fixed-point LONGS (value·10^s per row, two-long DIV/MOD-10⁹ aggregation state with map-side combine, exact decimal reassembly then one cast) — bit-identical doubles, no per-row BigDecimal adds",
     "tpch_q3": "lineitem scan filtered at source; orders join (AQE picks build side), customer broadcast, then agg + topK sort",
     "docs_exact_dedup": "one scan, one exchange on the 64-bit content hash, window min, filter",
     "docs_minhash_dedup": "Arrow signature kernel (grams.lsh_band_buckets_poly): whole one-permutation signature per doc inside each batch — the ONLY shuffled rows are (id, band bucket), O(docs×bands) vs the relational form's O(shingles) first exchange (658→88 MB at 500k docs); then window rep-select + semi join back",
@@ -35,11 +35,11 @@ REVIEW = {
     "docs_decontaminate_ids": "mode='ids' decontamination: same poly64 gram kernel + broadcast eval-gram semi probe, but the plan ENDS at the distinct contaminated-id aggregate — no corpus join-back, no text rematerialization; the output a 100 TB pipeline persists and anti-joins downstream",
     "docs_decontaminate": "train/eval word-13-gram hashes via the Arrow poly64 rolling-hash kernel (grams.word_ngram_hashes_poly — one numpy pass per batch, 2.7× the interpreted gram stream at 1M docs); eval gram-hash set dedup'd + broadcast; LEFT SEMI map-side probe → contaminated ids → one id join back; document text never shuffles",
     "events_funnel": "agg_join strategy: per-step full hash agg with map-side combine (shuffle carries one partial row per entity-partition), per-entity step table broadcast back into the next scan — zero full-data shuffles, no sort; window strategy available for unbroadcastable entity dims",
-    "docs_pack": "two-phase prefix sum: range exchange on the order key, per-partition running sums, #partitions offset rows broadcast back — no SinglePartition exchange anywhere (the naive global-window cumsum is the anti-pattern this operator replaces)",
+    "docs_pack": "two-phase prefix sum over DETERMINISTIC hash-range buckets (round-10: the hash order key is uniform by construction, so the monotone bucket slice replaces the range exchange — no range-sampling job, no persisted boundaries), per-partition running sums, #partitions offset rows broadcast back — no SinglePartition exchange anywhere (the naive global-window cumsum is the anti-pattern this operator replaces)",
     "emb_cluster_balance": "centroids broadcast into a map-side scoring join (corpus never shuffles for assignment); the cap is group_cap's two-phase per-key top-k — phase 1 caps within (cluster, input-partition), phase 2 ranks only survivors",
-    "docs_substring_dedup": "ONE gram stream (explode over stride-sampled positions) feeds both per-doc totals and the per-hash agg; min_df<=2 runs the unique-complement form — df==1 grams attribute to their single owner INSIDE the hash agg (min(id)), so there is no join-back and every exchange is map-side combined (no skew-sensitive stage); text never shuffles",
+    "docs_substring_dedup": "ONE gram stream (round-10 two-level CHUNKED explode: 64-char chunks with a (k-1)-char overlap first, then positions within the chunk, so position rows carry ≤ 83 bytes instead of the whole document) feeds both per-doc totals and the per-hash agg; min_df<=2 runs the unique-complement form — df==1 grams attribute to their single owner INSIDE the hash agg (min(id)), so there is no join-back and every exchange is map-side combined (no skew-sensitive stage); text never shuffles",
     "docs_domain_mix": "running sums window on (source, monotone hash bucket) — a giant source spreads over all buckets; per-bucket totals agg to a tiny offsets table that re-enters via BroadcastHashJoin; quota-0 sources pruned at the scan",
-    "docs_unigram_logprob": "(id,tok) pre-agg collapses repeats before the vocab join (AQE broadcasts the LM when small); scalar totals ride as a broadcast 1-row join — plan stays fully lazy",
+    "docs_unigram_logprob": "(id,tok) pre-agg collapses repeats before the vocab join (AQE broadcasts the LM when small); scalar totals ride as a broadcast 1-row join; round-10 pins the self-fit (tok,n) model table (vocab-sized, Zipf ≪ corpus) so the totals aggregate and the score join read ONE checkpoint leaf instead of each re-running the corpus-token-scale aggregation (16 → 8 HashAggregates)",
     "docs_quality_classifier": "token explode → pmod bucket (codegen) → (id,bucket) partial counts → BroadcastHashJoin with the 4096-row model → per-id agg + sigmoid projection; serving has no Python operator anywhere",
     "emb_covariance": "mapInArrow emits ONE (n, Σx, ΣxxT) row per batch (BLAS); downstream posexplode/groupBy/joins all run over #batches tiny rows — the corpus is scanned once and never shuffled",
     "events_retention": "window-min on user (one exchange) → (cohort, offset, user) dedup agg → matrix agg; the rate window runs over the cohort×offset matrix, not events",
@@ -56,14 +56,15 @@ REVIEW = {
     "events_profile": "ONE partial-agg scan computes nulls/NDV/min/max/mean for all columns; exact mode shows the documented Expand (N× the distinct aggregates), approx (HLL) removes it; the wide 1-row result explodes to tidy per-column rows",
     "emb_semantic_dedup": "centroids broadcast into a map-side assignment join (corpus never shuffles to cluster); the within-cell pair join is Σ n_cell² — bounded by cell granularity and AQE-skew-splittable; min-id collapse is distinct + LEFT ANTI on the id",
     "events_anomaly": "count/sum/square-sum as three frames over ONE exchange+sort; both moments from one LONG quantization (variance identity exact, overflow-bounded); flag decision replays bit-for-bit in SQL",
-    "docs_assign_ids": "two-phase prefix ranking: range exchange + per-partition local row_number + broadcast #partitions-row offsets — no SinglePartition window; pure function of the data",
+    "docs_assign_ids": "two-phase prefix ranking; in the hash-ordered path (round-10) the deterministic bucket makes the partition id a pure expression, so the rank window runs DIRECTLY over the full rows — the old slim-key rank + sort-merge join-back (2 extra exchanges + 3 sorts) is gone; no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
-    "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the documented two-phase range form",
+    "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the two-phase form over deterministic hash-range buckets (round-10: no range-sampling job, no persisted boundaries)",
+    "docs_minhash_transitive": "md5_60 band buckets (the deliberate oracle mirror; poly64 is the scale default) → co-bucket edges → iterative min-label components with LAZY localCheckpoints (round-10: driver actions materialize them, one job saved per site); on the union-find escape path the driver-built dropped set is wrapped in F.broadcast (round-10), so the final anti-join is a BroadcastHashJoin LeftAnti — the corpus side is never exchanged or sorted for it (was: SortMergeJoin + 2 Exchange + 2 Sort against a statistics-less Scan ExistingRDD)",
     "docs_winnow_overlap": "gram hashing + window minima via the Arrow poly64 rolling-hash kernel (zero shuffle until the (id, long) fingerprints); the round-9 max_df guard is a count-over-fp WINDOW whose output is hash-partitioned AND sorted by fp — the pair self-join adds no exchange or sort and both branches collapse into a ReusedExchange of ONE kernel pass (no checkpoint pinning the stream); the pair aggregate then runs on ONE guarded 64-bit packed key after an explicit repartition — 8-byte exchange rows, partial+final pipelined post-shuffle. NOTE the dump below is the INITIAL adaptive plan and still shows the kernel subtree duplicated under both join branches — the FINAL (executed) plan collapses them to ReusedExchange, asserted by tests/test_winnow.py::test_overlap_plan_reuses_one_exchange",
-    "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles with max_df=None, and shuffles exactly ONCE under the round-9 window-form guard (was: twice plus a checkpoint)",
+    "docs_winnow_contains": "corpus fingerprint stream stays map-side; probe fingerprints broadcast (eval sets are small by nature) — the corpus side never shuffles with max_df=None, and under the round-9 window-form guard shuffles exactly ONCE, carrying (round-10) only the probe∩corpus fp intersection: a broadcast semi-join on the probe's distinct fps precedes the max_df window, and the pinned probe stream feeds both consumers without re-running its kernel",
     "docs_bigram_ppl": "per-doc bigram counts from the Arrow poly64 kernel (token-hash pairs, one numpy pass per batch — keys never leave the model plane so scores are identical to the string-keyed form); the per-doc aggregate is PINNED because five consumers (score join, model, marginals, totals) don't canonicalize into ReusedExchange — the kernel runs once, everything else re-aggregates",
     "docs_ccnet_buckets": "scoring runs ONCE into a persisted slim (id, score) frame consumed by both the quantile pass and the output join; tercile cuts are distributed exact nearest-rank quantiles (distinct-value cumulative ranks) broadcast back — never an ntile window through one reducer per language",
-    "docs_shuffle_shards": "seeded-hash rank via two-phase prefix (range exchange + local row_number + broadcast offsets); round-robin deal makes shard sizes exact — no SinglePartition window, no rand(), pure function of (data, seed)",
+    "docs_shuffle_shards": "seeded-hash rank via deterministic hash-range buckets (round-10: ONE exchange + window directly over the rows — the range-sampling pass, the persisted boundaries, and the rank join-back are all gone); round-robin deal makes shard sizes exact — no SinglePartition window, no rand(), pure function of (data, seed)",
     "docs_ccnet_e2e": "the four curation stages chain with NO new shuffle classes: the gopher survivors are pinned ONCE (three consumers: bigram kernel, score join, quantile pass — previously three corpus scans), ccnet derives model+cuts from the pinned bigram kernel output, the eval probes broadcast into the poly64-winnow decontamination join, and the shard rank is the two-phase prefix — the corpus text shuffles ZERO times end to end",
     "docs_corpus_diff": "both snapshots pre-project to (id, group, 64-bit fingerprint, length) ~40-byte rows before the single full-outer id join — text never shuffles; classification + char mass fold into one small-key aggregate, output is |groups| rows",
     "emb_semantic_dedup_arrow": "cell assignment is ONE BLAS matmul per Arrow batch against the closure-shipped centroid matrix (mapInArrow, zero shuffle) — the scale path once n_cells ∝ N makes the per-pair HOF dot quadratic; downstream within-cell collapse identical to the HOF query",
