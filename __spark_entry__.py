@@ -1121,17 +1121,32 @@ def q_events_anomaly_bucketed(spark, sf_dir):
 def q_docs_assign_ids(spark, sf_dir):
     """Deterministic dense ID assignment (operators/ids.
     assign_stable_ids): rank in (md5(text), doc_id) order via the
-    two-phase distributed prefix machinery — range exchange +
-    per-partition local ranks + broadcast offsets, never a
-    SinglePartition window. The result is a pure function of the data
-    (stable under repartitioning/retries — tested), so the oracle's
-    global row_number reproduces it exactly."""
+    two-phase distributed prefix machinery — per-partition local ranks
+    + broadcast offsets, never a SinglePartition window. The leading
+    order key is a uniform md5 hex string, so the partitioning is the
+    DETERMINISTIC monotone bucket of its top 60 bits (round-10, guide
+    §2.5 — the same no-sampling-job / no-join-back hash-range slice
+    shuffle_shards and pack_sequences use: lowercase fixed-width hex
+    compares lexicographically exactly as its numeric value, so
+    conv(prefix) / width is non-decreasing in the full key and equal
+    keys share a bucket; NULL md5 → NULL bucket = the operator's
+    first-partition sentinel, matching NULLS FIRST range order). The
+    result is a pure function of the data (stable under
+    repartitioning/retries — tested), so the oracle's global
+    row_number reproduces it exactly."""
     from meds_transforms_spark.operators.ids import assign_stable_ids
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "__h", F.md5(F.col("text"))
     )
-    out = assign_stable_ids(docs, ["__h", "doc_id"], id_name="stable_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = (1 << 60) // n_parts + 1
+    bucket = (
+        F.conv(F.col("__h").substr(1, 15), 16, 10).cast("long") / F.lit(width)
+    ).cast("long")
+    out = assign_stable_ids(
+        docs, ["__h", "doc_id"], id_name="stable_id", bucket=bucket
+    )
     return out.select("doc_id", "stable_id")
 
 

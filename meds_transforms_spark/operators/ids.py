@@ -37,8 +37,10 @@ def assign_stable_ids(
 
     ``order_cols`` must be a total order (no duplicate key tuples) —
     duplicates would make the assignment depend on partition-internal
-    order; the operator validates this with one aggregate and raises.
-    Typical usage orders by a content hash plus a tiebreaker column.
+    order; the operator validates this with an in-plan guard on the
+    rank window (raising at ACTION time, round-10 — the old eager
+    aggregate cost a full pass over the key stream per call). Typical
+    usage orders by a content hash plus a tiebreaker column.
 
     Plan (round-10 restructure — rank the KEYS, not the rows): the
     slim ``order_cols`` projection is pinned (GC-released lazy
@@ -62,26 +64,48 @@ def assign_stable_ids(
     cols = [F.col(c) for c in order_cols]
 
     # Pin the slim key projection: the range partitioner's sampling
-    # pass, the dup-check, the counts job, and the final lineage all
-    # read these (order_cols)-only blocks; upstream runs once.
+    # pass, the counts job, and the final lineage all read these
+    # (order_cols)-only blocks; upstream runs once.
     slim = df.select(*cols).localCheckpoint(eager=False)
 
-    # The totality check is one extra aggregation over the PINNED key
-    # blocks — worth it by default (a silent partial order makes ids
-    # partition-dependent), skippable with validate=False when the key
-    # is known-unique (e.g. it ends in a primary key).
-    dup = 0 if not validate else (
-        slim.groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"assign_stable_ids: order_cols {order_cols} do not form a "
-            "total order (duplicate key tuples exist) — add a tiebreaker"
-        )
+    def _dup_flag(lrn: Column, lag_w) -> Column:
+        """Totality check as an IN-PLAN flag (round-10, the
+        pack_sequences raise_error pattern): duplicate key tuples would
+        make ids partition-internal-order-dependent, so by default the
+        rank expression raises on the first adjacent duplicate. Equal
+        tuples are always adjacent here — the partitioner maps equal
+        keys to one partition (range partitioning and any monotone
+        ``bucket`` both do) and the window sorts by the full tuple — so
+        a ``lag`` comparison computed in the SAME Window operator the
+        rank already pays for replaces the old eager
+        groupBy-count-limit job: one full aggregation pass over the key
+        stream and its distinct-keys exchange GONE per call, two
+        comparisons per row in their place. The raise moves from call
+        time to action time (same message). ``validate=False`` skips
+        the comparisons when the key is known-unique (e.g. it ends in a
+        primary key)."""
+        prev_eq = None
+        for c in cols:
+            eq = c.eqNullSafe(F.lag(c).over(lag_w))
+            prev_eq = eq if prev_eq is None else prev_eq & eq
+        # lrn > 1 fences the first row per partition: lag yields NULL
+        # there, which eqNullSafe would match against an all-NULL key.
+        return (lrn > 1) & prev_eq
+
+    def _guarded_rank(lrn: Column, off: Column, dup: Column | None) -> Column:
+        rank_val = (lrn - 1 + off).cast("long")
+        if dup is None:
+            return rank_val
+        return F.when(
+            dup,
+            F.raise_error(
+                F.lit(
+                    f"assign_stable_ids: order_cols {order_cols} do not "
+                    "form a total order (duplicate key tuples exist) — "
+                    "add a tiebreaker"
+                )
+            ).cast("long"),
+        ).otherwise(rank_val)
 
     if bucket is not None:
         # Caller-supplied DETERMINISTIC monotone bucket of the leading
@@ -113,32 +137,44 @@ def assign_stable_ids(
         off_df = spark.createDataFrame(
             offsets or [(0, int(start))], "__pid int, __off long"
         )
-        local_w = (
-            W.partitionBy("__pid")
-            .orderBy(*cols)
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
+        lag_w = W.partitionBy("__pid").orderBy(*cols)
+        local_w = lag_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        work = df.withColumn("__pid", F.coalesce(bucket, F.lit(-1)).cast("int"))
+        work = work.withColumn("__lrn", F.count(F.lit(1)).over(local_w))
+        if validate:
+            # Same (partition, order) spec as the rank count → one
+            # Window operator computes both; no extra exchange or sort.
+            work = work.withColumn("__dup", _dup_flag(F.col("__lrn"), lag_w))
         return (
-            df.withColumn("__pid", F.coalesce(bucket, F.lit(-1)).cast("int"))
-            .withColumn("__lrn", F.count(F.lit(1)).over(local_w))
-            .join(F.broadcast(off_df), "__pid")
-            .withColumn(id_name, (F.col("__lrn") - 1 + F.col("__off")).cast("long"))
-            .drop("__pid", "__lrn", "__off")
+            work.join(F.broadcast(off_df), "__pid")
+            .withColumn(
+                id_name,
+                _guarded_rank(
+                    F.col("__lrn"),
+                    F.col("__off"),
+                    F.col("__dup") if validate else None,
+                ),
+            )
+            .drop("__pid", "__lrn", "__off", *(["__dup"] if validate else []))
         )
 
     parted = slim.repartitionByRange(n_parts, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    local_w = (
-        W.partitionBy("__pid")
-        .orderBy(*cols)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    lag_w = W.partitionBy("__pid").orderBy(*cols)
+    local_w = lag_w.rowsBetween(W.unboundedPreceding, W.currentRow)
     # persist() pins the sampled range boundaries between the counts
     # job and the final action (recomputation must not re-draw them) —
     # key-width rows only, LRU-evictable; the upstream data itself is
     # already safe behind the slim checkpoint.
-    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w)).persist()
+    local = parted.withColumn("__lrn", F.count(F.lit(1)).over(local_w))
+    if validate:
+        # Same (partition, order) spec as the rank count → one Window
+        # operator computes both; no extra exchange or sort. The raise
+        # itself lives in the id expression below, so the counts job
+        # (which materializes `local`) never trips it early.
+        local = local.withColumn("__dup", _dup_flag(F.col("__lrn"), lag_w))
+    local = local.persist()
     counts = {
         r["__pid"]: r["__n"]
         for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
@@ -150,8 +186,15 @@ def assign_stable_ids(
     off_df = spark.createDataFrame(offsets or [(0, int(start))], "__pid int, __off long")
     ranked_keys = (
         local.join(F.broadcast(off_df), "__pid")
-        .withColumn(id_name, (F.col("__lrn") - 1 + F.col("__off")).cast("long"))
-        .drop("__pid", "__lrn", "__off")
+        .withColumn(
+            id_name,
+            _guarded_rank(
+                F.col("__lrn"),
+                F.col("__off"),
+                F.col("__dup") if validate else None,
+            ),
+        )
+        .drop("__pid", "__lrn", "__off", *(["__dup"] if validate else []))
     )
     # Null-safe equi-join: order keys may legitimately be NULL (they
     # sort first in the range order); a plain equi-join would silently

@@ -32,11 +32,35 @@ def test_stable_under_repartitioning(spark):
 
 
 def test_rejects_non_total_order(spark):
+    # Round-10: the totality check is an IN-PLAN raise_error guard on
+    # the rank window (no eager aggregation job), so the duplicate-key
+    # rejection surfaces at ACTION time as Spark's user-raised error,
+    # same message.
     from meds_transforms_spark.operators.ids import assign_stable_ids
 
     df = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
-    with pytest.raises(ValueError, match="total order"):
+    with pytest.raises(Exception, match="total order"):
         assign_stable_ids(df, ["g"]).collect()
+
+
+def test_rejects_non_total_order_bucketed(spark):
+    # Same guard on the deterministic-bucket path (it previously only
+    # existed as the shared eager job).
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+    with pytest.raises(Exception, match="total order"):
+        assign_stable_ids(df, ["g"], bucket=F.lit(0)).collect()
+
+
+def test_validate_false_skips_guard(spark):
+    # validate=False is the documented KNOWN-unique escape hatch: no
+    # guard evaluation, correct ids on a genuinely unique key.
+    from meds_transforms_spark.operators.ids import assign_stable_ids
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, g string")
+    out = assign_stable_ids(df, ["g"], validate=False).collect()
+    assert {r.g: r.stable_id for r in out} == {"x": 0, "y": 1}
 
 
 def test_start_offset_and_empty(spark):
