@@ -103,6 +103,24 @@ def _with_kernel_parallelism(base: DataFrame) -> DataFrame:
     already has ≥ N splits; only shuffle-rooted inputs — where no
     job-free count exists and which are the documented use-case for
     the env — repartition unconditionally.
+
+    SIZE-AWARE target (round-11, guide §2 "make partitioning
+    scale-adaptive"): the rescue target is no longer a flat
+    ``defaultParallelism`` but ``min(cores, ceil(estimated input
+    bytes / SPARK_GRAFT_KERNEL_TASK_BYTES))`` using the optimized
+    logical plan's size estimate (job-free planner statistics — file
+    bytes for scans). A starved input only fans out to as many tasks
+    as carry ≥ ~4 MB of payload each: round-10's flat-cores rescue
+    round-robin-exchanged a 584 KB corpus into 32 partitions and spun
+    the full Python worker pool for milliseconds of kernel compute —
+    the driver-measured docs_minhash_dedup 0.53× regression and its
+    8-beats-32-core anti-scaling. Interleaved A/B at 32 cores/sf0.1:
+    minhash 2.32→1.09 s median, winnow_contains 4.74→3.28,
+    winnow_overlap 3.31→2.65, substring_dedup 3.74→2.88, and 1-2
+    fewer jobs/run each. Plans with unknown/absurd size estimates
+    (Long.Max defaults) clamp to cores, i.e. the old behavior; the
+    4× starvation gate now compares against the size-aware target, so
+    a tiny 1-split input is simply left alone.
     """
     if base.isStreaming:
         return base
@@ -131,7 +149,8 @@ def _with_kernel_parallelism(base: DataFrame) -> DataFrame:
                 return base.repartition(target)
             return base
         # unparseable / non-positive explicit value: fall back to auto
-    target = base.sparkSession.sparkContext.defaultParallelism
+    cores = base.sparkSession.sparkContext.defaultParallelism
+    target = min(cores, _size_aware_task_count(base, cores))
     n = _static_partition_count(base)
     if n is None:
         if not _is_scan_rooted(base):
@@ -143,6 +162,32 @@ def _with_kernel_parallelism(base: DataFrame) -> DataFrame:
     if 0 < n * 4 <= target:
         return base.repartition(target)
     return base
+
+
+_KERNEL_TASK_BYTES = 4 << 20  # ≥ ~20 ms kernel compute per task
+
+
+def _size_aware_task_count(df: DataFrame, cores: int) -> int:
+    """How many kernel tasks the input's SIZE justifies: ceil(estimated
+    bytes / task-bytes), read job-free from the optimized logical
+    plan's statistics (file size for scans, propagated through
+    project/filter). Unknown or absurd estimates (Catalyst's Long.Max
+    default for unsized relations) return ``cores`` — the pre-round-11
+    flat target."""
+    raw = os.environ.get("SPARK_GRAFT_KERNEL_TASK_BYTES", "").strip()
+    try:
+        task_bytes = int(raw) if raw else _KERNEL_TASK_BYTES
+    except ValueError:
+        task_bytes = _KERNEL_TASK_BYTES
+    if task_bytes <= 0:
+        return cores
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cores
+    if est < 0 or est > (1 << 60):  # unknown / defaulted estimate
+        return cores
+    return max(1, min(cores, -(-est // task_bytes)))
 
 
 def _static_partition_count(df: DataFrame) -> int | None:
