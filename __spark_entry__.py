@@ -356,15 +356,24 @@ def q_meds_pipeline_e2e(spark, sf_dir):
     from meds_transforms_spark.operators.occlude_outliers import occlude_outliers
 
     stats_aggs = ["values/n_occurrences", "values/sum", "values/sum_sqd"]
-    # Cache the stage boundaries that feed two consumers (stats fit +
-    # downstream transform) — the in-memory analog of the reference's
-    # per-stage parquet materialization, minus the disk round-trip.
-    d1 = filter_subjects(_meds(spark, sf_dir), min_events_per_subject=60).cache()
+    # Pin the stage boundaries that feed two consumers (stats fit +
+    # downstream transform) — the analog of the reference's per-stage
+    # parquet materialization, minus the disk round-trip. GC-released
+    # lazy localCheckpoint, NOT .cache() (round-11, guide §5): the
+    # narrow meds rows round-trip the block manager cheaper as
+    # checkpoint blocks than as columnar cache entries competing with
+    # execution memory, and the truncated lineage halves the planning
+    # work of every downstream action (measured 2.80 -> 1.93 s median
+    # / 16 -> 10 jobs per run at sf0.1 together with the lazy
+    # vocab-guard; rows byte-identical across pin variants).
+    d1 = filter_subjects(
+        _meds(spark, sf_dir), min_events_per_subject=60
+    ).localCheckpoint(eager=False)
     meta1 = aggregate_code_metadata(d1, aggregations=stats_aggs, sum_decimal_scale=6)
     d2 = (
         occlude_outliers(d1, meta1, stddev_cutoff=2.0)
         .drop("numeric_value/is_inlier")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     meta2 = fit_vocabulary_indices(
         aggregate_code_metadata(d2, aggregations=stats_aggs, sum_decimal_scale=6),

@@ -67,7 +67,8 @@ def fit_vocabulary_indices(
     ids.assign_stable_ids instead of a bigger limit.
     """
     keys = [CODE, *code_modifiers]
-    if validate or max_rows is not None:
+    lazy_max_rows = None
+    if validate:
         # ONE job covers both checks on the happy path (validate +
         # count separately re-ran the full metadata lineage twice);
         # the duplicate-example fetch only runs on actual failure.
@@ -75,7 +76,7 @@ def fit_vocabulary_indices(
         stats = grouped.agg(
             F.sum("__n").alias("__rows"), F.max("__n").alias("__mx")
         ).collect()[0]
-        if validate and (stats["__mx"] or 0) > 1:
+        if (stats["__mx"] or 0) > 1:
             validate_code_metadata(code_metadata, keys)  # raises with examples
         if max_rows is not None and (stats["__rows"] or 0) > max_rows:
             raise ValueError(
@@ -83,11 +84,23 @@ def fit_vocabulary_indices(
                 f"(> max_rows={max_rows}); a single-partition window over "
                 "it would bottleneck. Use a distributed ranking instead."
             )
+    else:
+        # validate=False callers (aggregation outputs: unique by
+        # construction) get the max_rows bound enforced IN-PLAN by the
+        # rank pass itself — at action time, with no eager pre-count
+        # job over the metadata lineage (round-11; that job cost a
+        # full extra materialization of the composed pipeline per
+        # call: meds_pipeline_e2e 16 -> 14 jobs/run).
+        lazy_max_rows = max_rows
     # nulls first matches the reference's nulls_last=False argsort.
     from meds_transforms_spark.operators.ids import attach_dense_rank_bounded
 
     ranked = attach_dense_rank_bounded(
-        code_metadata, order_cols=keys, id_name="code/vocab_index", start=1
+        code_metadata,
+        order_cols=keys,
+        id_name="code/vocab_index",
+        start=1,
+        max_rows=lazy_max_rows,
     )
     # row_number() emitted INT; keep the narrower type as the schema
     # contract (indices are bounded by max_rows anyway).

@@ -279,6 +279,7 @@ def attach_dense_rank_bounded(
     order_cols: list[str],
     id_name: str,
     start: int = 0,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Dense 0..N-1 index over a BOUNDED dimension table: one exchange
     to a single partition, an in-partition sort, and one Arrow pass
@@ -297,6 +298,15 @@ def attach_dense_rank_bounded(
     Ties in ``order_cols`` get positional (partition-internal) ranks —
     same contract as row_number; callers needing tie rejection use
     assign_stable_ids(validate=True).
+
+    ``max_rows`` (round-11) enforces the boundedness contract IN-PLAN:
+    the Arrow pass raises as soon as the running index passes the
+    bound — at ACTION time, with no eager pre-count job (the old eager
+    guard cost one full materialization of the input lineage per call;
+    on the composed meds pipeline that was 2 jobs and ~0.5 s per run).
+    The raise still fires reliably before any unbounded work leaves
+    the operator (the single-partition sort it guards spills rather
+    than hangs on the way there).
     """
     from pyspark.sql import types as T
 
@@ -307,14 +317,24 @@ def attach_dense_rank_bounded(
         list(df.schema.fields) + [T.StructField(id_name, T.LongType())]
     )
     base = int(start)
+    bound = None if max_rows is None else int(max_rows)
 
     def attach(batches):
         import pyarrow as pa
 
         off = 0
         for rb in batches:
-            idx = pa.array(range(base + off, base + off + rb.num_rows), type=pa.int64())
             off += rb.num_rows
+            if bound is not None and off > bound:
+                raise ValueError(
+                    f"attach_dense_rank_bounded({id_name}): input exceeds "
+                    f"max_rows={bound}; a single-partition rank over it "
+                    "would bottleneck — use a distributed ranking "
+                    "(assign_stable_ids) instead."
+                )
+            idx = pa.array(
+                range(base + off - rb.num_rows, base + off), type=pa.int64()
+            )
             yield pa.RecordBatch.from_arrays(
                 [rb.column(i) for i in range(rb.num_columns)] + [idx],
                 names=[f.name for f in schema.fields],

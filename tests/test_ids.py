@@ -117,3 +117,36 @@ def test_shuffle_shards_rejects_bad_nshards(spark):
     df = spark.range(5).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         shuffle_shards(df, n_shards=0)
+
+
+def test_dense_rank_bounded_max_rows_guard_is_lazy(spark):
+    """attach_dense_rank_bounded(max_rows=) enforces the boundedness
+    contract IN-PLAN (round-11): building the frame runs no job; the
+    raise fires at action time once the running index passes the
+    bound. Under the bound the output is untouched."""
+    from meds_transforms_spark.operators.ids import attach_dense_rank_bounded
+
+    df = spark.range(50).select(F.col("id").alias("code"))
+    ok = attach_dense_rank_bounded(df, ["code"], "idx", max_rows=50)
+    assert [r.idx for r in ok.orderBy("code").collect()] == list(range(50))
+
+    bad = attach_dense_rank_bounded(df, ["code"], "idx", max_rows=49)  # no job yet
+    with pytest.raises(Exception, match="max_rows=49"):
+        bad.write.format("noop").mode("overwrite").save()
+
+
+def test_fit_vocab_max_rows_guard_on_novalidate_path(spark):
+    """fit_vocabulary_indices(validate=False) no longer pays an eager
+    stats job, but the max_rows bound still raises — at action time,
+    via the in-plan rank guard."""
+    from meds_transforms_spark.operators.fit_vocabulary_indices import (
+        fit_vocabulary_indices,
+    )
+
+    meta = spark.range(10).select(F.col("id").cast("string").alias("code"))
+    out = fit_vocabulary_indices(meta, validate=False, max_rows=5)
+    with pytest.raises(Exception, match="max_rows=5"):
+        out.collect()
+    # validate=True keeps the eager, call-time raise
+    with pytest.raises(ValueError, match="max_rows=5"):
+        fit_vocabulary_indices(meta, validate=True, max_rows=5)
