@@ -742,7 +742,22 @@ def _cosine_dedup_within(
             .filter(F.col("cos") >= float(threshold))
         )
     # Collapse: every id_b similar to a smaller id_a is dropped.
-    dropped = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    # Pin the (id-only) dropped set with a GC-released lazy
+    # localCheckpoint (round-11): when ``df`` is a Union (e.g. corpus +
+    # augmentation), the optimizer pushes the anti-join below the
+    # union, and each branch rebuilds the ENTIRE pair pipeline — the
+    # per-pair cosine stage (the measured bulk of the query: 2×~1.4 s
+    # cpu of emb_semantic_dedup's 2.2 s wall at sf0.1) executed once
+    # per branch with no exchange reuse. The checkpoint truncates the
+    # lineage so every consumer reads the same computed-once id
+    # blocks. NOT a broadcast: the dropped set is duplicate-count-
+    # sized — unbounded at 100 TB — while checkpoint blocks stay
+    # distributed.
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     return df.join(dropped, id_col, "left_anti")
 
 

@@ -43,6 +43,9 @@ def main():
     qs["meds_fit_vocab"](spark, SF_DIR).count()  # codegen warmup
     sc = spark.sparkContext
 
+    if RUNS < 1:
+        print(f"SPARK_GRAFT_RUNS={RUNS} must be >= 1", file=sys.stderr)
+        sys.exit(2)
     for name in sys.argv[1:]:
         for i in range(RUNS):
             sc.setJobGroup(f"bd-{name}-{i}", name)
@@ -62,7 +65,14 @@ def main():
         os.path.join(evdir, app_id + ".inprogress"),
         os.path.join(evdir, f"eventlog_v2_{app_id}"),
     ]
-    path = next(p for p in candidates if os.path.exists(p))
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        print(
+            f"no event log found for {app_id} under {evdir}; "
+            f"contents: {sorted(os.listdir(evdir))}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     if os.path.isdir(path):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.startswith("events_")
