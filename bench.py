@@ -144,6 +144,14 @@ def main():
         # rounds at equal n_queries (r01: 19, r02: 24).
         "n_queries": len(BENCH_QUERIES),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Round-11 (additive): per-query best-of-N, POSITIONAL in
+        # "queries" insertion order (a parallel name-keyed map blows
+        # the 1900-char line budget). best-of-N is the noise-robust
+        # statistic on this host (documented 1.5-3x window-to-window
+        # medians on identical code); round-over-round comparisons
+        # should prefer it to the medians above.
+        "best": [round(min(raw[name]), 2) for name in times],
+        "best_total": round(sum(min(ts) for ts in raw.values()), 3),
     }
     raw_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_raw_latest.json"
@@ -163,13 +171,18 @@ def main():
     if len(line) > 1900:
         # Degrade, never overflow: keep the slowest queries (the ones a
         # reader acts on) until the line fits; the full map is in the
-        # side file either way.
+        # side file either way. "best" stays positional with the
+        # truncated "queries" map.
         ranked = sorted(times, key=times.get, reverse=True)
         while len(line) > 1900 and ranked:
             ranked.pop()
+            keep = set(ranked)
             compact["queries"] = {
-                n: round(times[n], 2) for n in times if n in set(ranked)
+                n: round(times[n], 2) for n in times if n in keep
             }
+            compact["best"] = [
+                round(min(raw[n]), 2) for n in times if n in keep
+            ]
             compact["queries_truncated_to"] = len(ranked)
             line = json.dumps(compact)
     print(line)
