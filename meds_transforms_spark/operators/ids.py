@@ -38,9 +38,18 @@ def assign_stable_ids(
     ``order_cols`` must be a total order (no duplicate key tuples) —
     duplicates would make the assignment depend on partition-internal
     order; the operator validates this with an in-plan guard on the
-    rank window (raising at ACTION time, round-10 — the old eager
-    aggregate cost a full pass over the key stream per call). Typical
-    usage orders by a content hash plus a tiebreaker column.
+    rank window (round-10 — the old eager aggregate cost a full pass
+    over the key stream per call). The guard is BEST-EFFORT by
+    construction (ADVICE r10): it lives inside the ``id_name``
+    expression, so it fires only when an action actually evaluates
+    that column. An action that prunes it (``.count()`` on the result,
+    a downstream select that drops the id) skips the check, and in the
+    generic path duplicate keys then multiply rows through the
+    null-safe join-back instead of raising. Callers that need the hard
+    call-time guarantee should assert uniqueness themselves (e.g.
+    ``groupBy(*order_cols).count().filter("count > 1").limit(1)``)
+    before calling. Typical usage orders by a content hash plus a
+    tiebreaker column, where uniqueness holds by construction.
 
     Plan (round-10 restructure — rank the KEYS, not the rows): the
     slim ``order_cols`` projection is pinned (GC-released lazy

@@ -35,7 +35,9 @@ QUERIES = [
 ]
 
 
-def run_at(cpus: int, sf_dir: str, runs: int) -> dict[str, list[float]]:
+def run_pass(cpus: int, sf_dir: str) -> dict[str, float]:
+    """One fresh app at `cpus`: a discarded warm pass (worker pools,
+    codegen, page cache) then ONE timed pass over the query list."""
     import __spark_entry__ as E
     from meds_transforms_spark import get_spark
 
@@ -44,15 +46,14 @@ def run_at(cpus: int, sf_dir: str, runs: int) -> dict[str, list[float]]:
     )
     qs = E.queries()
     qs["meds_fit_vocab"](spark, sf_dir).count()  # codegen warmup
-    out: dict[str, list[float]] = {q: [] for q in QUERIES}
-    for i in range(runs + 1):  # +1 warm pass, discarded
+    out: dict[str, float] = {}
+    for i in range(2):  # pass 0 warm (discarded), pass 1 timed
         for name in QUERIES:
             spark.sparkContext.setJobGroup(f"ab{cpus}-{name}-{i}", name)
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            w = round(time.time() - t0, 3)
-            if i > 0:
-                out[name].append(w)
+            if i:
+                out[name] = round(time.time() - t0, 3)
             spark.catalog.clearCache()
     spark.stop()
     return out
@@ -60,7 +61,7 @@ def run_at(cpus: int, sf_dir: str, runs: int) -> dict[str, list[float]]:
 
 def main():
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     from scale_sf1_heavy import build_scaled_dir
 
@@ -73,19 +74,31 @@ def main():
     spark.stop()
     time.sleep(2)
 
-    results = {}
-    for cpus in (32, 8):
-        results[cpus] = run_at(cpus, sf_dir, runs)
-        print(f"-- local[{cpus}] done", flush=True)
-        time.sleep(2)
+    # ALTERNATE core counts across fresh apps so host-noise windows hit
+    # both arms — the sequential two-arm design put an 85 s burst
+    # entirely inside one arm and made medians-of-2 unusable.
+    results: dict[int, dict[str, list[float]]] = {
+        c: {q: [] for q in QUERIES} for c in (32, 8)
+    }
+    for i in range(runs):
+        for cpus in (32, 8):
+            one = run_pass(cpus, sf_dir)
+            for q, w in one.items():
+                results[cpus][q].append(w)
+            print(f"-- pass {i} local[{cpus}]: {one}", flush=True)
+            time.sleep(2)
 
-    print(f"\n| query | 32-core med | 8-core med | ratio (ideal 4.0) |")
+    print("\n| query | 32-core best | 8-core best | ratio (ideal 4.0) |")
     print("|---|---:|---:|---:|")
     for name in QUERIES:
-        m32 = statistics.median(results[32][name])
-        m8 = statistics.median(results[8][name])
-        print(f"| {name} | {m32:.1f} s | {m8:.1f} s | {m8 / m32:.2f} |")
-    print("\nraw:", {c: results[c] for c in results})
+        b32 = min(results[32][name])
+        b8 = min(results[8][name])
+        print(f"| {name} | {b32:.1f} s | {b8:.1f} s | {b8 / b32:.2f} |")
+    print("\nmedians:", {
+        c: {q: statistics.median(ws) for q, ws in results[c].items()}
+        for c in results
+    })
+    print("raw:", results)
 
 
 if __name__ == "__main__":
