@@ -1136,10 +1136,11 @@ def q_docs_assign_ids(spark, sf_dir):
     DETERMINISTIC monotone bucket of its top 60 bits (round-10, guide
     §2.5 — the same no-sampling-job / no-join-back hash-range slice
     shuffle_shards and pack_sequences use: lowercase fixed-width hex
-    compares lexicographically exactly as its numeric value, so
-    conv(prefix) / width is non-decreasing in the full key and equal
-    keys share a bucket; NULL md5 → NULL bucket = the operator's
-    first-partition sentinel, matching NULLS FIRST range order). The
+    compares lexicographically exactly as its numeric value, so the
+    exact-integer ((conv(prefix) >> 30)·n) >> 30 slice is
+    non-decreasing in the full key and equal keys share a bucket;
+    NULL md5 → NULL bucket = the operator's first-partition sentinel,
+    matching NULLS FIRST range order). The
     result is a pure function of the data (stable under
     repartitioning/retries — tested), so the oracle's global
     row_number reproduces it exactly."""
@@ -1149,10 +1150,13 @@ def q_docs_assign_ids(spark, sf_dir):
         "__h", F.md5(F.col("text"))
     )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    width = (1 << 60) // n_parts + 1
-    bucket = (
-        F.conv(F.col("__h").substr(1, 15), 16, 10).cast("long") / F.lit(width)
-    ).cast("long")
+    # Exact integer bucket (ADVICE r10): ((key >> 30) · n) >> 30 =
+    # floor(key·n/2⁶⁰) up to a ≤2⁻³⁰ boundary shift — monotone in the
+    # 60-bit md5 prefix, range exactly [0, n_parts), no double
+    # rounding (the old /width divided in double, where top-of-range
+    # keys rounded into an out-of-range extra bucket).
+    key60 = F.conv(F.col("__h").substr(1, 15), 16, 10).cast("long")
+    bucket = F.shiftright(F.shiftright(key60, 30) * F.lit(n_parts), 30)
     out = assign_stable_ids(
         docs, ["__h", "doc_id"], id_name="stable_id", bucket=bucket
     )
@@ -1996,75 +2000,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks
     # a capped prefix (~50) of this dict, so each round the prefix
     # ROTATES to the queries whose latest driver row is oldest or whose
-    # code changed since. Round-10 window (slots 1-50):
-    #   1-24  the 24 r07-latest stragglers (queued since r09 — the
-    #         whole r07 freshness debt retires this round);
-    #   25-27 r09-green queries whose kernel code changed this round
-    #         (_minhash_batch's signature table + occupancy mask moved
-    #         into the scratch pool; occupancy is now a uint8 set-bit,
-    #         not an int64 bincount);
-    #   28-50 r08 cohort, registration order (23 of 47 — the remaining
-    #         24 lead the r11 prefix, followed by the r09 cohort).
+    # code changed since. Round-11 window (slots 1-50), exactly the
+    # rotation the r10 verdict prescribed (item 8):
+    #   1-24  the 24 remaining r08-cohort queries (r08-latest — the
+    #         r08 freshness debt retires this round); among them the
+    #         round-11-touched docs_substring_dedup / docs_dsir_weights;
+    #   25-50 the r09 cohort in registration order (first 26 of 47) —
+    #         includes the round-11-touched winnow_contains /
+    #         winnow_overlap / ccnet / curation / bigdoc kernel paths.
+    # The rest of the r09 cohort and the whole r10 window trail (all
+    # r10-fresh); every round-11 code change is additionally gated
+    # locally by scripts/check_oracles.py over ALL 121 queries.
     # With 121 registered queries and a 50-slot window the steady-state
     # max staleness is ceil(121/50) = 3 rounds; the rotation keeps the
     # debt concentrated in exactly one trailing cohort.
     # Run scripts/window_freshness.py for the staleness table.
     return {
-        # --- slots 1-24: r07-latest cohort (freshness debt) ---
-        "docs_assign_ids": q_docs_assign_ids,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_corpus_diff": q_docs_corpus_diff,
-        "docs_pack": q_docs_pack,
-        "docs_shuffle_shards": q_docs_shuffle_shards,
-        "docs_validate": q_docs_validate,
-        "emb_cluster_balance": q_emb_cluster_balance,
-        "emb_covariance": q_emb_covariance,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
-        "events_profile": q_events_profile,
-        "events_zorder": q_events_zorder,
-        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
-        "meds_filter_subjects": q_meds_filter_subjects,
-        "meds_fit_vocab": q_meds_fit_vocab,
-        "meds_normalization": q_meds_normalization,
-        "meds_pipeline_e2e": q_meds_pipeline_e2e,
-        "multimodal_frames": q_multimodal_frames,
-        "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
-        "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
-        "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
-        "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
-        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
-        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
-        # --- slots 25-27: r09-green, minhash kernel code changed this
-        # --- round (scratch-pooled signature table / occupancy mask) ---
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_minhash_transitive": q_docs_minhash_transitive,
-        "docs_bigdoc_minhash": q_docs_bigdoc_minhash,
-        # --- slots 28-50: r08 cohort, first 23 in registration order ---
-        "tpch_q9": _tpch_suite.QUERIES["tpch_q9"],
-        "tpch_q10": _tpch_suite.QUERIES["tpch_q10"],
-        "tpch_q11": _tpch_suite.QUERIES["tpch_q11"],
-        "tpch_q13": _tpch_suite.QUERIES["tpch_q13"],
-        "tpch_q14": _tpch_suite.QUERIES["tpch_q14"],
-        "tpch_q15": _tpch_suite.QUERIES["tpch_q15"],
-        "tpch_q16": _tpch_suite.QUERIES["tpch_q16"],
-        "tpch_q17": _tpch_suite.QUERIES["tpch_q17"],
-        "tpch_q18": _tpch_suite.QUERIES["tpch_q18"],
-        "tpch_q19": _tpch_suite.QUERIES["tpch_q19"],
-        "tpch_q21": _tpch_suite.QUERIES["tpch_q21"],
-        "tpch_q22": _tpch_suite.QUERIES["tpch_q22"],
-        "docs_tfidf": q_docs_tfidf,
-        "docs_semantic_search": q_docs_semantic_search,
-        "docs_simhash": q_docs_simhash,
-        "emb_lsh_topk": q_emb_lsh_topk,
-        "emb_cosine_dedup": q_emb_cosine_dedup,
-        "events_sessions": q_events_sessions,
-        "events_funnel": q_events_funnel,
-        "docs_line_dedup": q_docs_line_dedup,
-        "events_retention": q_events_retention,
-        "docs_domain_mix": q_docs_domain_mix,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        # --- slots 51-74: remaining r08 cohort (leads the r11 prefix) ---
+        # --- slots 1-24: remaining r08 cohort (the r10 verdict's ---
+        # --- prescribed r11 lead; includes the round-11-touched ---
+        # --- substring/dsir kernel consumers) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2090,7 +2044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_filter": q_docs_gopher_filter,
         # --- slots 75-121: r09 cohort (fresh; follows the r08 block in
-        # --- the r11/r12 rotation), minus the 3 promoted to 25-27 ---
+        # --- slots 25-50 (first 26 below): r09 cohort, registration ---
+        # --- order — covers the round-11-touched winnow/ccnet/ ---
+        # --- curation/bigdoc kernel paths; the rest trail the window ---
         "docs_pmi": q_docs_pmi,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
@@ -2139,6 +2095,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_keep_latest": q_events_keep_latest,
         "events_transitions": q_events_transitions,
         # Future-proofing: pick up any suite queries not spelled out
+        # --- r10-window queries (r10-fresh; trail the r11 window, ---
+        # --- re-enter the rotation next): r07 cohort ---
+        "docs_assign_ids": q_docs_assign_ids,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_corpus_diff": q_docs_corpus_diff,
+        "docs_pack": q_docs_pack,
+        "docs_shuffle_shards": q_docs_shuffle_shards,
+        "docs_validate": q_docs_validate,
+        "emb_cluster_balance": q_emb_cluster_balance,
+        "emb_covariance": q_emb_covariance,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_semantic_dedup_arrow": q_emb_semantic_dedup_arrow,
+        "events_profile": q_events_profile,
+        "events_zorder": q_events_zorder,
+        "meds_agg_quantiles_approx": q_meds_agg_quantiles_approx,
+        "meds_filter_subjects": q_meds_filter_subjects,
+        "meds_fit_vocab": q_meds_fit_vocab,
+        "meds_normalization": q_meds_normalization,
+        "meds_pipeline_e2e": q_meds_pipeline_e2e,
+        "multimodal_frames": q_multimodal_frames,
+        "tpch_q2": _tpch_suite.QUERIES["tpch_q2"],
+        "tpch_q4": _tpch_suite.QUERIES["tpch_q4"],
+        "tpch_q7": _tpch_suite.QUERIES["tpch_q7"],
+        "tpch_q8": _tpch_suite.QUERIES["tpch_q8"],
+        "tpch_q12": _tpch_suite.QUERIES["tpch_q12"],
+        "tpch_q20": _tpch_suite.QUERIES["tpch_q20"],
+        # --- slots 25-27: r09-green, minhash kernel code changed this
+        # --- r10-window: minhash trio (r10-gated kernel change) ---
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_minhash_transitive": q_docs_minhash_transitive,
+        "docs_bigdoc_minhash": q_docs_bigdoc_minhash,
+        # --- slots 28-50: r08 cohort, first 23 in registration order ---
+        # --- r10-window: r08 cohort first 23 ---
+        "tpch_q9": _tpch_suite.QUERIES["tpch_q9"],
+        "tpch_q10": _tpch_suite.QUERIES["tpch_q10"],
+        "tpch_q11": _tpch_suite.QUERIES["tpch_q11"],
+        "tpch_q13": _tpch_suite.QUERIES["tpch_q13"],
+        "tpch_q14": _tpch_suite.QUERIES["tpch_q14"],
+        "tpch_q15": _tpch_suite.QUERIES["tpch_q15"],
+        "tpch_q16": _tpch_suite.QUERIES["tpch_q16"],
+        "tpch_q17": _tpch_suite.QUERIES["tpch_q17"],
+        "tpch_q18": _tpch_suite.QUERIES["tpch_q18"],
+        "tpch_q19": _tpch_suite.QUERIES["tpch_q19"],
+        "tpch_q21": _tpch_suite.QUERIES["tpch_q21"],
+        "tpch_q22": _tpch_suite.QUERIES["tpch_q22"],
+        "docs_tfidf": q_docs_tfidf,
+        "docs_semantic_search": q_docs_semantic_search,
+        "docs_simhash": q_docs_simhash,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_cosine_dedup": q_emb_cosine_dedup,
+        "events_sessions": q_events_sessions,
+        "events_funnel": q_events_funnel,
+        "docs_line_dedup": q_docs_line_dedup,
+        "events_retention": q_events_retention,
+        "docs_domain_mix": q_docs_domain_mix,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        # --- slots 51-74: remaining r08 cohort (leads the r11 prefix) ---
         # above (currently none — all 18 are listed explicitly).
         **{
             k: v

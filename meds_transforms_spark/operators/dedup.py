@@ -596,6 +596,7 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     num_planes: int = 16,
     exact: bool = False,
+    pair_impl: str = "gram",
 ) -> DataFrame:
     """Near-dup removal by embedding cosine within random-hyperplane LSH
     buckets: same-bucket pairs with cosine ≥ threshold collapse to the
@@ -657,7 +658,211 @@ def embedding_cosine_dedup(
             )
             .drop("__vn")
         )
-    return _cosine_dedup_within(bucketed, df, vec_col, id_col, threshold, exact)
+    return _cosine_dedup_within(
+        bucketed, df, vec_col, id_col, threshold, exact, pair_impl
+    )
+
+
+def _gram_dropped_exact(base: DataFrame, id_col: str, t2: int) -> DataFrame:
+    """Dropped ids of the exact-mode pair stage via ONE per-bucket Gram
+    matmul (round-11, guide §8 "move big rows once"): the bucket
+    self-join form materializes O(Σ n_b²) pair rows each carrying BOTH
+    quantized vectors, and evaluates an interpreted per-pair fold over
+    every one; here each vector crosses one exchange ONCE
+    (groupBy(__bucket).applyInPandas) and the within-bucket dot matrix
+    is one int64 matmul per column chunk.
+
+    BIT-IDENTICAL to the interpreted plan by construction:
+
+    - integer addition is order-independent, so the matmul's
+      ``Σ qa_i·qb_i`` IS the ``aggregate(zip_with(...))`` fold value
+      wherever the fold is defined; the fast path is guarded by
+      ``max|q|²·dim < 2⁶³`` (beyond it the whole bucket replays in
+      Python ints and raises on a product/sum outside int64 — the
+      ANSI overflow error the interpreted fold would raise);
+    - fold-NULL rows are INERT exactly as in the plan: a NULL array, a
+      NULL element (zip_with → NULL product → NULL fold), or a length
+      mismatch (zip_with pads → NULL) makes every pair's ``__dot``
+      NULL → both filter conjuncts false → the row neither drops nor
+      is dropped; empty arrays fold to the init 0 → ``__dot > 0``
+      false → inert;
+    - the threshold ``10⁴·dot² ≥ t2·‖a‖²·‖b‖²`` (decimal(38,0) in the
+      plan — exceeds int64) is decided in float64 ONLY when the two
+      sides differ by > 1e-9 relative (float error ≤ ~1e-15 relative:
+      6 orders of safety); border candidates re-decide in exact Python
+      ints;
+    - ``id_a < id_b`` via first-occurrence ranks over the id-sorted
+      bucket (strict: duplicate id values never pair, as in the plan).
+
+    Skew: a hot bucket is ONE task here (no AQE pair-join split), but
+    the working set is chunked to O(m·4M) Gram cells, and both callers
+    bound bucket size by construction (semantic cells ∝ N; hyperplane
+    buckets). Memory per task stays O(bucket vectors + one chunk)."""
+    import numpy as np
+    import pandas as pd
+
+    id_ddl = base.select(id_col).schema[0].dataType.simpleString()
+    src = base.select(id_col, "__bucket", "__q", "__n2")
+    T2 = int(t2)
+    CHUNK_CELLS = 4 << 20
+    DEC_MAX = 10**38  # Decimal(38,0) capacity — the plan's ANSI limit
+
+    def exact_cond(dot: int, na: int, nb: int) -> bool:
+        """Exact replay of ``__dot > 0 AND dot²·10⁴ ≥ t2·na·nb`` in
+        decimal(38,0) — INCLUDING the ANSI overflow raise the plan
+        throws when an intermediate product exceeds Decimal(38,0)
+        (evaluated only when ``__dot > 0``, matching the conjunction's
+        short-circuit)."""
+        if dot <= 0:
+            return False
+        sq = dot * dot
+        if sq >= DEC_MAX:
+            raise ArithmeticError(
+                f"{sq} cannot be represented as Decimal(38, 0) (ANSI)"
+            )
+        lhs = sq * 10_000
+        if lhs >= DEC_MAX:
+            raise ArithmeticError(
+                f"{lhs} cannot be represented as Decimal(38, 0) (ANSI)"
+            )
+        r1 = T2 * na
+        if r1 >= DEC_MAX:
+            raise ArithmeticError(
+                f"{r1} cannot be represented as Decimal(38, 0) (ANSI)"
+            )
+        rhs = r1 * nb
+        if rhs >= DEC_MAX:
+            raise ArithmeticError(
+                f"{rhs} cannot be represented as Decimal(38, 0) (ANSI)"
+            )
+        return lhs >= rhs
+
+    def slow_bucket(ids, qs, n2s):
+        """Exact per-pair replay (Python ints) — pathological buckets
+        only (weird dtypes or int64-unsafe magnitudes)."""
+        out = set()
+        m = len(ids)
+        cand = []
+        for i in range(m):
+            q = qs[i]
+            if q is None or n2s[i] is None:
+                continue
+            if ids[i] is None or (
+                isinstance(ids[i], float) and ids[i] != ids[i]
+            ):
+                continue  # NULL id: inert (id_a < id_b is NULL)
+            q = list(q)
+            if any(x is None or (isinstance(x, float) and x != x) for x in q):
+                continue
+            cand.append((i, [int(x) for x in q]))
+        for ai in range(len(cand)):
+            i, qa = cand[ai]
+            for bj in range(len(cand)):
+                j, qb = cand[bj]
+                if ids[i] == ids[j] or len(qa) != len(qb):
+                    continue
+                acc = 0
+                for x, y in zip(qa, qb):
+                    p = x * y
+                    if not (-(1 << 63) <= p < (1 << 63)):
+                        raise ArithmeticError("pair dot: long overflow (ANSI)")
+                    acc += p
+                    if not (-(1 << 63) <= acc < (1 << 63)):
+                        raise ArithmeticError("pair dot: long overflow (ANSI)")
+                if exact_cond(acc, int(n2s[i]), int(n2s[j])):
+                    out.add(max(ids[i], ids[j]))
+        return out
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        ids = pdf[id_col].tolist()
+        qs = pdf["__q"].tolist()
+        n2s = [None if pd.isna(v) else int(v) for v in pdf["__n2"].tolist()]
+        groups: dict[int, list[int]] = {}
+        weird = False
+        for i in range(m):
+            q, n2 = qs[i], n2s[i]
+            if q is None or n2 is None:
+                continue  # fold-NULL row: inert
+            if ids[i] is None or (
+                isinstance(ids[i], float) and ids[i] != ids[i]
+            ):
+                continue  # NULL id: id_a < id_b is NULL → inert
+            arr = np.asarray(q)
+            if arr.dtype.kind not in "iu":
+                if arr.dtype.kind == "f" and np.isnan(arr).any():
+                    continue  # NULL element → NULL fold: inert
+                weird = True  # shouldn't happen for array<long>; replay
+                break
+            if len(arr) == 0:
+                continue  # fold init 0, never > 0: inert
+            groups.setdefault(len(arr), []).append(i)
+        dropped: set = set()
+        if weird:
+            dropped = slow_bucket(ids, qs, n2s)
+        else:
+            for dim, idx in groups.items():
+                if len(idx) < 2:
+                    continue
+                sub_ids = [ids[i] for i in idx]
+                order = sorted(range(len(idx)), key=lambda k: sub_ids[k])
+                idx = [idx[k] for k in order]
+                sid = [sub_ids[k] for k in order]
+                # first-occurrence rank: strict id order (dup ids tie)
+                ranks = np.empty(len(idx), dtype=np.int64)
+                r = -1
+                for k in range(len(idx)):
+                    if k == 0 or sid[k] != sid[k - 1]:
+                        r = k
+                    ranks[k] = r
+                Q = np.stack([np.asarray(qs[i], dtype=np.int64) for i in idx])
+                n2v = np.array([n2s[i] for i in idx], dtype=np.int64)
+                mx = int(np.abs(Q).max()) if Q.size else 0
+                if mx and mx * mx * dim >= (1 << 63):
+                    dropped |= slow_bucket(
+                        [ids[i] for i in idx],
+                        [qs[i] for i in idx],
+                        [n2s[i] for i in idx],
+                    )
+                    continue
+                mm = len(idx)
+                chunk = max(1, CHUNK_CELLS // mm)
+                nfa = n2v.astype(np.float64)
+                hit = np.zeros(mm, dtype=bool)
+                for c0 in range(0, mm, chunk):
+                    cols = slice(c0, min(c0 + chunk, mm))
+                    G = Q @ Q[cols].T  # int64 exact under the bound
+                    pos = G > 0
+                    dotf = G.astype(np.float64)
+                    lhs = dotf * dotf * 1e4
+                    rhs = float(T2) * nfa[:, None] * nfa[cols][None, :]
+                    cond = pos & (lhs >= rhs)
+                    # exact-replay set: float-border candidates AND
+                    # anything within float error of the Decimal(38,0)
+                    # capacity (exact_cond raises there, mirroring the
+                    # plan's ANSI overflow)
+                    border = pos & (
+                        (np.abs(lhs - rhs) <= 1e-9 * np.maximum(lhs, rhs))
+                        | (lhs >= 9.999e37)
+                        | (rhs >= 9.999e37)
+                    )
+                    if border.any():
+                        bi, bj = np.nonzero(border)
+                        for i_, j_ in zip(bi, bj):
+                            cond[i_, j_] = exact_cond(
+                                int(G[i_, j_]),
+                                int(n2v[i_]),
+                                int(n2v[c0 + j_]),
+                            )
+                    # j dropped ⟺ ∃ i with rank_i < rank_j and cond
+                    lt = ranks[:, None] < ranks[cols][None, :]
+                    hit[cols] |= (cond & lt).any(axis=0)
+                dropped |= {sid[k] for k in np.flatnonzero(hit)}
+        return pd.DataFrame({id_col: sorted(dropped)})
+
+    return src.groupby("__bucket").applyInPandas(
+        process, schema=f"`{id_col}` {id_ddl}"
+    )
 
 
 def _cosine_dedup_within(
@@ -667,6 +872,7 @@ def _cosine_dedup_within(
     id_col: str,
     threshold: float,
     exact: bool,
+    pair_impl: str = "expr",
 ) -> DataFrame:
     """Shared core of embedding_cosine_dedup / semantic_dedup: within
     each ``__bucket`` of ``bucketed``, pairs with cosine ≥ threshold
@@ -674,7 +880,12 @@ def _cosine_dedup_within(
 
     The bucket (LSH band or semantic cluster) bounds the self-join:
     work is Σ_bucket n_b² — never corpus², and the AQE skew-join splits
-    any hot bucket."""
+    any hot bucket.
+
+    ``pair_impl`` selects the exact-mode pair engine: ``"expr"`` the
+    bucket self-join + interpreted per-pair fold, ``"gram"`` the
+    bit-identical per-bucket Gram matmul
+    (:func:`_gram_dropped_exact`)."""
     from meds_transforms_spark.operators.similarity import cosine_similarity
 
     if exact:
@@ -689,6 +900,12 @@ def _cosine_dedup_within(
         base = bucketed.withColumn("__q", qvec).withColumn(
             "__n2", norm2(F.col("__q"))
         )
+        t2 = int(round(threshold * threshold * 10_000))
+        if pair_impl == "gram":
+            dropped = _gram_dropped_exact(base, id_col, t2).localCheckpoint(
+                eager=False
+            )
+            return df.join(dropped, id_col, "left_anti")
         a = base.select(
             F.col(id_col).alias("id_a"), F.col("__q").alias("__qa"),
             F.col("__n2").alias("__na"), "__bucket",
@@ -702,7 +919,6 @@ def _cosine_dedup_within(
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        t2 = int(round(threshold * threshold * 10_000))
         dec = "decimal(38,0)"
         pairs = (
             a.join(b, "__bucket")
@@ -771,6 +987,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     exact: bool = False,
     assign: str = "hof",
+    pair_impl: str = "gram",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then remove near-duplicates WITHIN
@@ -847,9 +1064,15 @@ def semantic_dedup(
     # (3.1 s cold at sf0.1) where checkpoint's row-serialized RDD
     # blocks cost more than the recomputation they save (4.2 s, worse
     # than no pin). Cache entries are LRU-evictable; accepted tradeoff
-    # for the hot path.
-    assigned = assigned.select(id_col, vec_col, "__bucket").persist()
-    return _cosine_dedup_within(assigned, df, vec_col, id_col, threshold, exact)
+    # for the hot path. The gram pair engine consumes the assignment
+    # exactly ONCE (the dropped set is checkpointed), so the pin would
+    # be pure overhead there — skip it.
+    assigned = assigned.select(id_col, vec_col, "__bucket")
+    if not (exact and pair_impl == "gram"):
+        assigned = assigned.persist()
+    return _cosine_dedup_within(
+        assigned, df, vec_col, id_col, threshold, exact, pair_impl
+    )
 
 
 @register_stage("keep_latest")

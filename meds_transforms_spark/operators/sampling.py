@@ -212,8 +212,18 @@ def _order_bucket(ord_col, hash_fn: str, n_buckets: int):
     — unlike ``repartitionByRange`` there is no sampled partitioner to
     pin, so lineage recomputation can never re-draw boundaries."""
     if hash_fn == "md5_60":
-        width = (1 << 60) // n_buckets + 1
-        return (ord_col / F.lit(width)).cast("long")
+        # Exact integer arithmetic (ADVICE r10): the old
+        # (key / width).cast("long") divided in DOUBLE — a 60-bit
+        # numerator exceeds double's 53-bit exact range, so
+        # top-of-range keys could land in bucket n_buckets (an extra
+        # out-of-range bucket). ((key >> 30) · n) >> 30 is
+        # floor(key·n/2⁶⁰) up to a ≤2⁻³⁰-relative boundary shift:
+        # every op exact on longs, monotone non-decreasing in the key
+        # (equal keys share a bucket), range exactly [0, n) for
+        # 60-bit keys, no overflow for n < 2³¹.
+        return F.shiftright(
+            F.shiftright(ord_col, 30) * F.lit(int(n_buckets)), 30
+        ).cast("long")
     # xxhash64: full signed-64 range, mapped via double (monotone
     # non-decreasing is sufficient; boundary ties share a bucket).
     b = F.floor((ord_col / F.lit(float(1 << 63)) / 2.0 + 0.5) * n_buckets)

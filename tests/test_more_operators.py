@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -300,3 +301,87 @@ def test_assign_cells_exact_matches_hof(spark):
     a = {r["vec_id"]: r["__cell"] for r in hof.collect()}
     b = {r["vec_id"]: r["__cell"] for r in kern.collect()}
     assert a == b
+
+
+def test_gram_pair_impl_matches_expr(spark):
+    """pair_impl="gram" (round-11 per-bucket Gram matmul) returns the
+    IDENTICAL survivor set as the interpreted per-pair fold, across
+    real embeddings, adversarial rows (NULL vector, NULL element,
+    ragged dims, empty arrays, duplicate ids), an exact
+    threshold-boundary tie (cos == threshold decided on the border
+    path), and a magnitude that exceeds the int64 fast-path bound
+    (whole-bucket exact replay)."""
+    from meds_transforms_spark.operators.dedup import (
+        embedding_cosine_dedup,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    aug = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("emb_d"), lambda x: x * F.lit(1.01)).alias("emb_d"),
+    )
+    both = emb.unionByName(aug)
+    outs = {}
+    for impl in ("expr", "gram"):
+        outs[impl] = {
+            "sem": sorted(
+                r.vec_id
+                for r in semantic_dedup(
+                    both, vec_col="emb_d", id_col="vec_id", n_cells=16,
+                    iters=0, threshold=0.9, exact=True, pair_impl=impl,
+                ).collect()
+            ),
+            "cos": sorted(
+                r.vec_id
+                for r in embedding_cosine_dedup(
+                    both, vec_col="emb_d", id_col="vec_id",
+                    exact=True, pair_impl=impl,
+                ).collect()
+            ),
+        }
+    assert outs["expr"] == outs["gram"] and outs["expr"]["sem"]
+
+    # adversarial rows + exact threshold tie (threshold=1.0: identical
+    # vectors sit EXACTLY on 10^4·dot² == t2·na·nb — the border path)
+    rows = [
+        (1, [0.5, 0.5, 0.5, 0.5]),
+        (2, [0.5, 0.5, 0.5, 0.5]),     # tie with 1 at cos=1.0
+        (3, None),                      # NULL vector: inert
+        (4, [0.5, 0.5]),                # ragged: inert vs dim-4
+        (5, [0.5, 0.5]),                # pairs with 4 at cos=1.0
+        (6, []),                        # empty: fold init 0, inert
+        (7, [None, 0.5, 0.5, 0.5]),     # NULL element: inert
+        (2, [0.5, 0.5, 0.5, 0.5]),      # duplicate id: never pairs with itself
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb_d array<double>")
+    got = {}
+    for impl in ("expr", "gram"):
+        got[impl] = sorted(
+            r.vec_id
+            for r in embedding_cosine_dedup(
+                df, vec_col="emb_d", id_col="vec_id",
+                exact=True, threshold=1.0, pair_impl=impl,
+            ).collect()
+        )
+    assert got["expr"] == got["gram"], got
+    # ids 2 (dup of 1) and 5 (dup of 4) dropped; inert rows kept
+    assert got["gram"] == [1, 3, 4, 6, 7], got
+
+    # magnitudes past the int64 fast-path bound: dot² also exceeds
+    # Decimal(38,0), so the INTERPRETED plan raises an ANSI overflow —
+    # the gram path must raise too (its exact replay mirrors the
+    # decimal capacity), not silently succeed with big-int arithmetic
+    big = (1 << 31) / 10_000.0  # quantizes to 2^31: trips the int64 slow path
+    df_big = spark.createDataFrame(
+        [(8, [big, 0.0, 0.0, 0.0]), (9, [big, 0.0, 0.0, 0.0])],
+        "vec_id long, emb_d array<double>",
+    )
+    for impl in ("expr", "gram"):
+        with pytest.raises(Exception, match="Decimal\\(38"):
+            embedding_cosine_dedup(
+                df_big, vec_col="emb_d", id_col="vec_id",
+                exact=True, threshold=1.0, pair_impl=impl,
+            ).collect()

@@ -185,3 +185,31 @@ def test_cluster_balanced_sample(spark):
         emb, n_cells=3, cap_per_cluster=5, seed=1, iters=2
     ).collect()
     assert len(refined) <= 13 and len({r.vec_id for r in refined}) == len(refined)
+
+
+def test_order_bucket_md5_60_exact_range_and_monotone(spark):
+    """_order_bucket's md5_60 slice is exact-integer (ADVICE r10): the
+    old double division rounded top-of-range 60-bit keys (within ~128
+    of 2**60) into bucket == n_buckets — an out-of-range extra
+    partition. The shift formula keeps every bucket in [0, n) and
+    non-decreasing in the key."""
+    from pyspark.sql import functions as F
+
+    from meds_transforms_spark.operators.sampling import _order_bucket
+
+    n = 37  # non-power-of-two
+    top = (1 << 60) - 1
+    keys = sorted(
+        {0, 1, 2, top, top - 1, top - 127, (1 << 60) - (1 << 30)}
+        | {(i * ((1 << 60) // 97)) % (1 << 60) for i in range(97)}
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = (
+        df.withColumn("b", _order_bucket(F.col("k"), "md5_60", n))
+        .orderBy("k")
+        .collect()
+    )
+    buckets = [r.b for r in rows]
+    assert all(0 <= b < n for b in buckets), buckets
+    assert buckets == sorted(buckets)  # monotone in the key
+    assert buckets[0] == 0 and buckets[-1] == n - 1
