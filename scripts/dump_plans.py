@@ -54,9 +54,9 @@ REVIEW = {
     "docs_dsir_weights": "feature buckets from the Arrow poly64 kernel (grams.word_feature_bucket_counts_poly): per-(doc,target,bucket) counts leave the batch pre-aggregated, the pinned frame feeds BOTH the model rollup and the per-doc reduction, the 8k-row model re-enters through a BroadcastHashJoin; every shuffle row is (long,long)",
     "events_zorder": "min/max normalization is a 1-row aggregate re-entering as a broadcast join; the Morton key is closed-form codegen bit arithmetic — the fact table is never shuffled or windowed",
     "events_profile": "ONE partial-agg scan computes nulls/NDV/min/max/mean for all columns; exact mode shows the documented Expand (N× the distinct aggregates), approx (HLL) removes it; the wide 1-row result explodes to tidy per-column rows",
-    "emb_semantic_dedup": "centroids broadcast into a map-side assignment join (corpus never shuffles to cluster); the within-cell pair join is Σ n_cell² — bounded by cell granularity and AQE-skew-splittable; min-id collapse is distinct + LEFT ANTI on the id",
+    "emb_semantic_dedup": "centroids broadcast into a map-side assignment join (corpus never shuffles to cluster); the within-cell pair stage (round-11) is ONE groupBy(cell).applyInPandas Gram matmul — each vector crosses one exchange once instead of riding every candidate pair, bit-identical integer threshold decisions (Σ n_cell² MACs vectorized; measured 5.7× on a 10M-pair stage); the dropped set is lazily checkpointed so a Union input can't duplicate the pair pipeline through anti-join pushdown, and the survivor anti-join strategy still follows propagated size stats",
     "events_anomaly": "count/sum/square-sum as three frames over ONE exchange+sort; both moments from one LONG quantization (variance identity exact, overflow-bounded); flag decision replays bit-for-bit in SQL",
-    "docs_assign_ids": "two-phase prefix ranking; the md5-hex order key gets a deterministic monotone bucket (round-10), so the partition id is a pure expression and the rank window runs DIRECTLY over the full rows — no range-sampling job, no persist, no slim-key rank + sort-merge join-back (was 4 exchanges + duplicated window subtrees; now 1 exchange + 1 window); the totality check is an in-plan lag/raise_error guard computed in that same window, replacing the old eager dup-check job; no SinglePartition window; pure function of the data",
+    "docs_assign_ids": "two-phase prefix ranking; the md5-hex order key gets a deterministic monotone bucket (round-10; round-11 computes it as the exact-integer ((key>>30)·n)>>30 slice — no double rounding, range exactly [0,n)), so the partition id is a pure expression and the rank window runs DIRECTLY over the full rows — no range-sampling job, no persist, no slim-key rank + sort-merge join-back (was 4 exchanges + duplicated window subtrees; now 1 exchange + 1 window); the totality check is an in-plan lag/raise_error guard computed in that same window, replacing the old eager dup-check job; no SinglePartition window; pure function of the data",
     "docs_bpe_tokens": "the package's one deliberate Pandas hot path: merges ride the mapInPandas closure (no model join), per-batch word memoization makes amortized cost a dict hit; fit's collect is the Zipf-tiny word table, never corpus rows",
     "docs_curation_e2e": "five curation stages chained (gopher → exact dedup → DSIR → top-k → pack) with NO new shuffle classes: each stage's own exchanges only, id-keyed frames between stages, the pack prefix runs the two-phase form over deterministic hash-range buckets (round-10: no range-sampling job, no persisted boundaries)",
     "docs_minhash_transitive": "md5_60 band buckets (the deliberate oracle mirror; poly64 is the scale default) → co-bucket edges → iterative min-label components with LAZY localCheckpoints (round-10: driver actions materialize them, one job saved per site); on the union-find escape path the driver-built dropped set is wrapped in F.broadcast (round-10), so the final anti-join is a BroadcastHashJoin LeftAnti — the corpus side is never exchanged or sorted for it (was: SortMergeJoin + 2 Exchange + 2 Sort against a statistics-less Scan ExistingRDD)",
